@@ -1,0 +1,20 @@
+"""clonebas_ray — a Ray-Data-native near-duplicate (code clone) detection engine.
+
+A from-scratch reimplementation of the query/data-processing
+capabilities of Kh1Code/CloneBAS (AST + SimHash code-clone detection,
+see /root/reference) re-expressed as idiomatic ``ray.data.Dataset``
+pipelines: Parquet tables of source files ``(repo, path, commit, lang,
+content)`` flow through zero-copy Arrow ``map_batches`` stages
+(normalizing pseudo-AST parser actor pools → weighted node shingles →
+128-bit MurmurHash3/SimHash fingerprints), explicit pigeonhole
+bit-block LSH shuffles for candidate pairs, exact Hamming verification,
+and union-find clustering into similarity tiers.
+
+Not a port: the reference's single-process O(n^2) loop
+(``SimHasher.cpp:149-192``) is replaced by Ray Data's streaming
+executor, actor pools, and shuffle primitives.
+"""
+
+from clonebas_ray.config import PipelineConfig, REFERENCE_WEIGHTS, SEED
+
+__all__ = ["PipelineConfig", "REFERENCE_WEIGHTS", "SEED"]

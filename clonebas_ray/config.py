@@ -1,0 +1,154 @@
+"""Pipeline configuration — the "shingle/signature config" of the reference.
+
+Mirrors the reference's three config files (parsed semantics, not the
+parser):
+
+* ``node_weight_config.txt`` parsed by ``SimHashConfig.cpp:40-56`` — a
+  digit line sets the current weight; subsequent alpha lines map that
+  node-kind name to it.  NOTE: the file DOES end with a ``DEFAULT``
+  line inside the weight-9 group (``node_weight_config.txt:104``), so
+  unknown node kinds fall back to weight 9 via
+  ``EigenWord.cpp:33-35``.
+* ``token_boundary_config.txt`` (all boundaries = 200 chars) parsed by
+  ``SimHashConfig.cpp:58-66``.
+* ``dif_config.txt`` = ``80\\n1\\n-1`` parsed by
+  ``SimHashConfig.cpp:68-74``: ``fingerprint_token_dif=80`` (unused —
+  the 0.3 relative gate at ``SimHasher.cpp:97`` is hard-coded),
+  ``high_difdis=1`` (Hamming <= 1 → "high" tier),
+  ``normal_difdis=-1`` (normal tier disabled in the shipped config).
+
+All values here are data derived from the reference's *public shipped
+configuration*; no code is copied.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+#: MurmurHash3_x64_128 seed — ``EigenWord.h:23``.
+SEED = 0x97C29B3A
+
+#: SimHash signature width in bits — ``EigenWord.h:25`` (VEC_LEN).
+VEC_LEN = 128
+
+_WEIGHT_GROUPS: dict[int, tuple[str, ...]] = {
+    0: ("ImplicitCastExpr", "DeclRefExpr"),
+    1: ("BinaryOperator", "RecoveryExpr", "FixedCompoundStmtClass",
+        "CallExpr", "IntegerLiteral"),
+    2: ("VarDecl", "MemberExpr", "DeclStmt", "ParenExpr"),
+    3: ("CXXDependentScopeMemberExpr", "UnaryOperator", "ReturnStmt",
+        "FixedSelectionStmtClass", "UnresolvedLookupExpr"),
+    4: ("StringLiteral", "CXXThisExpr", "ArraySubscriptExpr",
+        "CStyleCastExpr"),
+    5: ("CXXBoolLiteralExpr", "CXXMemberCallExpr", "FixedLoopStmtClass",
+        "CompoundAssignOperator", "CXXConstructExpr", "InitListExpr"),
+    6: ("CXXOperatorCallExpr", "ConditionalOperator", "FloatingLiteral",
+        "UnaryExprOrTypeTraitExpr", "MaterializeTemporaryExpr",
+        "CXXNullPtrLiteralExpr", "ExprWithCleanups", "CharacterLiteral",
+        "NullStmt", "ConstantExpr", "ImplicitValueInitExpr"),
+    7: ("LambdaExpr", "CXXFunctionalCastExpr", "CXXStaticCastExpr",
+        "BreakStmt", "CXXTemporaryObjectExpr", "CXXUnresolvedConstructExpr",
+        "CXXDefaultArgExpr", "ContinueStmt", "UnresolvedMemberExpr",
+        "RecordDecl", "GotoStmt"),
+    8: ("ParenListExpr", "FunctionDecl", "DecompositionDecl", "CXXNewExpr",
+        "LabelStmt", "GCCAsmStmt", "CXXReinterpretCastExpr", "CXXCatchStmt",
+        "CXXTryStmt", "CXXRecordDecl", "CXXDeleteExpr", "UsingDirectiveDecl"),
+    9: ("TypedefDecl", "CXXBindTemporaryExpr", "CXXThrowExpr", "EnumDecl",
+        "DesignatedInitExpr", "CXXConstCastExpr", "StaticAssertDecl",
+        "CXXScalarValueInitExpr", "CXXForRangeStmt",
+        "DependentScopeDeclRefExpr", "TypeAliasDecl", "AttributedStmt",
+        "NamespaceAliasDecl", "CXXUuidofExpr", "PredefinedExpr",
+        "UserDefinedLiteral", "BlockExpr", "CXXDefaultInitExpr",
+        "CXXTypeidExpr", "CXXPseudoDestructorExpr", "UsingDecl",
+        "DefaultStmt", "SubstNonTypeTemplateParmExpr", "CompoundLiteralExpr",
+        "CXXDynamicCastExpr", "OpaqueValueExpr", "ObjCAvailabilityCheckExpr",
+        "PackExpansionExpr", "StmtExpr", "BinaryConditionalOperator",
+        "SEHTryStmt", "SEHExceptStmt", "SizeOfPackExpr", "DEFAULT"),
+}
+
+#: node-kind → SimHash weight, as shipped in ``node_weight_config.txt``.
+REFERENCE_WEIGHTS: dict[str, int] = {
+    name: w for w, names in _WEIGHT_GROUPS.items() for name in names
+}
+
+
+def weight_of(node_kind: str, table: dict[str, int] | None = None) -> int:
+    """Weight lookup with the reference's DEFAULT fallback
+    (``EigenWord.cpp:28-37``)."""
+    t = table if table is not None else REFERENCE_WEIGHTS
+    return t.get(node_kind, t.get("DEFAULT", 0))
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """One immutable config object threaded through every stage.
+
+    A stable hash of this config participates in checkpoint lineage
+    (``clonebas_ray.state.checkpoint``): changing any field invalidates
+    prior partition checkpoints.
+    """
+
+    # --- signature config (must match the reference for parity) ---
+    seed: int = SEED
+    vec_len: int = VEC_LEN
+    weights: tuple[tuple[str, int], ...] = field(
+        default_factory=lambda: tuple(sorted(REFERENCE_WEIGHTS.items()))
+    )
+    #: SimHash fold rule: output bit = 1 iff column sum > fold_threshold.
+    #: The reference uses ``sum > 1`` — NOT ``> 0`` (``EigenWord.cpp:58``).
+    fold_threshold: int = 1
+
+    # --- pairing config ---
+    #: "high" tier max Hamming distance (``dif_config.txt`` line 2).
+    t_high: int = 1
+    #: "normal" tier max Hamming distance; -1 = disabled (line 3).
+    t_normal: int = -1
+    #: relative char-span gate: skip pair if |t1-t2| > gate*min(t1,t2)
+    #: (hard-coded 0.3 at ``SimHasher.cpp:97``).
+    span_gate: float = 0.3
+    #: char-span boundary below which a block emits no fingerprint
+    #: (``token_boundary_config.txt`` — 200 for all Fixed block kinds).
+    char_boundary: int = 200
+    #: same-file / cross-file-only pair filters (``-onlysameF`` /
+    #: ``-onlydiffF``, ``SimHasher.cpp:111-122``). At most one is set.
+    only_same_file: bool = False
+    only_diff_file: bool = False
+
+    # --- LSH / scale knobs (ours; no reference equivalent) ---
+    #: number of bit-blocks for the pigeonhole candidate join; must be
+    #: >= t+1 so every Hamming<=t pair collides on >=1 block.
+    n_bands: int = 4
+    #: buckets larger than this get salted into sub-buckets handled by
+    #: the exact-duplicate-signature fast path + capped pairing.
+    max_bucket: int = 2048
+    #: normalization dialect applied before word extraction.
+    ast_opt: bool = True
+
+    def weight_table(self) -> dict[str, int]:
+        return dict(self.weights)
+
+    def config_hash(self) -> str:
+        import hashlib
+        import json
+
+        payload = json.dumps(
+            {
+                "seed": self.seed,
+                "vec_len": self.vec_len,
+                "weights": list(self.weights),
+                "fold_threshold": self.fold_threshold,
+                "t_high": self.t_high,
+                "t_normal": self.t_normal,
+                "span_gate": self.span_gate,
+                "char_boundary": self.char_boundary,
+                "only_same_file": self.only_same_file,
+                "only_diff_file": self.only_diff_file,
+                "n_bands": self.n_bands,
+                "ast_opt": self.ast_opt,
+            },
+            sort_keys=True,
+        ).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,280 @@
+"""Deterministic synthetic conformance corpus (FIXTURES.md §1).
+
+The reference ships no test data (SURVEY §5), so correctness is
+established on a seeded synthetic corpus matching BASELINE.json's
+``input_hint`` shape: one Parquet table of source files
+``(repo, path, commit, lang, content)`` with planted clone
+relationships recorded in companion ``truth_pairs`` /
+``truth_clusters`` tables.
+
+Clone taxonomy planted (mirroring the sensitivity of the reference's
+config — DeclRefExpr/ImplicitCastExpr weight 0, literals carry no
+value suffix):
+
+* ``exact``   — identical content under a different (repo,path,commit);
+* ``type1``   — whitespace/comment edits (identical token stream);
+* ``type2``   — identifier renames + literal value changes
+                (identical word multiset → Hamming 0);
+* ``type3``   — 1-3 statement inserts/deletes (small Hamming
+                perturbation; may fall in or out of the σ=1 tier);
+* ``negative``— independently generated files;
+* ``boiler``  — a hot-bucket group: many files sharing one signature
+                (skew handling test);
+* ``short``   — sub-boundary files (span-gate test).
+
+Everything is driven by ``random.Random(seed)`` — no wall clock, no
+external data.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+_LANGS = ["c", "cpp", "java"]
+
+_STMT_TEMPLATES = [
+    "{v0} = {v1} + {n0};",
+    "{v0} = {v1} * {v2} - {n0};",
+    "{v0} += {n0};",
+    "if ({v0} > {n0}) {{ {v1} = {v1} - {n1}; }} else {{ {v1} = {n0}; }}",
+    "for (int {v3} = 0; {v3} < {n0}; {v3}++) {{ {v0} = {v0} + {v1}; }}",
+    "while ({v0} < {n1}) {{ {v0} = {v0} * {n0}; }}",
+    "{v0} = compute({v1}, {v2});",
+    "record({v0}, {n0});",
+    "if ({v0} == {n0}) {{ return {v1}; }}",
+    "{v0} = ({v1} > {v2}) ? {v1} : {v2};",
+    "switch ({v0}) {{ case {n0}: {v1} = {n1}; break; default: {v1} = 0; break; }}",
+    "do {{ {v0} = {v0} - {n0}; }} while ({v0} > {n1});",
+]
+
+_NAME_POOL = [
+    "alpha", "beta", "gamma", "delta", "count", "total", "value", "result",
+    "accum", "index", "limit", "scale", "offset", "weight", "score", "tmp",
+]
+
+
+@dataclass
+class CorpusTables:
+    files: pa.Table
+    truth_pairs: pa.Table
+    truth_clusters: pa.Table
+    #: sha256 hex → planted group id (None for negatives)
+    groups: dict = field(default_factory=dict)
+
+
+def _gen_function(rng: random.Random, n_stmts: int, fn_idx: int) -> str:
+    names = rng.sample(_NAME_POOL, 4)
+    lines = [f"int func{fn_idx}(int {names[0]}, int {names[1]}) {{"]
+    lines.append(f"    int {names[2]} = {rng.randint(0, 9)};")
+    for _ in range(n_stmts):
+        t = rng.choice(_STMT_TEMPLATES)
+        lines.append(
+            "    "
+            + t.format(
+                v0=rng.choice(names), v1=rng.choice(names),
+                v2=rng.choice(names), v3="i" + str(rng.randint(0, 99)),
+                n0=rng.randint(0, 99), n1=rng.randint(0, 99),
+            )
+        )
+    lines.append(f"    return {names[2]};")
+    lines.append("}")
+    return "\n".join(lines)
+
+
+def _gen_file(rng: random.Random, n_funcs: int, base_idx: int) -> str:
+    return "\n\n".join(
+        _gen_function(rng, rng.randint(4, 12), base_idx * 100 + k)
+        for k in range(n_funcs)
+    )
+
+
+def _rename_variant(src: str, rng: random.Random) -> str:
+    """Type-2: rename identifiers + change literal values (word-multiset
+    preserving)."""
+    out = src
+    for name in _NAME_POOL:
+        if rng.random() < 0.6 and name in out:
+            out = out.replace(name, name + str(rng.randint(2, 9)))
+    # literal edits: digit → digit (token kind unchanged)
+    out = "".join(
+        str((int(c) + 3) % 10) if c.isdigit() and rng.random() < 0.5 else c
+        for c in out
+    )
+    return out
+
+
+def _whitespace_variant(src: str, rng: random.Random) -> str:
+    """Type-1: comment + whitespace edits only."""
+    lines = src.split("\n")
+    out = []
+    for ln in lines:
+        if rng.random() < 0.3:
+            out.append("")
+        out.append(ln.replace("    ", "\t") if rng.random() < 0.5 else ln)
+        if rng.random() < 0.2:
+            out.append("// edited variant")
+    return "\n".join(out)
+
+
+def _edit_variant(src: str, rng: random.Random, n_edits: int) -> str:
+    """Type-3: insert extra statements."""
+    lines = src.split("\n")
+    for _ in range(n_edits):
+        pos = rng.randint(1, max(1, len(lines) - 2))
+        v = rng.choice(_NAME_POOL)
+        lines.insert(pos, f"    {v} = {v} + {rng.randint(1, 9)};")
+    return "\n".join(lines)
+
+
+def generate_corpus(
+    n_base: int = 60,
+    clones_per_base: int = 3,
+    n_negatives: int = 60,
+    n_boiler: int = 30,
+    n_short: int = 10,
+    seed: int = 42,
+) -> CorpusTables:
+    rng = random.Random(seed)
+    repos, paths, commits, langs, contents = [], [], [], [], []
+    kinds: list[str] = []  # per-row planted kind
+    group_ids: list[int] = []  # planted group (-1 = negative)
+
+    def add(content: str, kind: str, gid: int) -> None:
+        r = rng.randrange(20)
+        n = rng.randrange(1000)
+        repos.append(f"org{r:02d}/repo{n:03d}")
+        paths.append(f"src/mod{rng.randrange(8)}/file{len(paths)}."
+                     + rng.choice(["c", "cpp", "cc"]))
+        commits.append("".join(rng.choice("0123456789abcdef") for _ in range(40)))
+        langs.append(rng.choice(_LANGS[:2]))
+        contents.append(content)
+        kinds.append(kind)
+        group_ids.append(gid)
+
+    gid = 0
+    for b in range(n_base):
+        base = _gen_file(rng, rng.randint(2, 5), b)
+        add(base, "base", gid)
+        for c in range(clones_per_base):
+            roll = rng.random()
+            if roll < 0.25:
+                add(base, "exact", gid)
+            elif roll < 0.5:
+                add(_whitespace_variant(base, rng), "type1", gid)
+            elif roll < 0.75:
+                add(_rename_variant(base, rng), "type2", gid)
+            else:
+                add(_edit_variant(base, rng, rng.randint(1, 3)), "type3", gid)
+        gid += 1
+
+    for k in range(n_negatives):
+        add(_gen_file(rng, rng.randint(2, 5), 10_000 + k), "negative", -1)
+
+    # hot bucket: identical boilerplate under many keys
+    boiler = _gen_file(rng, 3, 99_999)
+    for _ in range(n_boiler):
+        add(boiler, "boiler", gid)
+    gid += 1
+
+    for k in range(n_short):
+        add(f"int tiny{k}() {{ return {k}; }}", "short", -1)
+
+    files = pa.table(
+        {
+            "repo": pa.array(repos, pa.string()),
+            "path": pa.array(paths, pa.string()),
+            "commit": pa.array(commits, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "content": pa.array(contents, pa.string()),
+        }
+    )
+
+    shas = [hashlib.sha256(c.encode()).hexdigest() for c in contents]
+    groups = {}
+    for sha, g, kind in zip(shas, group_ids, kinds):
+        if g >= 0:
+            groups.setdefault(sha, (g, kind))
+
+    # truth tables (content-keyed; deduped on sha)
+    pair_a, pair_b, pair_kind, pair_dup = [], [], [], []
+    by_group: dict[int, list[int]] = {}
+    for i, g in enumerate(group_ids):
+        if g >= 0:
+            by_group.setdefault(g, []).append(i)
+    _PRESERVING = ("base", "exact", "type1", "type2", "boiler")
+    for g, members in by_group.items():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                a, b = members[i], members[j]
+                if shas[a] == shas[b]:
+                    k = "exact"
+                elif kinds[a] in _PRESERVING and kinds[b] in _PRESERVING:
+                    # both are word-multiset-preserving variants of the
+                    # same base → Hamming 0 by construction
+                    k = "type2" if "type2" in (kinds[a], kinds[b]) else "type1"
+                elif "type3" in (kinds[a], kinds[b]):
+                    k = "type3"
+                else:
+                    k = "mixed"
+                pair_a.append(shas[a])
+                pair_b.append(shas[b])
+                pair_kind.append(k)
+                pair_dup.append(k in ("exact", "type1", "type2"))
+
+    truth_pairs = pa.table(
+        {
+            "sha_a": pa.array(pair_a, pa.string()),
+            "sha_b": pa.array(pair_b, pa.string()),
+            "kind": pa.array(pair_kind, pa.string()),
+            "expect_dup": pa.array(pair_dup, pa.bool_()),
+        }
+    )
+    truth_clusters = pa.table(
+        {
+            "sha": pa.array([s for s, g in zip(shas, group_ids) if g >= 0],
+                            pa.string()),
+            "cluster_id": pa.array(
+                [g for g in group_ids if g >= 0], pa.int64()
+            ),
+        }
+    )
+    return CorpusTables(files, truth_pairs, truth_clusters, groups)
+
+
+def write_corpus(tables: CorpusTables, out_dir: str) -> None:
+    import os
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(tables.files, f"{out_dir}/files.parquet")
+    pq.write_table(tables.truth_pairs, f"{out_dir}/truth_pairs.parquet")
+    pq.write_table(tables.truth_clusters, f"{out_dir}/truth_clusters.parquet")
+
+
+def generate_bench_corpus(n_files: int, seed: int = 42) -> pa.Table:
+    """Large corpus for throughput runs: reuses generated contents with
+    fresh keys so generation stays cheap (FIXTURES.md "bench" scale)."""
+    base = generate_corpus(
+        n_base=max(50, n_files // 40), clones_per_base=3,
+        n_negatives=max(50, n_files // 8), seed=seed,
+    ).files
+    reps = (n_files // base.num_rows) + 1
+    rng = random.Random(seed + 1)
+    tables = []
+    for r in range(reps):
+        t = base
+        if r:
+            # fresh keys, same contents (exact dups are realistic at scale)
+            n = t.num_rows
+            commits = pa.array(
+                ["".join(rng.choice("0123456789abcdef") for _ in range(40))
+                 for _ in range(n)], pa.string(),
+            )
+            t = t.set_column(2, "commit", commits)
+        tables.append(t)
+    out = pa.concat_tables(tables)
+    return out.slice(0, n_files)

@@ -1,0 +1,2 @@
+"""Scalar / vectorized kernels shared by stages (hashing, simhash,
+word extraction, text analysis)."""

@@ -1,0 +1,175 @@
+"""Vectorized SimHash kernels.
+
+Reproduces the reference's fingerprint math bit-for-bit:
+
+* per-word 128-bit hash = MurmurHash3_x64_128(word, seed=0x97c29b3a),
+  consumed MSB-first as ``bin64(h1)+bin64(h2)`` (``EigenWord.cpp:17-26``);
+* per-word weight vector: position j gets ``+weight`` when bit j of
+  that bitstring is 1, else ``-weight`` (``EigenWord.cpp:39-44`` — the
+  double index reversal there means the vector is simply the bitstring
+  in MSB-first order);
+* fold: the signature bit j is 1 iff the column sum over all words is
+  ``> 1`` — NOT ``> 0`` (``EigenWord.cpp:57-65``);
+* Hamming distance = popcount(xor) (``SimHasher.cpp:195-198``).
+
+The signature is carried as two uint64 columns ``(sig_hi, sig_lo)``:
+``sig_hi`` holds bits j=0..63 of the reference's display bitstring
+(MSB-first), ``sig_lo`` bits j=64..127.
+
+Scale note: the eigen-word vocabulary is tiny (node-kind strings, a
+few hundred distinct), so each actor hashes every distinct word once
+(``WordVectorCache``) and folds whole batches as one
+``counts @ weighted_bits`` matmul — no per-row Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from clonebas_ray.config import SEED, VEC_LEN, REFERENCE_WEIGHTS
+from clonebas_ray.functions.murmur3 import hash128
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def word_bits(word: str, seed: int = SEED) -> np.ndarray:
+    """±1 int32 vector of length 128 in the reference's MSB-first order."""
+    h1, h2 = hash128(word, seed)
+    bs = np.frombuffer(
+        np.array([h1, h2], dtype=">u8").tobytes(), dtype=np.uint8
+    )
+    bits = np.unpackbits(bs).astype(np.int32)  # 128 entries, j=0 first
+    return bits * 2 - 1
+
+
+class WordVectorCache:
+    """word → weighted ±weight vector, grown lazily; one per actor.
+
+    ``vocab`` maps word → row index into the (V, 128) int32 matrix
+    ``matrix`` where row = weight(word) * word_bits(word).
+    Weight lookup uses the reference's DEFAULT fallback
+    (``EigenWord.cpp:28-37``; DEFAULT=9 per ``node_weight_config.txt:104``).
+    """
+
+    def __init__(self, weights: dict[str, int] | None = None, seed: int = SEED):
+        self.weights = weights if weights is not None else REFERENCE_WEIGHTS
+        self.default = self.weights.get("DEFAULT", 0)
+        self.seed = seed
+        self.vocab: dict[str, int] = {}
+        self._rows: list[np.ndarray] = []
+        self._matrix: np.ndarray | None = None
+
+    def ids(self, words: list[str]) -> np.ndarray:
+        out = np.empty(len(words), dtype=np.int64)
+        vocab = self.vocab
+        for i, w in enumerate(words):
+            idx = vocab.get(w)
+            if idx is None:
+                idx = len(vocab)
+                vocab[w] = idx
+                # weight key = node-kind = first token of the word
+                # (operator suffixes like " BO_+" don't change the kind,
+                # mirroring EigenWord's separate nodename argument —
+                # EigenWordGenerate.cpp:150-164)
+                kind = w.split(" ", 1)[0]
+                wgt = self.weights.get(kind, self.default)
+                self._rows.append(word_bits(w, self.seed) * wgt)
+                self._matrix = None
+            out[i] = idx
+        return out
+
+    @property
+    def matrix(self) -> np.ndarray:
+        if self._matrix is None:
+            self._matrix = (
+                np.vstack(self._rows)
+                if self._rows
+                else np.zeros((0, VEC_LEN), dtype=np.int32)
+            )
+        return self._matrix
+
+
+def fold_counts(
+    count_matrix: np.ndarray, weighted_bits: np.ndarray, fold_threshold: int = 1
+) -> np.ndarray:
+    """(N, V) word-count matrix × (V, 128) weighted bit matrix →
+    (N, 128) bool signature bits with the reference's ``sum > 1`` rule."""
+    sums = count_matrix @ weighted_bits
+    return sums > fold_threshold
+
+
+def pack_signature(bits: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(N, 128) bool, MSB-first → (sig_hi, sig_lo) uint64 arrays."""
+    b = np.ascontiguousarray(bits, dtype=np.uint8)
+    packed = np.packbits(b, axis=1)  # (N, 16) bytes, MSB-first
+    hi = packed[:, :8].copy().view(">u8").astype(np.uint64).reshape(-1)
+    lo = packed[:, 8:].copy().view(">u8").astype(np.uint64).reshape(-1)
+    return hi, lo
+
+
+def signature_int(sig_hi: int, sig_lo: int) -> int:
+    return (int(sig_hi) << 64) | int(sig_lo)
+
+
+def hamming_u64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Element-wise popcount(a ^ b) for uint64 arrays."""
+    x = np.bitwise_xor(a, b)
+    return _POP8[x.view(np.uint8).reshape(x.shape + (8,))].sum(axis=-1).astype(
+        np.int32
+    )
+
+
+def hamming_pairs(
+    hi_a: np.ndarray, lo_a: np.ndarray, hi_b: np.ndarray, lo_b: np.ndarray
+) -> np.ndarray:
+    return hamming_u64(hi_a, hi_b) + hamming_u64(lo_a, lo_b)
+
+
+def simhash_of_words(
+    words: list[str],
+    cache: WordVectorCache | None = None,
+    fold_threshold: int = 1,
+) -> tuple[int, int]:
+    """Single-document convenience (used by tests and the oracle)."""
+    cache = cache or WordVectorCache()
+    if not words:
+        return 0, 0
+    ids = cache.ids(words)
+    counts = np.bincount(ids, minlength=len(cache.vocab)).astype(np.int64)
+    bits = fold_counts(counts[None, :], cache.matrix, fold_threshold)
+    hi, lo = pack_signature(bits)
+    return int(hi[0]), int(lo[0])
+
+
+def band_keys(
+    sig_hi: np.ndarray, sig_lo: np.ndarray, n_bands: int
+) -> np.ndarray:
+    """(N, n_bands) uint64 array of bit-block values for the pigeonhole
+    LSH join (SURVEY §2.4 J1): the 128-bit signature is split into
+    ``n_bands`` contiguous blocks; any pair with Hamming <= n_bands-1
+    shares at least one identical block.
+
+    Block values are the raw bit slices (not re-hashed) so the
+    candidate key is ``(band_index, block_value)``.
+    """
+    n = len(sig_hi)
+    width = VEC_LEN // n_bands
+    out = np.empty((n, n_bands), dtype=np.uint64)
+    full = (sig_hi.astype(object) * (1 << 64)) + sig_lo.astype(object)
+    # object-int path only for odd widths; fast path for divisors of 64
+    if 64 % width == 0:
+        per_word = 64 // width
+        mask = np.uint64((1 << width) - 1)
+        for b in range(n_bands):
+            if b < per_word:
+                shift = np.uint64(64 - (b + 1) * width)
+                out[:, b] = (sig_hi >> shift) & mask
+            else:
+                shift = np.uint64(64 - (b + 1 - per_word) * width)
+                out[:, b] = (sig_lo >> shift) & mask
+    else:
+        for b in range(n_bands):
+            shift = VEC_LEN - (b + 1) * width
+            vals = (full >> shift) & ((1 << width) - 1)
+            out[:, b] = vals.astype(np.uint64)
+    return out

@@ -1,0 +1,403 @@
+"""Eigen-word extraction — the parse + normalize + shingle stage.
+
+The reference walks a Clang AST that was first simplified by
+``FixedChecker::Simplify`` (``FixedChecker.cpp:12-427``): compound
+statements become ``FixedCompoundStatement``, if/else/switch collapse
+into ``FixedSelectionStatement`` units with synthesized ``!cond`` /
+``==`` expressions per branch, and for/while/do become
+``FixedLoopStatement`` with the for-init hoisted out and the for-inc
+appended to the body.  Each (simplified) node contributes one
+"eigen word" = its node-class name, with opcode suffixes for
+operators (``EigenWordGenerate.cpp:150-200``); identifier names and
+literal values are NOT part of the word under the shipped flags
+(``EigenWordGenerate.cpp:4-7`` — all the Record* flags default off),
+which is what makes type-1/2 clones (renames, literal edits) collapse
+to the same word multiset.
+
+Clang itself is unavailable (and the reference's patched-Clang node
+classes are unbuildable anywhere), so this module re-expresses those
+normalization rules over a fast regex lexer + single-pass statement
+classifier.  Parity is defined at the *word-multiset* level per
+config and validated against the sequential oracle
+(``clonebas_ray.oracle``) which uses this same extractor — see
+SURVEY.md §7 "hard parts".
+
+Word vocabulary and weights follow ``node_weight_config.txt`` (see
+``clonebas_ray.config.REFERENCE_WEIGHTS``).
+
+Performance: one compiled master regex tokenizes each file
+(C-speed scan); the per-token dispatch is a dict-driven loop.  The
+extractor is instantiated once per actor and reused across batches.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable
+
+# --- lexer -----------------------------------------------------------------
+
+_MASTER = re.compile(
+    r"""
+    (?P<comment>//[^\n]*|/\*.*?\*/|\#[^\n]*)
+  | (?P<string>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
+  | (?P<float>\d+\.\d*(?:[eE][+-]?\d+)?[fF]?|\.\d+(?:[eE][+-]?\d+)?[fF]?|\d+[eE][+-]?\d+[fF]?)
+  | (?P<int>0[xX][0-9a-fA-F]+[uUlL]*|\d+[uUlL]*)
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<op><<=|>>=|->\*?|\+\+|--|<<|>>|<=|>=|==|!=|&&|\|\||[-+*/%&|^]=|::|[-+*/%<>=!&|^~?:.,;(){}\[\]])
+  | (?P<ws>\s+)
+""",
+    re.VERBOSE | re.DOTALL,
+)
+
+# token kinds emitted by the lexer
+STRING, FLOAT, INT, IDENT, OP = "str", "flt", "int", "id", "op"
+
+
+def tokenize(src: str) -> list[tuple[str, str]]:
+    out = []
+    for m in _MASTER.finditer(src):
+        kind = m.lastgroup
+        if kind in ("comment", "ws"):
+            continue
+        if kind == "string":
+            text = m.group()
+            out.append((STRING if text[0] == '"' else "chr", text))
+        elif kind == "float":
+            out.append((FLOAT, m.group()))
+        elif kind == "int":
+            out.append((INT, m.group()))
+        elif kind == "ident":
+            out.append((IDENT, m.group()))
+        else:
+            out.append((OP, m.group()))
+    return out
+
+
+# --- language tables -------------------------------------------------------
+
+C_TYPES = frozenset(
+    "void int char short long float double signed unsigned bool size_t "
+    "int8_t int16_t int32_t int64_t uint8_t uint16_t uint32_t uint64_t "
+    "auto const static volatile register extern inline struct union enum".split()
+)
+JAVA_TYPES = frozenset(
+    "void int char short long float double boolean byte final static "
+    "public private protected var String".split()
+)
+C_KEYWORDS = frozenset(
+    "if else switch case default for while do return break continue goto "
+    "sizeof typedef class namespace using new delete try catch throw "
+    "template typename public private protected virtual override this".split()
+)
+PY_KEYWORDS = frozenset(
+    "if elif else for while def return break continue pass import from "
+    "class try except finally with lambda yield global nonlocal del "
+    "raise assert in is not and or None True False".split()
+)
+
+#: binary operators → Clang opcode spelling (BinaryOperator BO_<op>)
+BINOPS = {
+    "+": "+", "-": "-", "*": "*", "/": "/", "%": "%",
+    "<": "<", ">": ">", "<=": "<=", ">=": ">=", "==": "==", "!=": "!=",
+    "&&": "&&", "||": "||", "&": "&", "|": "|", "^": "^",
+    "<<": "<<", ">>": ">>", "=": "=", ",": ",",
+}
+COMPOUND_ASSIGN = {"+=", "-=", "*=", "/=", "%=", "&=", "|=", "^=", "<<=", ">>="}
+UNARY_ONLY = {"!": "!", "~": "~", "++": "++", "--": "--"}
+#: tokens that can be either binary or unary depending on left context
+AMBIG = {"-", "+", "*", "&"}
+
+#: a value-ish token (identifier / literal / closer) ends an operand —
+#: an operator after one of these is binary.
+_VALUE_ENDERS = {IDENT, INT, FLOAT, STRING, "chr"}
+_CLOSERS = {")", "]"}
+
+WORD_SELECT = "FixedSelectionStmtClass"
+WORD_LOOP = "FixedLoopStmtClass"
+WORD_COMP = "FixedCompoundStmtClass"
+WORD_COMP_PLAIN = "CompoundStmt"
+
+
+class WordExtractor:
+    """content (str) → list of eigen-word strings.
+
+    ``ast_opt=True`` mirrors the reference's ``-astopt`` dialect
+    (Fixed* block classes, synthesized else/switch conditions); False
+    emits plain ``CompoundStmt``/``IfStmt``-era words (unused by the
+    flagship config but kept for the non-optimized path of
+    ``EigenWordGenerate.cpp:70-109``).
+    """
+
+    def __init__(self, lang: str = "cpp", ast_opt: bool = True):
+        self.lang = lang
+        self.ast_opt = ast_opt
+        if lang in ("python", "py"):
+            self.types: frozenset[str] = frozenset()
+            self.keywords = PY_KEYWORDS
+        elif lang == "java":
+            self.types = JAVA_TYPES
+            self.keywords = C_KEYWORDS
+        else:
+            self.types = C_TYPES
+            self.keywords = C_KEYWORDS
+        self.comp_word = WORD_COMP if ast_opt else WORD_COMP_PLAIN
+
+    # -- expression classification (single pass, left-context driven) --
+
+    def _expr_words(self, toks: list[tuple[str, str]], out: list[str]) -> None:
+        prev_kind = None
+        prev_text = None
+        i = 0
+        n = len(toks)
+        while i < n:
+            kind, text = toks[i]
+            if kind == IDENT:
+                if text in ("true", "false", "True", "False"):
+                    out.append("CXXBoolLiteralExpr")
+                elif text in ("nullptr", "NULL", "None"):
+                    out.append("CXXNullPtrLiteralExpr")
+                elif text == "sizeof":
+                    out.append("UnaryExprOrTypeTraitExpr")
+                elif text in self.keywords:
+                    pass
+                else:
+                    nxt = toks[i + 1][1] if i + 1 < n else ""
+                    if nxt == "(":
+                        out.append("CallExpr")
+                        out.append("DeclRefExpr")
+                    elif nxt == "[":
+                        out.append("ArraySubscriptExpr")
+                        out.append("DeclRefExpr")
+                    elif prev_text in (".", "->", "->*"):
+                        out.append("MemberExpr")
+                    else:
+                        out.append("DeclRefExpr")
+            elif kind == INT:
+                out.append("IntegerLiteral")
+            elif kind == FLOAT:
+                out.append("FloatingLiteral")
+            elif kind == STRING:
+                out.append("StringLiteral")
+            elif kind == "chr":
+                out.append("CharacterLiteral")
+            elif kind == OP:
+                if text in COMPOUND_ASSIGN:
+                    out.append("CompoundAssignOperator BO_" + text)
+                elif text in UNARY_ONLY:
+                    out.append("UnaryOperator UO_" + UNARY_ONLY[text])
+                elif text in AMBIG:
+                    if prev_kind in _VALUE_ENDERS or prev_text in _CLOSERS:
+                        out.append("BinaryOperator BO_" + text)
+                    else:
+                        out.append("UnaryOperator UO_" + text)
+                elif text == "?":
+                    out.append("ConditionalOperator")
+                elif text == "(":
+                    # grouping paren (call parens handled at the callee)
+                    if not (prev_kind == IDENT and prev_text not in self.keywords):
+                        out.append("ParenExpr")
+                elif text in BINOPS and text != ",":
+                    out.append("BinaryOperator BO_" + text)
+            prev_kind, prev_text = kind, text
+            i += 1
+
+    # -- statement walk -----------------------------------------------
+
+    def extract(self, src: str) -> list[str]:
+        if self.lang in ("python", "py"):
+            return self._extract_python(src)
+        return self._extract_clike(src)
+
+    def _extract_clike(self, src: str) -> list[str]:
+        toks = tokenize(src)
+        out: list[str] = []
+        n = len(toks)
+        i = 0
+        stmt_start = 0  # first token index of the current statement
+        stmt_is_decl = False
+        expr_buf_start = 0
+
+        def flush_expr(end: int) -> None:
+            if end > expr_buf_start:
+                self._expr_words(toks[expr_buf_start:end], out)
+
+        while i < n:
+            kind, text = toks[i]
+            if kind == IDENT and text in self.keywords:
+                flush_expr(i)
+                if text == "if":
+                    out.append(WORD_SELECT if self.ast_opt else "IfStmt")
+                elif text == "else":
+                    # synthesized !cond for the else branch
+                    # (FixedChecker.cpp:89-112); the selection unit word
+                    # is emitted only for `else` alone — `else if` emits
+                    # its own via the following `if`.
+                    nxt = toks[i + 1][1] if i + 1 < n else ""
+                    if nxt != "if":
+                        out.append(WORD_SELECT if self.ast_opt else "IfStmt")
+                    out.append("UnaryOperator UO_!")
+                elif text == "switch":
+                    out.append(WORD_SELECT if self.ast_opt else "SwitchStmt")
+                elif text == "case":
+                    # synthesized `cond == value` (FixedChecker.cpp:114-238)
+                    out.append("BinaryOperator BO_==")
+                elif text == "default":
+                    out.append("DefaultStmt" if not self.ast_opt else
+                               "UnaryOperator UO_!")
+                elif text in ("for", "while"):
+                    out.append(WORD_LOOP if self.ast_opt else
+                               ("ForStmt" if text == "for" else "WhileStmt"))
+                elif text == "do":
+                    out.append(WORD_LOOP if self.ast_opt else "DoStmt")
+                elif text == "return":
+                    out.append("ReturnStmt")
+                elif text == "break":
+                    out.append("BreakStmt")
+                elif text == "continue":
+                    out.append("ContinueStmt")
+                elif text == "goto":
+                    out.append("GotoStmt")
+                elif text == "new":
+                    out.append("CXXNewExpr")
+                elif text == "delete":
+                    out.append("CXXDeleteExpr")
+                elif text == "throw":
+                    out.append("CXXThrowExpr")
+                elif text == "try":
+                    out.append("CXXTryStmt")
+                elif text == "catch":
+                    out.append("CXXCatchStmt")
+                elif text == "class":
+                    out.append("CXXRecordDecl")
+                elif text == "struct" or text == "union":
+                    out.append("RecordDecl")
+                elif text == "typedef":
+                    out.append("TypedefDecl")
+                elif text == "enum":
+                    out.append("EnumDecl")
+                expr_buf_start = i + 1
+                stmt_start = i + 1
+                stmt_is_decl = False
+            elif kind == IDENT and text in self.types:
+                # type keyword at statement start → declaration
+                if i == stmt_start and not stmt_is_decl:
+                    nxt_kind = toks[i + 1][0] if i + 1 < n else None
+                    nxt_text = toks[i + 1][1] if i + 1 < n else ""
+                    # `type ident` or `type *ident` / `type &ident`
+                    if nxt_kind == IDENT or nxt_text in ("*", "&"):
+                        out.append("DeclStmt")
+                        out.append("VarDecl")
+                        stmt_is_decl = True
+                        expr_buf_start = i + 1
+                        # skip declarator name so it isn't a DeclRefExpr
+                        j = i + 1
+                        while j < n and toks[j][1] in ("*", "&") :
+                            j += 1
+                        while j < n and toks[j][0] == IDENT and toks[j][1] in self.types:
+                            j += 1
+                        if j < n and toks[j][0] == IDENT:
+                            nxt2 = toks[j + 1][1] if j + 1 < n else ""
+                            if nxt2 != "(":  # not a function definition
+                                i = j
+                                expr_buf_start = j + 1
+            elif kind == OP:
+                if text == "{":
+                    flush_expr(i)
+                    out.append(self.comp_word)
+                    expr_buf_start = i + 1
+                    stmt_start = i + 1
+                    stmt_is_decl = False
+                elif text in ("}", ";", ":"):
+                    flush_expr(i)
+                    expr_buf_start = i + 1
+                    stmt_start = i + 1
+                    if text == ";" and stmt_is_decl:
+                        stmt_is_decl = False
+                elif text == "," and stmt_is_decl:
+                    # additional declarator in the same DeclStmt
+                    flush_expr(i)
+                    out.append("VarDecl")
+                    expr_buf_start = i + 1
+                    j = i + 1
+                    while j < n and toks[j][1] in ("*", "&"):
+                        j += 1
+                    if j < n and toks[j][0] == IDENT:
+                        i = j
+                        expr_buf_start = j + 1
+            i += 1
+        flush_expr(n)
+        return out
+
+    def _extract_python(self, src: str) -> list[str]:
+        out: list[str] = []
+        for raw in src.split("\n"):
+            line = raw.strip()
+            if not line or line.startswith("#"):
+                continue
+            toks = tokenize(line)
+            if not toks:
+                continue
+            first = toks[0][1]
+            body = toks
+            if first == "def":
+                out.append("FunctionDecl")
+                out.append(self.comp_word)
+                continue
+            if first == "class":
+                out.append("CXXRecordDecl")
+                continue
+            if first == "if":
+                out.append(WORD_SELECT if self.ast_opt else "IfStmt")
+                body = toks[1:]
+            elif first == "elif":
+                out.append(WORD_SELECT if self.ast_opt else "IfStmt")
+                out.append("UnaryOperator UO_!")
+                body = toks[1:]
+            elif first == "else":
+                out.append("UnaryOperator UO_!")
+                continue
+            elif first in ("for", "while"):
+                out.append(WORD_LOOP if self.ast_opt else "WhileStmt")
+                body = toks[1:]
+            elif first == "return":
+                out.append("ReturnStmt")
+                body = toks[1:]
+            elif first == "break":
+                out.append("BreakStmt")
+                continue
+            elif first == "continue":
+                out.append("ContinueStmt")
+                continue
+            elif len(toks) >= 2 and toks[1][1] == "=" and toks[0][0] == IDENT:
+                out.append("DeclStmt")
+                out.append("VarDecl")
+                body = toks[2:]
+            self._expr_words(
+                [t for t in body if t[1] != ":"], out
+            )
+        return out
+
+
+class ExtractorRegistry:
+    """Per-language extractor cache — built once per actor (SURVEY §2.3
+    T2: the Ray mapping of the per-TU Clang instance)."""
+
+    def __init__(self, ast_opt: bool = True):
+        self.ast_opt = ast_opt
+        self._cache: dict[str, WordExtractor] = {}
+
+    def get(self, lang: str) -> WordExtractor:
+        lang = (lang or "cpp").lower()
+        if lang in ("c", "cc", "cxx", "c++", "h", "hpp"):
+            lang = "cpp"
+        ex = self._cache.get(lang)
+        if ex is None:
+            ex = WordExtractor(lang, self.ast_opt)
+            self._cache[lang] = ex
+        return ex
+
+
+def extract_words(content: str, lang: str = "cpp", ast_opt: bool = True) -> list[str]:
+    """One-shot convenience (tests / oracle)."""
+    return WordExtractor(lang, ast_opt).extract(content)

@@ -1,0 +1,201 @@
+"""Sequential reference-faithful oracle (SURVEY §5.1).
+
+The reference binary is unbuildable outside its patched-Clang Windows
+environment, so conformance is measured against this small sequential
+re-implementation of its *comparison semantics* on the same word
+multisets the Ray pipeline uses:
+
+* per-file fingerprint (``-filebased`` mode, ``EigenWordGenerate.cpp:
+  292-318``): all eigen words of the file fold into one 128-bit
+  signature;
+* pair gate: skip when ``|t1-t2| > 0.3 * min(t1,t2)``
+  (``SimHasher.cpp:97-99``; note the config value 80 is dead) and the
+  same-file / cross-file-only flags (``SimHasher.cpp:111-122``);
+* greedy complete-linkage clustering with union-find bookkeeping,
+  iterating i DESCENDING over insertion order, j descending below i;
+  j joins i's set only if Hamming <= sigma to EVERY current member
+  (``checkCanAddToSet``, ``SimHasher.cpp:138-147``); members of an
+  existing set are skipped (``SimHasher.cpp:158-168``);
+* two independent tiers: sigma_high = 1, sigma_normal = -1 (disabled)
+  per ``dif_config.txt``.
+
+Deliberate, documented divergence: the reference's filebased mode pins
+``token_num = 100`` for every file (``EigenWordGenerate.cpp:299-300``),
+making the span gate a no-op there.  Both this oracle and the Ray
+pipeline instead use the file's char length so the gate semantics
+(which matter in block mode) stay exercised; the two sides agree, so
+parity is unaffected.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from clonebas_ray.config import PipelineConfig, DEFAULT_CONFIG
+from clonebas_ray.functions.simhash import WordVectorCache, simhash_of_words
+from clonebas_ray.functions.words import ExtractorRegistry
+
+
+def popcount128(a_hi: int, a_lo: int, b_hi: int, b_lo: int) -> int:
+    return bin((a_hi ^ b_hi)).count("1") + bin((a_lo ^ b_lo)).count("1")
+
+
+class UnionFind:
+    """Union by rank + path compression (mirrors ``CloneSet.cpp:22-84``)."""
+
+    def __init__(self, n: int):
+        self.parent = list(range(n))
+        self.rank = [0] * n
+        self.in_set = [False] * n  # isInASet: joined at least once
+
+    def find(self, x: int) -> int:
+        root = x
+        while self.parent[root] != root:
+            root = self.parent[root]
+        while self.parent[x] != root:
+            self.parent[x], x = root, self.parent[x]
+        return root
+
+    def join(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        self.in_set[a] = self.in_set[b] = True
+        if ra == rb:
+            return
+        if self.rank[ra] < self.rank[rb]:
+            ra, rb = rb, ra
+        self.parent[rb] = ra
+        if self.rank[ra] == self.rank[rb]:
+            self.rank[ra] += 1
+
+    def sets(self) -> dict[int, list[int]]:
+        out: dict[int, list[int]] = {}
+        for i in range(len(self.parent)):
+            if self.in_set[i]:
+                out.setdefault(self.find(i), []).append(i)
+        return out
+
+
+@dataclass
+class OracleFingerprint:
+    index: int  # insertion order (reference: g_allFingerPrints order)
+    sha: str
+    sig_hi: int
+    sig_lo: int
+    token_num: int
+    file_key: str  # repo/path@commit — the "filename" for same/diff-file
+
+
+@dataclass
+class OracleResult:
+    fingerprints: list[OracleFingerprint]
+    #: tier → list of clusters, each a list of fingerprint indices
+    clusters: dict[str, list[list[int]]]
+    #: tier → set of frozenset({sha_a, sha_b}) pairs within clusters
+    pairs: dict[str, set[frozenset]]
+    #: all verified (i, j, hamming) with hamming <= max(t_high, t_normal)
+    edges: list[tuple[int, int, int]]
+
+
+def compute_fingerprints(
+    rows: list[dict], config: PipelineConfig = DEFAULT_CONFIG
+) -> list[OracleFingerprint]:
+    """rows: dicts with repo/path/commit/lang/content, in input order."""
+    import hashlib
+
+    reg = ExtractorRegistry(ast_opt=config.ast_opt)
+    cache = WordVectorCache(config.weight_table(), config.seed)
+    out = []
+    for i, row in enumerate(rows):
+        content = row["content"]
+        words = reg.get(row.get("lang", "cpp")).extract(content)
+        hi, lo = simhash_of_words(words, cache, config.fold_threshold)
+        out.append(
+            OracleFingerprint(
+                index=i,
+                sha=hashlib.sha256(content.encode()).hexdigest(),
+                sig_hi=hi,
+                sig_lo=lo,
+                token_num=len(content),
+                file_key=f"{row.get('repo','')}/{row.get('path','')}@{row.get('commit','')}",
+            )
+        )
+    return out
+
+
+def _check_to_compare(
+    a: OracleFingerprint, b: OracleFingerprint, config: PipelineConfig
+) -> bool:
+    # span gate — SimHasher.cpp:97-99 (0.3 hard-coded)
+    if abs(a.token_num - b.token_num) > min(a.token_num, b.token_num) * config.span_gate:
+        return False
+    # same/diff file filters — SimHasher.cpp:111-122
+    if config.only_diff_file and a.file_key == b.file_key:
+        return False
+    if config.only_same_file and a.file_key != b.file_key:
+        return False
+    return True
+
+
+def greedy_cluster(
+    fps: list[OracleFingerprint], sigma: int, config: PipelineConfig
+) -> tuple[UnionFind, int]:
+    """``SimHasher::initDisJointSet`` semantics (SimHasher.cpp:149-192)."""
+    n = len(fps)
+    uf = UnionFind(n)
+    sim_cnt = 0
+    if sigma < 0:
+        return uf, 0  # normal tier disabled under shipped config
+    for i in range(n - 1, -1, -1):
+        if uf.in_set[i]:
+            continue
+        same_set_with_i = [i]
+        for j in range(i - 1, -1, -1):
+            if uf.in_set[j]:
+                continue
+            if not _check_to_compare(fps[i], fps[j], config):
+                continue
+            # complete linkage: j must be within sigma of EVERY member
+            ok = True
+            for m in same_set_with_i:
+                if popcount128(fps[j].sig_hi, fps[j].sig_lo,
+                               fps[m].sig_hi, fps[m].sig_lo) > sigma:
+                    ok = False
+                    break
+            if ok:
+                same_set_with_i.append(j)
+                uf.join(i, j)
+                sim_cnt += 1
+    return uf, sim_cnt
+
+
+def run_oracle(
+    rows: list[dict], config: PipelineConfig = DEFAULT_CONFIG
+) -> OracleResult:
+    fps = compute_fingerprints(rows, config)
+    n = len(fps)
+    t_max = max(config.t_high, config.t_normal)
+    edges = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            if not _check_to_compare(fps[i], fps[j], config):
+                continue
+            d = popcount128(fps[i].sig_hi, fps[i].sig_lo,
+                            fps[j].sig_hi, fps[j].sig_lo)
+            if d <= t_max:
+                edges.append((i, j, d))
+
+    clusters: dict[str, list[list[int]]] = {}
+    pairs: dict[str, set[frozenset]] = {}
+    for tier, sigma in (("high", config.t_high), ("normal", config.t_normal)):
+        uf, _ = greedy_cluster(fps, sigma, config)
+        cls = [sorted(v) for v in uf.sets().values()]
+        clusters[tier] = sorted(cls)
+        p: set[frozenset] = set()
+        for members in cls:
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    a, b = fps[members[x]].sha, fps[members[y]].sha
+                    if a != b:
+                        p.add(frozenset((a, b)))
+        pairs[tier] = p
+    return OracleResult(fps, clusters, pairs, edges)

@@ -1,0 +1,53 @@
+"""Bit-exactness of the pure-Python MurmurHash3_x64_128 against golden
+vectors generated from Austin Appleby's public-domain C implementation
+(compiled once, offline; the reference vendors the same algorithm at
+``MurmurHash3.cpp:260-337``)."""
+
+from clonebas_ray.config import SEED
+from clonebas_ray.functions.murmur3 import hash128, hash128_int
+
+# (seed, input, h1, h2)
+GOLDEN = [
+    (0, "", 0, 0),
+    (0, "a", 9607679276477937801, 16624257681780017498),
+    (0, "abc", 13012657714217449575, 4297124817637354834),
+    (0, "BinaryOperator BO_+", 5147802287031510861, 18217680021779443889),
+    (0, "CompoundStmt", 7061776236535328820, 7228452055720776116),
+    (0, "FixedCompoundStmtClass", 13554030320565726525, 11072773847601314125),
+    (0, "DeclRefExpr", 7361552358999632112, 16136800890260932871),
+    (0, "hello world, this is a longer string over 16 bytes",
+     12128177020771170875, 12276412975820687838),
+    (SEED, "", 13420767064835407354, 5103310497946127876),
+    (SEED, "a", 11021574320044702977, 2213813099413268456),
+    (SEED, "abc", 11708443943284000514, 1141376720515076331),
+    (SEED, "BinaryOperator BO_+", 789896993049477995, 15498085810921121636),
+    (SEED, "CompoundStmt", 6646729900520235736, 7806183499895968983),
+    (SEED, "FixedCompoundStmtClass", 7096646205367764698, 224904263809747561),
+    (SEED, "DeclRefExpr", 18361437578122315771, 1969384141807604623),
+    (SEED, "hello world, this is a longer string over 16 bytes",
+     17566708025661470570, 7547907784472737472),
+]
+
+
+def test_hash128_matches_reference_c_implementation():
+    assert SEED == 2546113338  # 0x97c29b3a, EigenWord.h:23
+    for seed, s, h1, h2 in GOLDEN:
+        assert hash128(s, seed) == (h1, h2), s
+
+
+def test_hash128_int_bit_order():
+    # bin64(h1)+bin64(h2) MSB-first == binary expansion of the int
+    h1, h2 = hash128("abc", SEED)
+    v = hash128_int("abc", SEED)
+    assert v == (h1 << 64) | h2
+    s = format(h1, "064b") + format(h2, "064b")
+    assert format(v, "0128b") == s
+
+
+def test_tail_lengths():
+    # exercise every tail length 0..16 for structural coverage
+    for n in range(17):
+        h = hash128("x" * n, SEED)
+        assert isinstance(h[0], int) and 0 <= h[0] < 2**64
+        # determinism
+        assert hash128("x" * n, SEED) == h
