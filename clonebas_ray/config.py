@@ -121,6 +121,11 @@ class PipelineConfig:
     #: buckets larger than this get salted into sub-buckets handled by
     #: the exact-duplicate-signature fast path + capped pairing.
     max_bucket: int = 2048
+    #: number of hash partitions for the pairing / membership shuffles.
+    #: A physical knob (not part of config_hash): size to ~4x the
+    #: cluster's total cores so per-partition work stays small and
+    #: stragglers are cheap.
+    pair_partitions: int = 64
     #: normalization dialect applied before word extraction.
     ast_opt: bool = True
 

@@ -87,6 +87,8 @@ class OracleFingerprint:
 
 @dataclass
 class OracleResult:
+    #: fingerprints that passed the emission gate (indices in
+    #: ``clusters``/``edges`` are positions in THIS list)
     fingerprints: list[OracleFingerprint]
     #: tier → list of clusters, each a list of fingerprint indices
     clusters: dict[str, list[list[int]]]
@@ -171,7 +173,11 @@ def greedy_cluster(
 def run_oracle(
     rows: list[dict], config: PipelineConfig = DEFAULT_CONFIG
 ) -> OracleResult:
-    fps = compute_fingerprints(rows, config)
+    all_fps = compute_fingerprints(rows, config)
+    # fingerprint-emission gate: a block (here: file) emits a fingerprint
+    # only when its char span exceeds the boundary (FixedNode.cpp:58,99,144
+    # / EigenWordGenerate.cpp:94; 200 per token_boundary_config.txt)
+    fps = [f for f in all_fps if f.token_num > config.char_boundary]
     n = len(fps)
     t_max = max(config.t_high, config.t_normal)
     edges = []

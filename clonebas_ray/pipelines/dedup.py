@@ -1,0 +1,210 @@
+"""Flagship pipeline: source-file table → clone clusters.
+
+End-to-end dataflow (SURVEY §3.1 "RD re-architecture"):
+
+    read_parquet(files)
+      → map_batches(sha256 + keys)                 [ingest, stateless]
+      → map_batches(FingerprintActor)              [actor pool, parse+simhash]
+      → [checkpoint: fingerprints/]
+      → groupby(sig).agg                           [distinct signatures]
+      → map_batches(band expansion, k=4 blocks)    [pigeonhole keys]
+      → groupby(band_key).map_groups(pairing)      [LSH shuffle + verify]
+      → union(membership edges)                    [identical-sig fast path]
+      → [checkpoint: edges/]
+      → driver union-find (or label propagation)   [clusters]
+      → groupby(cluster).agg                       [stats]
+      → write_parquet(clusters/, stats/)
+
+Control crosses the "cluster" boundary at exactly two shuffles (the
+signature groupby and the band groupby) plus the small stats
+aggregate; every other stage is embarrassingly parallel and streams
+with backpressure.  ``content`` never moves after fingerprinting.
+
+Invariant (north rule): every stage preserves per-row ``content``
+sha256 — fingerprints carry ``sha`` forward from ingest, and the test
+suite anti-joins stage outputs against input keys.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+import ray.data
+
+from clonebas_ray.config import PipelineConfig, DEFAULT_CONFIG
+from clonebas_ray.stages.ingest import read_files, prepare_stage
+from clonebas_ray.stages.fingerprint import fingerprint_stage
+from clonebas_ray.stages.candidates import (
+    sig_groups,
+    candidate_edges,
+    membership_edges,
+)
+from clonebas_ray.stages.cluster import union_find_clusters, clusters_table
+from clonebas_ray.state.checkpoint import (
+    checkpointed,
+    input_identity,
+    lineage_key,
+)
+
+
+@dataclass
+class DedupResult:
+    fingerprints: ray.data.Dataset
+    edges: ray.data.Dataset
+    clusters: pa.Table
+    cluster_stats: pa.Table
+    metrics: dict = field(default_factory=dict)
+
+
+def run_dedup_pipeline(
+    input_path: str | list[str],
+    run_dir: str,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    resume: bool = True,
+    concurrency: int | tuple[int, int] | None = None,
+    checkpoint: bool = True,
+) -> DedupResult:
+    t_start = time.perf_counter()
+    metrics: dict = {"config_hash": config.config_hash()}
+    input_id = input_identity(input_path)
+    cfg_hash = config.config_hash()
+
+    # --- fingerprints ------------------------------------------------
+    def build_fingerprints() -> ray.data.Dataset:
+        ds = read_files(input_path)
+        ds = prepare_stage(ds)
+        return fingerprint_stage(ds, config, concurrency=concurrency)
+
+    t0 = time.perf_counter()
+    if checkpoint:
+        fingerprints, resumed_fp = checkpointed(
+            run_dir, "fingerprints",
+            lineage_key(input_id, cfg_hash, "fingerprints"),
+            build_fingerprints, resume,
+        )
+    else:
+        fingerprints, resumed_fp = build_fingerprints(), False
+    metrics["fingerprints_resumed"] = resumed_fp
+    metrics["fingerprint_s"] = round(time.perf_counter() - t0, 3)
+
+    # --- edges -------------------------------------------------------
+    def build_edges() -> ray.data.Dataset:
+        sigs = sig_groups(fingerprints, config)
+        near = candidate_edges(sigs, config)
+        same = membership_edges(fingerprints, config)
+        return near.union(same)
+
+    t0 = time.perf_counter()
+    if checkpoint:
+        edges, resumed_e = checkpointed(
+            run_dir, "edges",
+            lineage_key(input_id, cfg_hash, "edges"),
+            build_edges, resume,
+        )
+    else:
+        edges, resumed_e = build_edges(), False
+    metrics["edges_resumed"] = resumed_e
+    metrics["edges_s"] = round(time.perf_counter() - t0, 3)
+
+    # --- clusters (high tier; normal tier is disabled in the shipped
+    # config — dif_config.txt line 3 = -1) ----------------------------
+    t0 = time.perf_counter()
+    high_edges = edges.filter(expr=f"hamming <= {config.t_high}")
+    edge_table = pa.Table.from_pandas(
+        high_edges.select_columns(["sha_a", "sha_b"]).to_pandas()
+    )
+    assignment = union_find_clusters(edge_table)
+    clusters = clusters_table(assignment, tier=1)
+    metrics["cluster_s"] = round(time.perf_counter() - t0, 3)
+
+    # --- per-cluster stats (SURVEY §2.5 A2/A3) -----------------------
+    t0 = time.perf_counter()
+    cluster_stats = _cluster_stats(fingerprints, clusters)
+    metrics["stats_s"] = round(time.perf_counter() - t0, 3)
+
+    if checkpoint:
+        import os
+
+        clusters_dir = f"{run_dir}/clusters"
+        os.makedirs(clusters_dir, exist_ok=True)
+        import pyarrow.parquet as pq
+
+        pq.write_table(clusters, f"{clusters_dir}/clusters.parquet")
+        pq.write_table(cluster_stats, f"{clusters_dir}/cluster_stats.parquet")
+
+    metrics["n_edges"] = edge_table.num_rows
+    metrics["n_clustered_shas"] = clusters.num_rows
+    metrics["n_clusters"] = (
+        len(set(assignment.values())) if assignment else 0
+    )
+    metrics["total_s"] = round(time.perf_counter() - t_start, 3)
+    return DedupResult(fingerprints, edges, clusters, cluster_stats, metrics)
+
+
+def _cluster_stats(
+    fingerprints: ray.data.Dataset, clusters: pa.Table
+) -> pa.Table:
+    """max/min/mean/total member spans + member count per cluster
+    (``CloneSet.cpp:170-328``) via a broadcast join: the cluster map is
+    small (only near-dup shas), so it rides to every task via ray.put
+    instead of a shuffle."""
+    import numpy as np
+    import ray
+
+    if clusters.num_rows == 0:
+        return pa.table(
+            {
+                "cluster_id": pa.array([], pa.int64()),
+                "n_files": pa.array([], pa.int64()),
+                "n_shas": pa.array([], pa.int64()),
+                "max_span": pa.array([], pa.int32()),
+                "min_span": pa.array([], pa.int32()),
+                "avg_span": pa.array([], pa.float64()),
+                "total_span": pa.array([], pa.int64()),
+            }
+        )
+    cmap_ref = ray.put(
+        dict(
+            zip(
+                clusters["sha"].to_pylist(),
+                clusters["cluster_id"].to_pylist(),
+            )
+        )
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        cmap = ray.get(cmap_ref)
+        shas = batch["sha"].to_pylist()
+        cid = np.array([cmap.get(s, -1) for s in shas], dtype=np.int64)
+        keep = cid >= 0
+        return pa.table(
+            {
+                "cluster_id": pa.array(cid[keep], pa.int64()),
+                "sha": pa.array(np.array(shas, dtype=object)[keep], pa.string()),
+                "token_num": batch["token_num"].filter(pa.array(keep)),
+            }
+        )
+
+    tagged = fingerprints.map_batches(tag, batch_format="pyarrow")
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    stats = (
+        tagged.groupby("cluster_id")
+        .aggregate(
+            Count(alias_name="n_files"),
+            Max("token_num", alias_name="max_span"),
+            Min("token_num", alias_name="min_span"),
+            Mean("token_num", alias_name="avg_span"),
+            Sum("token_num", alias_name="total_span"),
+        )
+    )
+    n_shas = (
+        clusters.group_by("cluster_id")
+        .aggregate([("sha", "count_distinct")])
+        .rename_columns(["cluster_id", "n_shas"])
+    )
+    stats_t = pa.Table.from_pandas(stats.to_pandas(), preserve_index=False)
+    return stats_t.join(n_shas, keys="cluster_id").sort_by("cluster_id")

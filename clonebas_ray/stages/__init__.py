@@ -1,0 +1,1 @@
+"""Ray Data pipeline stages (each one = a `Dataset` transform)."""

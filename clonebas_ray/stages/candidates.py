@@ -1,0 +1,301 @@
+"""Candidate generation + Hamming verification — the wide step.
+
+Replaces the reference's all-pairs O(n^2) loop
+(``SimHasher.cpp:149-192``) with a deterministic pigeonhole LSH join
+(SURVEY §2.4 J1): the 128-bit signature is split into ``n_bands``
+contiguous bit-blocks; any pair at Hamming distance <= n_bands-1
+matches exactly on at least one block, so grouping by
+``(band_index, block_bits)`` and pairing within buckets finds EVERY
+pair within the threshold — recall is structural, not probabilistic.
+
+Shuffle layout: band rows are hash-partitioned into a FIXED number of
+partitions (``config.pair_partitions``) keyed by a splitmix64 mix of
+the band key — one ``map_groups`` task per partition, which loops the
+(complete) buckets inside it with a vectorized pandas/numpy kernel.
+This amortizes per-group scheduling overhead across thousands of tiny
+buckets while keeping each bucket wholly inside one task (hash
+partitioning preserves key co-location), and gives skew a bounded
+blast radius: the hottest partition is still processed in fixed-size
+numpy tiles.
+
+Skew handling (SURVEY §4):
+* the dominant hot-bucket source — identical signatures (exact dups,
+  boilerplate) — is removed FIRST: pairing runs over *distinct*
+  signatures (``sig_groups``), with Hamming-0 membership edges emitted
+  separately; a 10^6-copy boilerplate file costs one group row, not
+  10^12 pairs;
+* remaining oversized buckets are paired in fixed-size numpy tiles
+  (bounded memory) rather than one n^2 allocation;
+* each surviving pair is emitted from its FIRST matching band only, so
+  no dedup shuffle is needed afterwards.
+
+Pair gates inside the bucket (all vectorized):
+* char-span gate ``|t1-t2| <= 0.3*min`` (``SimHasher.cpp:97-99``),
+  applied conservatively over each signature group's token range so
+  signature-level pairing never drops an oracle pair;
+* same-file / cross-file-only filters apply downstream at membership
+  expansion (file identity lives there);
+* the reference's same-type check is dead code — it compares fp1 to
+  itself (``SimHasher.cpp:93-95``) — reproduced as a no-op.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from clonebas_ray.config import PipelineConfig, DEFAULT_CONFIG, VEC_LEN
+from clonebas_ray.functions.simhash import band_keys, hamming_pairs
+
+#: pairing tile edge — bounds per-task memory at tile^2 cells
+_TILE = 4096
+
+_EMPTY_EDGES = pd.DataFrame(
+    {
+        "sha_a": pd.Series(dtype="object"),
+        "sha_b": pd.Series(dtype="object"),
+        "hamming": pd.Series(dtype="int32"),
+    }
+)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Bit mixer so modulo partitioning is uniform even on structured
+    keys (band values are low-entropy bit slices)."""
+    z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z ^= z >> np.uint64(30)
+    z = (z * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
+    z ^= z >> np.uint64(27)
+    z = (z * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
+    z ^= z >> np.uint64(31)
+    return z
+
+
+def sig_groups(fingerprints: ray.data.Dataset,
+               config: PipelineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
+    """fingerprints → one row per distinct signature:
+    ``sig_hi, sig_lo, rep_sha, n_members, token_min, token_max``.
+
+    Only gated rows (``gen_fp``) participate.  Two-level aggregation:
+    a per-batch combiner collapses duplicates before the shuffle
+    (pre-aggregation, SURVEY §4), then partitions merge with one
+    vectorized pandas groupby per partition.
+    """
+    P = config.pair_partitions
+
+    def per_batch_distinct(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.groupby(["sig_hi", "sig_lo"], sort=False)
+            .agg(
+                rep_sha=("sha", "min"),
+                n_members=("sha", "size"),
+                token_min=("token_num", "min"),
+                token_max=("token_num", "max"),
+            )
+            .reset_index()
+        )
+        part = _splitmix64(
+            g["sig_hi"].to_numpy(np.uint64) ^ _splitmix64(g["sig_lo"].to_numpy(np.uint64))
+        ) % np.uint64(P)
+        g["sig_part"] = part.astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge_partition(part: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            part.groupby(["sig_hi", "sig_lo"], sort=False)
+            .agg(
+                rep_sha=("rep_sha", "min"),
+                n_members=("n_members", "sum"),
+                token_min=("token_min", "min"),
+                token_max=("token_max", "max"),
+            )
+            .reset_index()
+        )
+        return out
+
+    gated = fingerprints.filter(expr="gen_fp")
+    gated = gated.select_columns(["sig_hi", "sig_lo", "sha", "token_num"])
+    partial = gated.map_batches(per_batch_distinct, batch_format="pyarrow")
+    return partial.groupby("sig_part").map_groups(
+        merge_partition, batch_format="pandas"
+    )
+
+
+def expand_bands(
+    sig_ds: ray.data.Dataset, config: PipelineConfig = DEFAULT_CONFIG
+) -> ray.data.Dataset:
+    """distinct sigs → ``n_bands`` rows each, keyed by
+    ``band_key = (band_index << 56) | block_bits`` (collision-free for
+    block width <= 56) and hash-partitioned on ``band_part``."""
+    n_bands = config.n_bands
+    width = VEC_LEN // n_bands
+    assert width <= 56, "band index packing needs block width <= 56 bits"
+    P = config.pair_partitions
+
+    def expand(batch: pa.Table) -> pa.Table:
+        hi = batch["sig_hi"].to_numpy().astype(np.uint64)
+        lo = batch["sig_lo"].to_numpy().astype(np.uint64)
+        n = len(hi)
+        keys = band_keys(hi, lo, n_bands)  # (n, n_bands)
+        band_idx = np.tile(np.arange(n_bands, dtype=np.uint64), n)
+        packed = (band_idx << np.uint64(56)) | keys.reshape(-1)
+        rep = np.repeat(np.arange(n), n_bands)
+        return pa.table(
+            {
+                "band_key": pa.array(packed, pa.uint64()),
+                "band_part": pa.array(
+                    (_splitmix64(packed) % np.uint64(P)).astype(np.int32),
+                    pa.int32(),
+                ),
+                "sig_hi": pa.array(hi[rep], pa.uint64()),
+                "sig_lo": pa.array(lo[rep], pa.uint64()),
+                "rep_sha": batch["rep_sha"].take(pa.array(rep)),
+                "token_min": batch["token_min"].take(pa.array(rep)),
+                "token_max": batch["token_max"].take(pa.array(rep)),
+            }
+        )
+
+    return sig_ds.map_batches(expand, batch_format="pyarrow")
+
+
+def _span_gate_ok(
+    amin: np.ndarray, amax: np.ndarray, bmin: np.ndarray, bmax: np.ndarray,
+    gate: float,
+) -> np.ndarray:
+    """Conservative (recall-safe) interval form of the 0.3 span gate:
+    a member pair can pass iff min_b <= (1+gate)*max_a and
+    min_a <= (1+gate)*max_b."""
+    f = 1.0 + gate
+    return (bmin <= f * amax) & (amin <= f * bmax)
+
+
+def _pair_bucket(
+    hi: np.ndarray, lo: np.ndarray, tmin: np.ndarray, tmax: np.ndarray,
+    sha: np.ndarray, band_idx: int, config: PipelineConfig,
+    out_a: list, out_b: list, out_d: list,
+) -> None:
+    """All-pairs Hamming verify within one (complete) bucket, tiled."""
+    cfg = config
+    n = len(hi)
+    t_max = max(cfg.t_high, cfg.t_normal)
+    all_bands = band_keys(hi, lo, cfg.n_bands)
+    for i0 in range(0, n, _TILE):
+        i1 = min(i0 + _TILE, n)
+        for j0 in range(i0, n, _TILE):
+            j1 = min(j0 + _TILE, n)
+            d = hamming_pairs(
+                hi[i0:i1, None], lo[i0:i1, None],
+                hi[None, j0:j1], lo[None, j0:j1],
+            )
+            ii, jj = np.nonzero(d <= t_max)
+            gi, gj = ii + i0, jj + j0
+            keep = gi < gj  # upper triangle only
+            gi, gj = gi[keep], gj[keep]
+            if not len(gi):
+                continue
+            ok = _span_gate_ok(tmin[gi], tmax[gi], tmin[gj], tmax[gj],
+                               cfg.span_gate)
+            gi, gj = gi[ok], gj[ok]
+            if not len(gi):
+                continue
+            # first-matching-band dedup: emit only from the lowest band
+            # index on which the two signatures agree
+            eq = all_bands[gi] == all_bands[gj]
+            keep2 = eq.argmax(axis=1) == band_idx
+            gi, gj = gi[keep2], gj[keep2]
+            if not len(gi):
+                continue
+            dd = d[gi - i0, gj - j0].astype(np.int32)
+            a, b = sha[gi], sha[gj]
+            swap = a > b
+            out_a.append(np.where(swap, b, a))
+            out_b.append(np.where(swap, a, b))
+            out_d.append(dd)
+
+
+def candidate_edges(
+    sig_ds: ray.data.Dataset, config: PipelineConfig = DEFAULT_CONFIG
+) -> ray.data.Dataset:
+    """distinct signatures → verified near-dup edges between signature
+    representatives (Hamming <= max tier threshold, span-gated),
+    ``sha_a < sha_b``, each pair emitted exactly once."""
+    expanded = expand_bands(sig_ds, config)
+
+    def pair_partition(part: pd.DataFrame) -> pd.DataFrame:
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        for band_key, g in part.groupby("band_key", sort=False):
+            if len(g) < 2:
+                continue
+            _pair_bucket(
+                g["sig_hi"].to_numpy(np.uint64),
+                g["sig_lo"].to_numpy(np.uint64),
+                g["token_min"].to_numpy(np.float64),
+                g["token_max"].to_numpy(np.float64),
+                g["rep_sha"].to_numpy(),
+                int(int(band_key) >> 56),
+                config,
+                out_a, out_b, out_d,
+            )
+        if not out_a:
+            return _EMPTY_EDGES.copy()
+        return pd.DataFrame(
+            {
+                "sha_a": np.concatenate(out_a),
+                "sha_b": np.concatenate(out_b),
+                "hamming": np.concatenate(out_d),
+            }
+        )
+
+    return expanded.groupby("band_part").map_groups(
+        pair_partition, batch_format="pandas"
+    )
+
+
+def membership_edges(
+    fingerprints: ray.data.Dataset, config: PipelineConfig = DEFAULT_CONFIG
+) -> ray.data.Dataset:
+    """Hamming-0 edges linking each signature's representative sha to
+    every other member sha (the exact-dup / identical-signature fast
+    path — replaces pairing within the hottest buckets entirely)."""
+    P = config.pair_partitions
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["gen_fp"]]
+        df = df.drop_duplicates(["sig_hi", "sig_lo", "sha"])
+        part = _splitmix64(
+            df["sig_hi"].to_numpy(np.uint64)
+            ^ _splitmix64(df["sig_lo"].to_numpy(np.uint64))
+        ) % np.uint64(P)
+        df = df[["sig_hi", "sig_lo", "sha"]].assign(
+            sig_part=part.astype(np.int32)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def merge_partition(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop_duplicates(["sig_hi", "sig_lo", "sha"])
+        part = part.sort_values(["sig_hi", "sig_lo", "sha"])
+        g = part.groupby(["sig_hi", "sig_lo"], sort=False)["sha"]
+        rep = g.transform("min")
+        mask = part["sha"].to_numpy() != rep.to_numpy()
+        if not mask.any():
+            return _EMPTY_EDGES.copy()
+        return pd.DataFrame(
+            {
+                "sha_a": rep.to_numpy()[mask],
+                "sha_b": part["sha"].to_numpy()[mask],
+                "hamming": np.zeros(int(mask.sum()), dtype=np.int32),
+            }
+        )
+
+    gated = fingerprints.select_columns(["sig_hi", "sig_lo", "sha", "gen_fp"])
+    partial = gated.map_batches(per_batch, batch_format="pyarrow")
+    return partial.groupby("sig_part").map_groups(
+        merge_partition, batch_format="pandas"
+    )

@@ -1,0 +1,132 @@
+"""Fingerprint stage: parse + shingle + SimHash as one actor-pool
+``map_batches`` (SURVEY §2.2 M1-M7 fused).
+
+The reference's per-TU Clang pass (``Main.cpp:441-454``) becomes a
+callable-class actor: per-language extractors and the word→±weight
+vector cache are built ONCE per actor in ``__init__`` (SURVEY §2.3
+T1/T2) and reused across batches; the SimHash fold is one
+``counts @ weighted_bits`` matmul per batch (``EigenWord.cpp:46-74``
+semantics, bit-exact — see ``clonebas_ray.functions.simhash``).
+
+Output schema (the ``fingerprints`` Dataset, FIXTURES.md §2):
+``sha:string, file_key:string, repo/path/commit/lang:string,
+token_num:int32, sig_hi:uint64, sig_lo:uint64, n_words:int32,
+gen_fp:bool`` — ``content`` is consumed here and dropped, so nothing
+downstream ever shuffles file bodies.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from clonebas_ray.config import PipelineConfig, DEFAULT_CONFIG
+from clonebas_ray.functions.simhash import (
+    WordVectorCache,
+    fold_counts,
+    pack_signature,
+)
+from clonebas_ray.functions.words import ExtractorRegistry
+
+FINGERPRINT_SCHEMA = pa.schema(
+    [
+        ("sha", pa.string()),
+        ("file_key", pa.string()),
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("token_num", pa.int32()),
+        ("sig_hi", pa.uint64()),
+        ("sig_lo", pa.uint64()),
+        ("n_words", pa.int32()),
+        ("gen_fp", pa.bool_()),
+    ]
+)
+
+
+class FingerprintActor:
+    """Stateful parse+fingerprint worker.
+
+    ``__init__`` runs once per actor (extractors, weight-vector cache);
+    ``__call__`` runs per Arrow batch and is fully vectorized after the
+    per-row word extraction (the regex lexer is the irreducible
+    per-row parser loop — the reference's Clang parse, ~10^3 tokens/file).
+    """
+
+    def __init__(self, config: PipelineConfig = DEFAULT_CONFIG):
+        self.config = config
+        self.registry = ExtractorRegistry(ast_opt=config.ast_opt)
+        self.cache = WordVectorCache(config.weight_table(), config.seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        contents = batch["content"].to_pylist()
+        langs = batch["lang"].to_pylist()
+
+        id_arrays: list[np.ndarray] = []
+        lens = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            words = self.registry.get(langs[i]).extract(contents[i])
+            ids = self.cache.ids(words)
+            id_arrays.append(ids)
+            lens[i] = len(ids)
+
+        vocab_size = len(self.cache.vocab)
+        if vocab_size and n:
+            row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+            flat = np.concatenate(id_arrays) if id_arrays else np.empty(0, np.int64)
+            counts = np.bincount(
+                row_idx * vocab_size + flat, minlength=n * vocab_size
+            ).reshape(n, vocab_size)
+            bits = fold_counts(counts, self.cache.matrix, self.config.fold_threshold)
+            hi, lo = pack_signature(bits)
+        else:
+            hi = np.zeros(n, dtype=np.uint64)
+            lo = np.zeros(n, dtype=np.uint64)
+
+        token_num = batch["token_num"].to_numpy().astype(np.int32)
+        out = pa.table(
+            {
+                "sha": batch["sha"],
+                "file_key": batch["file_key"],
+                "repo": batch["repo"],
+                "path": batch["path"],
+                "commit": batch["commit"],
+                "lang": batch["lang"],
+                "token_num": pa.array(token_num, pa.int32()),
+                "sig_hi": pa.array(hi, pa.uint64()),
+                "sig_lo": pa.array(lo, pa.uint64()),
+                "n_words": pa.array(lens.astype(np.int32), pa.int32()),
+                # emission gate: char span must EXCEED the boundary
+                # (EigenWordGenerate.cpp:94; 200 per token_boundary_config)
+                "gen_fp": pa.array(token_num > self.config.char_boundary),
+            }
+        )
+        return out
+
+
+def fingerprint_stage(
+    ds: ray.data.Dataset,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 512,
+) -> ray.data.Dataset:
+    """files (prepared) → fingerprints.  ``concurrency=None`` sizes an
+    autoscaling actor pool (1, cluster CPUs); pass an int/(min,max) to
+    pin it."""
+    if concurrency is None:
+        import ray
+
+        total = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = (1, max(2, total))
+    return ds.map_batches(
+        FingerprintActor,
+        fn_constructor_kwargs={"config": config},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        num_cpus=1,
+        concurrency=concurrency,
+    )

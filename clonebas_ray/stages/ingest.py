@@ -1,0 +1,88 @@
+"""Ingest stage: Parquet source table → keyed, projected Dataset.
+
+Replaces the reference's recursive directory walk + extension filter +
+GB2312 transcode (``Main.cpp:345-366,40-81``) with
+``ray.data.read_parquet`` over the ``(repo, path, commit, lang,
+content)`` table (BASELINE.json input_hint).  The mutable
+path→id counter (``FixedChecker.cpp:909-930``) becomes a
+content-derived key: ``sha = sha256(content)`` plus a deterministic
+``file_key = repo/path@commit`` — no global state.
+
+Scale notes:
+* ``columns=`` prunes at the read — callers that only need keys never
+  ship ``content`` out of storage;
+* sha256 is computed in ``map_batches`` (stateless tasks, C-speed
+  hashlib) and the heavy ``content`` column is DROPPED right after the
+  fingerprint stage consumes it, so no shuffle ever moves file bodies.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from clonebas_ray.config import PipelineConfig, DEFAULT_CONFIG
+
+FILE_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+
+def read_files(
+    path: str | list[str],
+    columns: list[str] | None = None,
+    lang_filter: list[str] | None = None,
+    **read_kwargs,
+) -> ray.data.Dataset:
+    """``ray.data.read_parquet`` with column pruning and an optional
+    language row filter pushed into the scan (SURVEY S1)."""
+    kwargs = dict(read_kwargs)
+    if columns is not None:
+        kwargs["columns"] = columns
+    if lang_filter:
+        kwargs["filter"] = pc.field("lang").isin(lang_filter)
+    return ray.data.read_parquet(path, **kwargs)
+
+
+def _key_batch(batch: pa.Table) -> pa.Table:
+    contents = batch["content"]
+    sha = [
+        hashlib.sha256(
+            contents[i].as_py().encode("utf-8", "surrogatepass")
+        ).hexdigest()
+        for i in range(len(contents))
+    ]
+    file_key = pc.binary_join_element_wise(
+        batch["repo"], batch["path"], batch["commit"], "|"
+    )
+    token_num = pc.cast(pc.utf8_length(contents), pa.int32())
+    batch = batch.append_column("sha", pa.array(sha, pa.string()))
+    batch = batch.append_column("file_key", file_key)
+    batch = batch.append_column("token_num", token_num)
+    return batch
+
+
+def prepare_stage(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Add ``sha`` / ``file_key`` / ``token_num`` columns (zero-copy
+    Arrow in, Arrow out).  ``token_num`` is the file char span — the
+    file-level analogue of the reference's ``endOffset - beginOffset``
+    (``EigenWordGenerate.cpp:92-99``)."""
+    return ds.map_batches(_key_batch, batch_format="pyarrow")
+
+
+def exact_dedup(
+    ds: ray.data.Dataset, key: str = "sha"
+) -> ray.data.Dataset:
+    """Exact dedup: keep the first row per content hash
+    (SURVEY §2.6).  NOTE: this shuffles full rows — at 100 TB prefer
+    the flagship's signature-level dedup, which never moves
+    ``content``; this operator exists for corpora where the dup ratio
+    makes re-parsing costlier than one shuffle."""
+    import pandas as pd
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("file_key").head(1) if "file_key" in g else g.head(1)
+
+    return ds.groupby(key).map_groups(first, batch_format="pandas")

@@ -1,0 +1,128 @@
+"""Per-stage Parquet checkpoints with lineage manifests (SURVEY §4).
+
+The reference has no checkpoint/resume concept (a crash restarts the
+whole run); the north rule requires "resumable from checkpoint with
+per-partition lineage + metrics".  Design:
+
+* each checkpointed stage writes its output Dataset as a directory of
+  Parquet part files under ``<run_dir>/<stage>/data/``;
+* a ``manifest.json`` is written AFTER the data (write-then-rename, so
+  a torn write never yields a valid manifest) recording the lineage
+  key — a hash of (input identity, pipeline config hash, stage name) —
+  plus row count, wall time and the part-file listing;
+* resume = if a manifest exists and its lineage key matches, the stage
+  is skipped and its output re-read (``ray.data.read_parquet`` —
+  streaming, so a resumed run has the same memory profile);
+* changing the input or any config field changes the lineage key and
+  invalidates the checkpoint automatically.
+
+Partitioning: ``write_parquet`` emits one file per block, so a stage's
+output is naturally range-partitioned by its upstream layout; the
+manifest's ``files`` list is the per-partition lineage record.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+import ray.data
+
+
+def input_identity(path: str | list[str]) -> str:
+    """Cheap deterministic identity for an input: file names + sizes +
+    mtimes (content hashing 100 TB to decide resume would defeat the
+    point; documented tradeoff)."""
+    paths = [path] if isinstance(path, str) else list(path)
+    parts = []
+    for p in sorted(paths):
+        if os.path.isdir(p):
+            for root, _, files in sorted(os.walk(p)):
+                for f in sorted(files):
+                    fp = os.path.join(root, f)
+                    st = os.stat(fp)
+                    parts.append(f"{fp}:{st.st_size}:{st.st_mtime_ns}")
+        elif os.path.exists(p):
+            st = os.stat(p)
+            parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+        else:
+            parts.append(f"{p}:absent")
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+
+
+def lineage_key(input_id: str, config_hash: str, stage: str) -> str:
+    return hashlib.sha256(f"{input_id}|{config_hash}|{stage}".encode()).hexdigest()[:16]
+
+
+class StageCheckpoint:
+    def __init__(self, run_dir: str, stage: str, key: str):
+        self.stage_dir = os.path.join(run_dir, stage)
+        self.data_dir = os.path.join(self.stage_dir, "data")
+        self.manifest_path = os.path.join(self.stage_dir, "manifest.json")
+        self.key = key
+
+    def load(self) -> ray.data.Dataset | None:
+        """Return the checkpointed Dataset if a valid manifest matches
+        the lineage key, else None."""
+        try:
+            with open(self.manifest_path) as f:
+                manifest = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return None
+        if manifest.get("lineage_key") != self.key:
+            return None
+        if not os.path.isdir(self.data_dir):
+            return None
+        return ray.data.read_parquet(self.data_dir)
+
+    def save(self, ds: ray.data.Dataset) -> ray.data.Dataset:
+        """Write ``ds`` to the checkpoint and return a re-read Dataset
+        (so downstream streams from Parquet instead of re-executing the
+        upstream graph)."""
+        t0 = time.perf_counter()
+        tmp = self.data_dir + ".tmp"
+        if os.path.isdir(tmp):
+            import shutil
+
+            shutil.rmtree(tmp)
+        ds.write_parquet(tmp)
+        if os.path.isdir(self.data_dir):
+            import shutil
+
+            shutil.rmtree(self.data_dir)
+        os.replace(tmp, self.data_dir)
+        files = sorted(os.listdir(self.data_dir))
+        out = ray.data.read_parquet(self.data_dir)
+        manifest = {
+            "lineage_key": self.key,
+            "stage": os.path.basename(self.stage_dir),
+            "files": files,
+            "num_files": len(files),
+            "rows": out.count(),
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }
+        tmp_manifest = self.manifest_path + ".tmp"
+        with open(tmp_manifest, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp_manifest, self.manifest_path)
+        return out
+
+
+def checkpointed(
+    run_dir: str,
+    stage: str,
+    key: str,
+    factory,
+    resume: bool = True,
+) -> tuple[ray.data.Dataset, bool]:
+    """Run ``factory()`` (→ Dataset) under a checkpoint: returns
+    ``(dataset, was_resumed)``."""
+    os.makedirs(run_dir, exist_ok=True)
+    ckpt = StageCheckpoint(run_dir, stage, key)
+    if resume:
+        cached = ckpt.load()
+        if cached is not None:
+            return cached, True
+    return ckpt.save(factory()), False

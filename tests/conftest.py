@@ -1,0 +1,50 @@
+import os
+import sys
+
+import pytest
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+# Ray workers inherit env vars, not the driver's sys.path — make the
+# package importable in workers regardless of the pytest cwd.
+os.environ["PYTHONPATH"] = (
+    REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+)
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    yield ray
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def corpus_dir(tmp_path_factory):
+    from clonebas_ray.corpus import generate_corpus, write_corpus
+
+    d = tmp_path_factory.mktemp("corpus")
+    tables = generate_corpus(seed=42)
+    write_corpus(tables, str(d))
+    return str(d), tables
+
+
+@pytest.fixture(scope="session")
+def oracle_result(corpus_dir):
+    from clonebas_ray.oracle import run_oracle
+
+    _, tables = corpus_dir
+    return run_oracle(tables.files.to_pylist())

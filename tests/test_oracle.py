@@ -1,0 +1,81 @@
+"""Oracle semantics: greedy complete-linkage with reference order
+(``SimHasher.cpp:149-192``) on hand-constructed fingerprints."""
+
+from clonebas_ray.config import PipelineConfig
+from clonebas_ray.oracle import (
+    OracleFingerprint,
+    greedy_cluster,
+    popcount128,
+    run_oracle,
+)
+
+
+def _fp(i, hi, lo, tok=1000):
+    return OracleFingerprint(
+        index=i, sha=f"sha{i}", sig_hi=hi, sig_lo=lo, token_num=tok,
+        file_key=f"f{i}",
+    )
+
+
+CFG = PipelineConfig()
+
+
+def test_popcount():
+    assert popcount128(0, 0, 0, 0) == 0
+    assert popcount128(0b101, 0, 0b001, 0) == 1
+    assert popcount128(2**63, 2**63, 0, 0) == 2
+
+
+def test_complete_linkage_rejects_chaining():
+    # A-B at d=1, B-C at d=1, A-C at d=2: complete linkage at sigma=1
+    # cannot hold all three.  Descending greedy: i=C pairs with B; A
+    # then fails the every-member check against C.
+    fps = [
+        _fp(0, 0b00, 0),  # A
+        _fp(1, 0b01, 0),  # B (d1 to A, d1 to C)
+        _fp(2, 0b11, 0),  # C (d2 to A)
+    ]
+    uf, cnt = greedy_cluster(fps, sigma=1, config=CFG)
+    sets = sorted(sorted(v) for v in uf.sets().values())
+    assert sets == [[1, 2]]  # C grabbed B; A left alone
+    assert cnt == 1
+
+
+def test_members_already_in_set_are_skipped():
+    # four identical sigs → one set formed in the first (highest-i) round
+    fps = [_fp(i, 42, 99) for i in range(4)]
+    uf, cnt = greedy_cluster(fps, sigma=1, config=CFG)
+    sets = sorted(sorted(v) for v in uf.sets().values())
+    assert sets == [[0, 1, 2, 3]]
+    assert cnt == 3
+
+
+def test_span_gate_blocks_pairs():
+    fps = [_fp(0, 7, 7, tok=1000), _fp(1, 7, 7, tok=100)]
+    uf, cnt = greedy_cluster(fps, sigma=1, config=CFG)
+    assert cnt == 0  # |1000-100| > 0.3*100
+
+
+def test_normal_tier_disabled():
+    fps = [_fp(0, 7, 7), _fp(1, 7, 7)]
+    uf, cnt = greedy_cluster(fps, sigma=-1, config=CFG)
+    assert cnt == 0  # dif_config.txt line 3 = -1 → tier off
+
+
+def test_emission_gate_filters_short_files():
+    rows = [
+        {"repo": "r", "path": "a", "commit": "c", "lang": "c",
+         "content": "int f() { return 1; }"},  # < 200 chars → gated out
+        {"repo": "r", "path": "b", "commit": "c", "lang": "c",
+         "content": "int g(int x) {" + " x = x + 1;" * 40 + " return x; }"},
+    ]
+    res = run_oracle(rows)
+    assert len(res.fingerprints) == 1
+
+
+def test_only_diff_file_filter():
+    cfg = PipelineConfig(only_diff_file=True)
+    fps = [_fp(0, 7, 7), _fp(1, 7, 7)]
+    fps[1].file_key = fps[0].file_key  # same file
+    uf, cnt = greedy_cluster(fps, sigma=1, config=cfg)
+    assert cnt == 0

@@ -1,0 +1,148 @@
+"""End-to-end conformance: Ray pipeline vs sequential oracle on the
+synthetic corpus (SURVEY §5.1/5.3/5.4/5.5)."""
+
+import itertools
+import shutil
+
+import pytest
+
+from clonebas_ray.config import PipelineConfig
+
+
+def _pair_set(clusters):
+    import collections
+
+    clus = collections.defaultdict(set)
+    for sha, cid in zip(
+        clusters["sha"].to_pylist(), clusters["cluster_id"].to_pylist()
+    ):
+        clus[cid].add(sha)
+    pairs = set()
+    for members in clus.values():
+        for a, b in itertools.combinations(sorted(members), 2):
+            pairs.add(frozenset((a, b)))
+    return pairs
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(ray_session, corpus_dir, tmp_path_factory):
+    from clonebas_ray.pipelines.dedup import run_dedup_pipeline
+
+    d, _ = corpus_dir
+    run_dir = str(tmp_path_factory.mktemp("run"))
+    return run_dedup_pipeline(f"{d}/files.parquet", run_dir), run_dir
+
+
+def test_recall_against_oracle(pipeline_result, oracle_result):
+    """The binding target: dup-pair recall >= 0.99 at the shipped
+    config (BASELINE.json north_rule)."""
+    res, _ = pipeline_result
+    ours = _pair_set(res.clusters)
+    oracle_pairs = oracle_result.pairs["high"]
+    assert oracle_pairs, "oracle produced no pairs — corpus broken"
+    inter = ours & oracle_pairs
+    recall = len(inter) / len(oracle_pairs)
+    precision = len(inter) / max(1, len(ours))
+    assert recall >= 0.99, f"recall {recall:.4f}"
+    # CC may over-merge vs greedy complete-linkage; keep it bounded
+    assert precision >= 0.9, f"precision {precision:.4f}"
+
+
+def test_sha_invariant_preserved(pipeline_result, corpus_dir):
+    """North-rule invariant: per-row content sha256 survives every
+    stage — fingerprints cover exactly the input rows."""
+    import hashlib
+
+    res, _ = pipeline_result
+    _, tables = corpus_dir
+    input_shas = {
+        hashlib.sha256(c.encode()).hexdigest()
+        for c in tables.files["content"].to_pylist()
+    }
+    fp = res.fingerprints.to_pandas()
+    assert set(fp["sha"]) == input_shas
+    assert len(fp) == tables.files.num_rows  # one fingerprint per row
+    # clustered shas are a subset of input shas (anti-join is empty)
+    assert set(res.clusters["sha"].to_pylist()) <= input_shas
+
+
+def test_short_files_gated(pipeline_result):
+    res, _ = pipeline_result
+    fp = res.fingerprints.to_pandas()
+    gated = fp[~fp["gen_fp"]]
+    assert (gated["token_num"] <= 200).all()
+    assert not (set(gated["sha"]) & set(res.clusters["sha"].to_pylist()))
+
+
+def test_exact_dup_groups_clustered(pipeline_result, corpus_dir):
+    """Identical content under different keys must always cluster
+    (Hamming 0 via the membership fast path)."""
+    res, _ = pipeline_result
+    _, tables = corpus_dir
+    import hashlib
+
+    fp = res.fingerprints.to_pandas()
+    eligible = fp[fp["gen_fp"]]
+    sig_sizes = eligible.groupby(["sig_hi", "sig_lo"])["sha"].nunique()
+    multi = sig_sizes[sig_sizes > 1]
+    assert len(multi) > 0
+    clustered = set(res.clusters["sha"].to_pylist())
+    for (hi, lo), _n in multi.items():
+        shas = set(
+            eligible[(eligible.sig_hi == hi) & (eligible.sig_lo == lo)]["sha"]
+        )
+        assert shas <= clustered
+
+
+def test_determinism_across_parallelism(ray_session, corpus_dir,
+                                        tmp_path_factory, pipeline_result):
+    """Same input at different batch sizes / no checkpoints → identical
+    edge set and cluster assignment (SURVEY §5.3)."""
+    from clonebas_ray.pipelines.dedup import run_dedup_pipeline
+
+    d, _ = corpus_dir
+    res1, _ = pipeline_result
+    res2 = run_dedup_pipeline(
+        f"{d}/files.parquet", str(tmp_path_factory.mktemp("run2")),
+        config=PipelineConfig(pair_partitions=7),
+        concurrency=(1, 2), checkpoint=False,
+    )
+    assert _pair_set(res1.clusters) == _pair_set(res2.clusters)
+    e1 = res1.edges.to_pandas().sort_values(["sha_a", "sha_b"]).reset_index(drop=True)
+    e2 = res2.edges.to_pandas().sort_values(["sha_a", "sha_b"]).reset_index(drop=True)
+    assert e1[["sha_a", "sha_b", "hamming"]].equals(
+        e2[["sha_a", "sha_b", "hamming"]]
+    )
+
+
+def test_resume_from_checkpoint(ray_session, corpus_dir, pipeline_result):
+    """Restart on an existing run dir reuses both checkpoints and
+    reproduces identical output (SURVEY §5.5)."""
+    from clonebas_ray.pipelines.dedup import run_dedup_pipeline
+
+    d, _ = corpus_dir
+    res1, run_dir = pipeline_result
+    res2 = run_dedup_pipeline(f"{d}/files.parquet", run_dir)
+    assert res2.metrics["fingerprints_resumed"]
+    assert res2.metrics["edges_resumed"]
+    assert res2.clusters.equals(res1.clusters)
+
+
+def test_resume_invalidated_by_config_change(ray_session, corpus_dir,
+                                             pipeline_result):
+    from clonebas_ray.pipelines.dedup import run_dedup_pipeline
+
+    d, _ = corpus_dir
+    _, run_dir = pipeline_result
+    res = run_dedup_pipeline(
+        f"{d}/files.parquet", run_dir, config=PipelineConfig(t_high=3)
+    )
+    assert not res.metrics["fingerprints_resumed"]  # config hash changed
+
+
+def test_cluster_stats_consistent(pipeline_result):
+    res, _ = pipeline_result
+    stats = res.cluster_stats.to_pandas()
+    assert (stats["max_span"] >= stats["min_span"]).all()
+    assert (stats["n_files"] >= stats["n_shas"]).all()
+    assert stats["n_shas"].sum() == res.clusters.num_rows

@@ -1,0 +1,103 @@
+"""Unit tests for the SimHash kernels (SURVEY §5.2)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from clonebas_ray.config import SEED, REFERENCE_WEIGHTS
+from clonebas_ray.functions.murmur3 import hash128
+from clonebas_ray.functions.simhash import (
+    WordVectorCache,
+    band_keys,
+    fold_counts,
+    hamming_pairs,
+    pack_signature,
+    simhash_of_words,
+    word_bits,
+)
+
+
+def test_word_bits_order():
+    # bit j of the vector == char j of bin64(h1)+bin64(h2)
+    h1, h2 = hash128("CompoundStmt", SEED)
+    s = format(h1, "064b") + format(h2, "064b")
+    bits = word_bits("CompoundStmt")
+    assert len(bits) == 128
+    for j, ch in enumerate(s):
+        assert bits[j] == (1 if ch == "1" else -1)
+
+
+def test_fold_threshold_is_strictly_greater_than_one():
+    # EigenWord.cpp:58: sum <= 1 → 0.  A single weight-1 word can never
+    # set a bit; a weight-2 word sets exactly its 1-bits.
+    cache = WordVectorCache({"BinaryOperator": 1, "DEFAULT": 0})
+    hi, lo = simhash_of_words(["BinaryOperator"], cache)
+    assert (hi, lo) == (0, 0)
+    cache2 = WordVectorCache({"VarDecl": 2, "DEFAULT": 0})
+    hi2, lo2 = simhash_of_words(["VarDecl"], cache2)
+    h1, h2 = hash128("VarDecl", SEED)
+    assert (hi2, lo2) == (h1, h2)  # sum=+2 on 1-bits (>1), -2 on 0-bits
+
+
+def test_weight_zero_words_are_invisible():
+    cache = WordVectorCache()
+    base = simhash_of_words(["VarDecl", "ReturnStmt"], cache)
+    with_noise = simhash_of_words(
+        ["VarDecl", "ReturnStmt", "DeclRefExpr", "ImplicitCastExpr"] , cache
+    )
+    assert base == with_noise  # weight-0 per node_weight_config.txt
+
+
+def test_unknown_word_gets_default_weight_9():
+    assert REFERENCE_WEIGHTS["DEFAULT"] == 9  # node_weight_config.txt:104
+    cache = WordVectorCache()
+    hi, lo = simhash_of_words(["TotallyUnknownNodeKind"], cache)
+    h1, h2 = hash128("TotallyUnknownNodeKind", SEED)
+    assert (hi, lo) == (h1, h2)  # weight 9 > 1 → bits == hash bits
+
+
+def test_pack_signature_roundtrip():
+    rng = np.random.default_rng(7)
+    bits = rng.integers(0, 2, size=(5, 128)).astype(bool)
+    hi, lo = pack_signature(bits)
+    for r in range(5):
+        s = "".join("1" if b else "0" for b in bits[r])
+        assert format((int(hi[r]) << 64) | int(lo[r]), "0128b") == s
+
+
+def test_hamming_pairs():
+    hi_a = np.array([0, 0xFFFFFFFFFFFFFFFF], dtype=np.uint64)
+    lo_a = np.array([0, 0], dtype=np.uint64)
+    hi_b = np.array([1, 0xFFFFFFFFFFFFFFFF], dtype=np.uint64)
+    lo_b = np.array([3, 1], dtype=np.uint64)
+    assert list(hamming_pairs(hi_a, lo_a, hi_b, lo_b)) == [3, 1]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    sig=st.integers(min_value=0, max_value=2**128 - 1),
+    flips=st.lists(st.integers(min_value=0, max_value=127), max_size=3,
+                   unique=True),
+)
+def test_pigeonhole_band_completeness(sig, flips):
+    """Property: with n_bands=4, any pair at Hamming <= 3 shares at
+    least one identical band — candidate recall is structural."""
+    other = sig
+    for f in flips:
+        other ^= 1 << f
+    a = np.array([sig >> 64], dtype=np.uint64)
+    al = np.array([sig & ((1 << 64) - 1)], dtype=np.uint64)
+    b = np.array([other >> 64], dtype=np.uint64)
+    bl = np.array([other & ((1 << 64) - 1)], dtype=np.uint64)
+    ka = band_keys(a, al, 4)[0]
+    kb = band_keys(b, bl, 4)[0]
+    assert any(ka[i] == kb[i] for i in range(4))
+
+
+def test_band_keys_values():
+    hi = np.array([0x0123456789ABCDEF], dtype=np.uint64)
+    lo = np.array([0xFEDCBA9876543210], dtype=np.uint64)
+    k = band_keys(hi, lo, 4)[0]
+    assert [int(x) for x in k] == [
+        0x01234567, 0x89ABCDEF, 0xFEDCBA98, 0x76543210,
+    ]

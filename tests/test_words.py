@@ -1,0 +1,96 @@
+"""Word extraction invariants (type-1/2 clone insensitivity)."""
+
+from clonebas_ray.functions.words import WordExtractor, extract_words
+
+SRC = """
+int process(int count, int limit) {
+    int total = 0;
+    for (int i = 0; i < count; i++) {
+        total += i * 2;
+    }
+    if (total > limit) {
+        return limit;
+    } else {
+        return total;
+    }
+}
+"""
+
+
+def test_deterministic():
+    assert extract_words(SRC) == extract_words(SRC)
+
+
+def test_rename_invariant():
+    renamed = (
+        SRC.replace("total", "acc").replace("count", "n")
+        .replace("limit", "cap").replace("process", "run")
+    )
+    assert extract_words(SRC) == extract_words(renamed)
+
+
+def test_literal_value_invariant():
+    changed = SRC.replace("2", "7").replace("0", "5")
+    assert extract_words(SRC) == extract_words(changed)
+
+
+def test_comment_whitespace_invariant():
+    noisy = SRC.replace("\n", "\n\n").replace(
+        "int total = 0;", "int total = 0;  // init\n    /* block */"
+    )
+    assert extract_words(SRC) == extract_words(noisy)
+
+
+def test_statement_insert_changes_words():
+    edited = SRC.replace(
+        "total += i * 2;", "total += i * 2;\n        total -= 1;"
+    )
+    assert extract_words(SRC) != extract_words(edited)
+
+
+def test_operator_words_carry_opcode():
+    w = extract_words("int main() { int a = 1 + 2; int b = 1 - 2; }")
+    assert "BinaryOperator BO_+" in w
+    assert "BinaryOperator BO_-" in w
+
+
+def test_selection_loop_words():
+    w = extract_words(SRC)
+    assert "FixedSelectionStmtClass" in w
+    assert "FixedLoopStmtClass" in w
+    assert "FixedCompoundStmtClass" in w
+    assert "ReturnStmt" in w
+    # else branch synthesizes !cond — FixedChecker.cpp:89-112
+    assert "UnaryOperator UO_!" in w
+
+
+def test_non_astopt_dialect():
+    ex = WordExtractor("cpp", ast_opt=False)
+    w = ex.extract(SRC)
+    assert "IfStmt" in w and "ForStmt" in w and "CompoundStmt" in w
+    assert "FixedSelectionStmtClass" not in w
+
+
+def test_python_dialect():
+    src = "def f(x):\n    y = x + 1\n    if y > 2:\n        return y\n    return 0\n"
+    w = extract_words(src, "python")
+    assert "FunctionDecl" in w
+    assert "FixedSelectionStmtClass" in w
+    assert "ReturnStmt" in w
+    # rename invariance holds in python too
+    assert w == extract_words(src.replace("y", "z"), "python")
+
+
+def test_switch_desugars_to_selection():
+    src = """
+int f(int x) {
+    switch (x) {
+    case 1: return 10;
+    case 2: return 20;
+    default: return 0;
+    }
+}
+"""
+    w = extract_words(src)
+    assert "FixedSelectionStmtClass" in w
+    assert w.count("BinaryOperator BO_==") >= 2  # synthesized per case
