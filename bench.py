@@ -1,0 +1,195 @@
+"""Benchmark harness.
+
+Default: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line:
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "files_per_sec": ..., "mb_per_sec": ...}
+
+Headline = the flagship clone-dedup pipeline over a deterministic
+synthetic source-file corpus (content reuse at bench scale; the sf
+tables carry no source-code corpus), plus representative per-query
+timings over the sf tables.
+
+``--scaling``: runs the headline twice in fresh subprocesses at N and
+4N CPUs (default 4 and 16, override via ``GRAFT_SCALING_CPUS``) on the
+same input and reports both throughputs + scaling efficiency =
+thru_hi / (4 * thru_lo) — the sandbox stand-in for the north rule's N
+vs 4N cluster sizes (see ``run_scaling`` docstring for why the pool is
+pinned to cpus/2 at both levels).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+#: bench corpus size (files); content reuse keeps generation cheap
+BENCH_FILES = int(os.environ.get("GRAFT_BENCH_FILES", "200000"))
+#: scaling runs use a larger corpus so per-core compute dominates the
+#: fixed orchestration cost (actor start + shuffle barriers ~5s)
+SCALING_FILES = int(os.environ.get("GRAFT_SCALING_FILES", "500000"))
+BENCH_DIR = os.environ.get("GRAFT_BENCH_DIR", "/tmp/clonebas_bench")
+
+
+def _ensure_bench_corpus() -> tuple[str, float]:
+    """Write the deterministic bench corpus once; returns (path, MB)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(BENCH_DIR, f"files_{BENCH_FILES}")
+    if not os.path.isdir(path):
+        from clonebas_ray.corpus import generate_bench_corpus
+
+        os.makedirs(path + ".tmp", exist_ok=True)
+        t = generate_bench_corpus(BENCH_FILES, seed=42)
+        # a DIRECTORY of shards: Ray parallelizes parquet reads per
+        # file, so a single monolithic file = one serial read task.
+        # This is also the realistic corpus layout at scale.
+        n_shards = max(32, BENCH_FILES // 25000)
+        per = (t.num_rows + n_shards - 1) // n_shards
+        for s in range(n_shards):
+            part = t.slice(s * per, per)
+            if part.num_rows:
+                pq.write_table(
+                    part, f"{path}.tmp/part-{s:05d}.parquet",
+                    row_group_size=4096,
+                )
+        os.replace(path + ".tmp", path)
+    mb = sum(
+        os.path.getsize(os.path.join(path, f)) for f in os.listdir(path)
+    ) / 1e6
+    return path, mb
+
+
+def run_bench() -> dict:
+    import logging
+    import shutil
+
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from clonebas_ray.pipelines.dedup import run_dedup_pipeline
+
+    queries: dict[str, float] = {}
+
+    # ---- headline: flagship clone dedup over the bench corpus -------
+    corpus_path, corpus_mb = _ensure_bench_corpus()
+    # warm the page cache so we measure compute+shuffle, not cold disk
+    for name in sorted(os.listdir(corpus_path)):
+        with open(os.path.join(corpus_path, name), "rb") as f:
+            while f.read(1 << 24):
+                pass
+    run_dir = os.path.join(BENCH_DIR, f"run_{NUM_CPUS}")
+    shutil.rmtree(run_dir, ignore_errors=True)
+    pool = os.environ.get("RAY_GRAFT_POOL")
+    t0 = time.perf_counter()
+    res = run_dedup_pipeline(
+        corpus_path, run_dir, checkpoint=False,
+        concurrency=int(pool) if pool else None,
+    )
+    headline = time.perf_counter() - t0
+    queries["clone_dedup"] = round(headline, 3)
+    files_per_sec = BENCH_FILES / headline
+    mb_per_sec = corpus_mb / headline
+
+    # ---- representative sf-table pipelines --------------------------
+    if not os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
+        import __ray_entry__ as entrymod
+
+        q = entrymod.queries()
+        for name in (
+            "tpch_q1", "events_hourly", "word_census", "exact_dedup",
+            "knn_cosine", "minhash_pairs", "simhash_text_clusters",
+        ):
+            t0 = time.perf_counter()
+            q[name](SF_DIR)
+            queries[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "clone_dedup_e2e_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "bench_files": BENCH_FILES,
+        "files_per_sec": round(files_per_sec, 1),
+        "mb_per_sec": round(mb_per_sec, 2),
+        "n_clusters": res.metrics.get("n_clusters"),
+        "n_edges": res.metrics.get("n_edges"),
+    }
+
+
+def run_scaling() -> dict:
+    """N vs 4N parallelism on the same input, fresh processes.
+
+    Levels are 4 and 16 CPUs with the fingerprint actor pool pinned to
+    cpus/2 at BOTH levels — identical utilization fraction, so the
+    ratio measures the pipeline's scaling (parallel parse + the two
+    shuffles), not the sandbox's single-box memory-bus saturation
+    (this 32-core VM's shared bandwidth caps per-actor throughput
+    beyond ~16 concurrent parser actors at ~0.6 relative efficiency —
+    an artifact a real multi-node cluster does not have; the 8-vs-32
+    pair is also reported by BASELINE.md for transparency).
+    """
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            RAY_GRAFT_POOL=str(max(2, ncpu // 2)),
+            GRAFT_BENCH_FILES=str(SCALING_FILES),
+            GRAFT_BENCH_HEADLINE_ONLY="1",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = (int(x) for x in os.environ.get(
+        "GRAFT_SCALING_CPUS", "4,16").split(","))
+    r_lo = run(lo)
+    r_hi = run(hi)
+    thru_lo = r_lo["files_per_sec"]
+    thru_hi = r_hi["files_per_sec"]
+    eff = thru_hi / ((hi / lo) * thru_lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        f"sec_{lo}": r_lo["value"],
+        f"sec_{hi}": r_hi["value"],
+        f"files_per_sec_{lo}": thru_lo,
+        f"files_per_sec_{hi}": thru_hi,
+        "bench_files": r_lo["bench_files"],
+        "num_cpus": [lo, hi],
+        "pool_fraction": 0.5,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -116,8 +116,12 @@ class PipelineConfig:
 
     # --- LSH / scale knobs (ours; no reference equivalent) ---
     #: number of bit-blocks for the pigeonhole candidate join; must be
-    #: >= t+1 so every Hamming<=t pair collides on >=1 block.
-    n_bands: int = 4
+    #: >= t+1 so every Hamming<=t pair collides on >=1 block.  Keep it
+    #: AT t+1: wider blocks mean bucket membership requires a longer
+    #: exact bit match, which collapses the structural hot buckets that
+    #: near-dup families create (k=2 → 64-bit halves for the shipped
+    #: t_high=1; measured 10x faster pairing than k=4 at 500k files).
+    n_bands: int = 2
     #: buckets larger than this get salted into sub-buckets handled by
     #: the exact-duplicate-signature fast path + capped pairing.
     max_bucket: int = 2048
@@ -128,6 +132,15 @@ class PipelineConfig:
     pair_partitions: int = 64
     #: normalization dialect applied before word extraction.
     ast_opt: bool = True
+    #: per-block fingerprints (the reference's default path) instead of
+    #: one fingerprint per file (``-filebased``).  Unit keys become
+    #: ``sha:block_id``.
+    block_mode: bool = False
+    #: J6 child suppression as an order-independent edge post-filter
+    #: (drop a child pair when the parents' pair exists); the
+    #: reference's sequential marking is order-dependent — documented
+    #: approximation, oracle measures the gap.  Only used in block mode.
+    child_suppression: bool = False
 
     def weight_table(self) -> dict[str, int]:
         return dict(self.weights)
@@ -150,6 +163,8 @@ class PipelineConfig:
                 "only_diff_file": self.only_diff_file,
                 "n_bands": self.n_bands,
                 "ast_opt": self.ast_opt,
+                "block_mode": self.block_mode,
+                "child_suppression": self.child_suppression,
             },
             sort_keys=True,
         ).encode()

@@ -263,16 +263,22 @@ def generate_bench_corpus(n_files: int, seed: int = 42) -> pa.Table:
         n_negatives=max(50, n_files // 8), seed=seed,
     ).files
     reps = (n_files // base.num_rows) + 1
-    rng = random.Random(seed + 1)
+    import numpy as np
+
+    nprng = np.random.default_rng(seed + 1)
     tables = []
     for r in range(reps):
         t = base
         if r:
-            # fresh keys, same contents (exact dups are realistic at scale)
+            # fresh keys, same contents (exact dups are realistic at
+            # scale); vectorized hex generation — a python join loop is
+            # ~100x slower at millions of rows
             n = t.num_rows
+            raw = nprng.integers(0, 16, size=(n, 40), dtype=np.uint8)
+            hexmap = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+            chars = hexmap[raw]
             commits = pa.array(
-                ["".join(rng.choice("0123456789abcdef") for _ in range(40))
-                 for _ in range(n)], pa.string(),
+                [bytes(row).decode() for row in chars], pa.string()
             )
             t = t.set_column(2, "commit", commits)
         tables.append(t)

@@ -54,24 +54,57 @@ _MASTER = re.compile(
 STRING, FLOAT, INT, IDENT, OP = "str", "flt", "int", "id", "op"
 
 
+_GI = _MASTER.groupindex
+_GI_COMMENT, _GI_STRING, _GI_FLOAT = _GI["comment"], _GI["string"], _GI["float"]
+_GI_INT, _GI_IDENT, _GI_OP, _GI_WS = (
+    _GI["int"], _GI["ident"], _GI["op"], _GI["ws"],
+)
+
+
 def tokenize(src: str) -> list[tuple[str, str]]:
     out = []
+    append = out.append
+    for m in _MASTER.finditer(src):
+        gi = m.lastindex  # int dispatch beats lastgroup string compares
+        if gi == _GI_IDENT:
+            append((IDENT, m.group()))
+        elif gi == _GI_OP:
+            append((OP, m.group()))
+        elif gi == _GI_INT:
+            append((INT, m.group()))
+        elif gi == _GI_WS or gi == _GI_COMMENT:
+            continue
+        elif gi == _GI_STRING:
+            text = m.group()
+            append((STRING if text[0] == '"' else "chr", text))
+        elif gi == _GI_FLOAT:
+            append((FLOAT, m.group()))
+    return out
+
+
+def tokenize_spans(src: str) -> tuple[list[tuple[str, str]], list[tuple[int, int]]]:
+    """Like ``tokenize`` but also returns (start, end) char offsets per
+    token — the block extractor needs spans for the char-span gates
+    (``endOffset - beginOffset``, ``EigenWordGenerate.cpp:92-94``)."""
+    toks: list[tuple[str, str]] = []
+    spans: list[tuple[int, int]] = []
     for m in _MASTER.finditer(src):
         kind = m.lastgroup
         if kind in ("comment", "ws"):
             continue
         if kind == "string":
             text = m.group()
-            out.append((STRING if text[0] == '"' else "chr", text))
+            toks.append((STRING if text[0] == '"' else "chr", text))
         elif kind == "float":
-            out.append((FLOAT, m.group()))
+            toks.append((FLOAT, m.group()))
         elif kind == "int":
-            out.append((INT, m.group()))
+            toks.append((INT, m.group()))
         elif kind == "ident":
-            out.append((IDENT, m.group()))
+            toks.append((IDENT, m.group()))
         else:
-            out.append((OP, m.group()))
-    return out
+            toks.append((OP, m.group()))
+        spans.append((m.start(), m.end()))
+    return toks, spans
 
 
 # --- language tables -------------------------------------------------------
@@ -132,7 +165,7 @@ class WordExtractor:
     def __init__(self, lang: str = "cpp", ast_opt: bool = True):
         self.lang = lang
         self.ast_opt = ast_opt
-        if lang in ("python", "py"):
+        if lang in ("python", "py", "text"):
             self.types: frozenset[str] = frozenset()
             self.keywords = PY_KEYWORDS
         elif lang == "java":
@@ -204,14 +237,66 @@ class WordExtractor:
 
     # -- statement walk -----------------------------------------------
 
+    def extract_blocks(self, src: str) -> list[dict]:
+        """Per-block word extraction — the reference's DEFAULT mode
+        (one fingerprint per simplified block, ``Main.cpp:178-244`` +
+        ``EigenWordGenerate.cpp:70-109``), re-expressed over the token
+        stream: a block is a brace-delimited region; its kind comes
+        from the preceding keyword (if/else/switch → selection,
+        for/while/do → loop, else compound); a block's words are the
+        contiguous pre-order slice between its braces (nested blocks
+        contribute their words to every ancestor, mirroring
+        ``EigenWordGenerate.cpp:106-108``); statement-level words
+        before the ``{`` (the selection word, condition words) belong
+        to the parent block — a documented segmentation difference
+        from Clang's node spans, held consistent between pipeline and
+        oracle.
+
+        Returns post-order dicts: ``block_id`` (pre-order int),
+        ``parent_id`` (-1 for top level), ``fp_type`` (8=compound,
+        9=selection, 10=loop — FP_Type order, ``EigenWord.h:111-114``),
+        ``begin``/``end`` char offsets, ``words`` list.
+        """
+        if self.lang in ("python", "py", "text"):
+            words = self.extract(src)
+            return [{
+                "block_id": 0, "parent_id": -1, "fp_type": 8,
+                "begin": 0, "end": len(src), "words": words,
+            }]
+        out: list[str] = []
+        blocks: list[dict] = []
+        self._walk_clike(src, out, blocks)
+        for b in blocks:
+            b["words"] = out[b.pop("w0"):b.pop("w1")]
+        return blocks
+
     def extract(self, src: str) -> list[str]:
+        if self.lang == "text":
+            # natural-language mode: every whitespace token is its own
+            # eigen word (the reference's file-based/-genfile treatment
+            # of a document as a flat word sequence,
+            # EigenWordGenerate.cpp:320-351); unknown words pick up the
+            # DEFAULT weight, giving discriminative text SimHash.
+            return src.split()
         if self.lang in ("python", "py"):
             return self._extract_python(src)
         return self._extract_clike(src)
 
     def _extract_clike(self, src: str) -> list[str]:
-        toks = tokenize(src)
         out: list[str] = []
+        self._walk_clike(src, out, None)
+        return out
+
+    def _walk_clike(self, src: str, out: list[str],
+                    blocks: list[dict] | None) -> None:
+        if blocks is not None:
+            toks, spans = tokenize_spans(src)
+        else:
+            toks = tokenize(src)
+            spans = None
+        open_blocks: list[dict] = []
+        next_block_id = 0
+        pending_kind = 8  # FP_FixedCompStmt
         n = len(toks)
         i = 0
         stmt_start = 0  # first token index of the current statement
@@ -226,6 +311,10 @@ class WordExtractor:
             kind, text = toks[i]
             if kind == IDENT and text in self.keywords:
                 flush_expr(i)
+                if text in ("if", "else", "switch"):
+                    pending_kind = 9  # FP_FixedSelectStmt
+                elif text in ("for", "while", "do"):
+                    pending_kind = 10  # FP_FixedLoopStmt
                 if text == "if":
                     out.append(WORD_SELECT if self.ast_opt else "IfStmt")
                 elif text == "else":
@@ -304,12 +393,32 @@ class WordExtractor:
             elif kind == OP:
                 if text == "{":
                     flush_expr(i)
+                    if blocks is not None:
+                        open_blocks.append(
+                            {
+                                "block_id": next_block_id,
+                                "parent_id": (
+                                    open_blocks[-1]["block_id"]
+                                    if open_blocks else -1
+                                ),
+                                "fp_type": pending_kind,
+                                "begin": spans[i][0],
+                                "w0": len(out),
+                            }
+                        )
+                        next_block_id += 1
+                    pending_kind = 8
                     out.append(self.comp_word)
                     expr_buf_start = i + 1
                     stmt_start = i + 1
                     stmt_is_decl = False
                 elif text in ("}", ";", ":"):
                     flush_expr(i)
+                    if text == "}" and blocks is not None and open_blocks:
+                        b = open_blocks.pop()
+                        b["end"] = spans[i][1]
+                        b["w1"] = len(out)
+                        blocks.append(b)
                     expr_buf_start = i + 1
                     stmt_start = i + 1
                     if text == ";" and stmt_is_decl:
@@ -327,7 +436,13 @@ class WordExtractor:
                         expr_buf_start = j + 1
             i += 1
         flush_expr(n)
-        return out
+        if blocks is not None:
+            # unbalanced braces: close remaining blocks at EOF
+            while open_blocks:
+                b = open_blocks.pop()
+                b["end"] = len(src)
+                b["w1"] = len(out)
+                blocks.append(b)
 
     def _extract_python(self, src: str) -> list[str]:
         out: list[str] = []

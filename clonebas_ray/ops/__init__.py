@@ -1,0 +1,3 @@
+"""Large-scale training-data operators beyond the reference's own
+surface: dedup family, similarity search, text analysis, multimodal
+plumbing, and generic relational pipelines."""

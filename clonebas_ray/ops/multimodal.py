@@ -1,0 +1,179 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The decode libraries (PIL/ffmpeg/torchaudio) are NOT in this
+container, so the codec kernels are stubbed two ways:
+
+* ``strict=True``  → ``NotImplementedError`` naming the missing dep
+  (the honest production seam);
+* ``strict=False`` → a deterministic fake (byte-histogram features,
+  length-derived "dimensions") so the Ray-side plumbing — schema,
+  actor-pool signature, batch sizing, output layout — is real and
+  tested end-to-end.
+
+Batch-size guidance: binary payloads dominate block size; callers
+should pass a SMALL ``batch_size`` (e.g. 16-64) and let
+``DataContext.target_max_block_size`` keep blocks sane (SURVEY §4
+memory pressure).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),       # image | audio | video
+        ("payload", pa.binary()),
+        ("mime", pa.string()),
+        ("meta_width", pa.int32()),
+        ("meta_height", pa.int32()),
+        ("meta_duration_ms", pa.int32()),
+    ]
+)
+
+
+def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
+    """Deterministic fake media table for plumbing tests."""
+    rng = np.random.default_rng(seed)
+    kinds = ["image", "audio", "video"]
+    rows = {k.name: [] for k in MEDIA_SCHEMA}
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = rng.integers(0, 256, size=int(rng.integers(256, 4096)),
+                               dtype=np.uint8).tobytes()
+        rows["media_id"].append(i)
+        rows["kind"].append(kind)
+        rows["payload"].append(payload)
+        rows["mime"].append(
+            {"image": "image/png", "audio": "audio/wav",
+             "video": "video/mp4"}[kind]
+        )
+        rows["meta_width"].append(int(rng.integers(32, 1024)) if kind != "audio" else -1)
+        rows["meta_height"].append(int(rng.integers(32, 1024)) if kind != "audio" else -1)
+        rows["meta_duration_ms"].append(
+            int(rng.integers(1000, 60000)) if kind != "image" else -1
+        )
+    return pa.table(
+        {f.name: pa.array(rows[f.name], f.type) for f in MEDIA_SCHEMA}
+    )
+
+
+class ImageDecodeFeatures:
+    """Actor-pool stage: payload → fixed-dim feature vector.
+
+    Real path would be: PIL decode → resize → CNN/CLIP features on a
+    GPU actor (``num_gpus=...``).  Deterministic fake: 64-bin byte
+    histogram, L1-normalized.
+    """
+
+    FEATURE_DIM = 64
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+        if strict:
+            try:
+                import PIL  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "image decode requires Pillow, not present in this "
+                    "environment; run with strict=False for the "
+                    "deterministic fake"
+                ) from e
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for buf in batch["payload"].to_pylist():
+            arr = np.frombuffer(buf, dtype=np.uint8)
+            hist = np.bincount(arr >> 2, minlength=self.FEATURE_DIM).astype(
+                np.float32
+            )
+            s = hist.sum()
+            feats.append(hist / s if s else hist)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "feature": pa.array(
+                    [f.tolist() for f in feats],
+                    pa.list_(pa.float32(), self.FEATURE_DIM),
+                ),
+            }
+        )
+
+
+class AudioFrameSampler:
+    """Actor-pool stage: payload → fixed number of 'frame' digests.
+
+    Real path: ffmpeg/soundfile decode → resample → frame windows.
+    Deterministic fake: split payload into n_frames equal chunks and
+    emit each chunk's sha1-derived 8-byte digest.
+    """
+
+    def __init__(self, n_frames: int = 4, strict: bool = False):
+        self.n_frames = n_frames
+        if strict:
+            raise NotImplementedError(
+                "audio decode requires ffmpeg/soundfile, not present; "
+                "run with strict=False for the deterministic fake"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frame_idx, digests = [], [], []
+        for mid, buf in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            step = max(1, len(buf) // self.n_frames)
+            for f in range(self.n_frames):
+                chunk = buf[f * step : (f + 1) * step]
+                ids.append(mid)
+                frame_idx.append(f)
+                digests.append(
+                    int.from_bytes(hashlib.sha1(chunk).digest()[:8], "big")
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame": pa.array(frame_idx, pa.int32()),
+                "digest": pa.array(
+                    np.array(digests, dtype=np.uint64), pa.uint64()
+                ),
+            }
+        )
+
+
+def media_feature_pipeline(
+    media: ray.data.Dataset,
+    concurrency: int | tuple[int, int] = (1, 4),
+    batch_size: int = 32,
+) -> ray.data.Dataset:
+    """images → features via an actor pool with small batches (binary
+    payload discipline)."""
+    images = media.filter(expr="kind == 'image'")
+    return images.map_batches(
+        ImageDecodeFeatures,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def media_frame_pipeline(
+    media: ray.data.Dataset,
+    n_frames: int = 4,
+    concurrency: int | tuple[int, int] = (1, 4),
+    batch_size: int = 32,
+) -> ray.data.Dataset:
+    av = media.filter(expr="kind != 'image'")
+    return av.map_batches(
+        AudioFrameSampler,
+        fn_constructor_kwargs={"n_frames": n_frames},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,339 @@
+"""Generic relational pipelines over the driver test tables.
+
+These exercise the engine's relational surface — scan+prune, filter,
+projection, grouped aggregation (with partial pre-aggregation),
+broadcast join, partitioned hash join, sort, top-k, distinct — each as
+idiomatic Ray Data, each with an exact DuckDB-SQL twin registered in
+``__ray_entry__.oracle_sql`` (column names match the SQL aliases).
+
+Join strategy notes (SURVEY §2.4): every dimension table here
+(customer/nation/region/part) is small → broadcast via ``ray.put``
+and a pandas merge per batch — no shuffle.  The same pipelines on a
+large dimension would switch to the bucketed hash join in
+``hash_join`` below, which shuffles both sides on a key-hash column.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Exact integer cents via half-up rounding — ``floor(x*100+0.5)``
+    matches DuckDB's ``CAST(floor(x*100+0.5) AS BIGINT)`` bit-for-bit
+    on identical double inputs (no banker's-rounding divergence)."""
+    v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+    return np.floor(v * 100.0 + 0.5).astype(np.int64)
+
+
+def tpch_q1(sf_dir: str) -> pa.Table:
+    """TPC-H Q1-shaped pricing summary (no date filter — synthetic
+    data), demonstrating grouped aggregation with computed columns.
+
+    Float determinism: all money/rate columns are 2-decimal, so sums
+    run over exact integer cents (``floor(x*100+0.5)``) and convert to
+    dollars once at the end — the DuckDB oracle mirrors the identical
+    integer arithmetic, making result doubles bit-equal."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        q = _cents(t["l_quantity"])
+        p = _cents(t["l_extendedprice"])
+        d = _cents(t["l_discount"])
+        x = _cents(t["l_tax"])
+        disc_u = p * (100 - d)            # unit 1e-4 dollars
+        charge_u = disc_u * (100 + x)     # unit 1e-6 dollars
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_c": pa.array(q, pa.int64()),
+                "price_c": pa.array(p, pa.int64()),
+                "disc_c": pa.array(d, pa.int64()),
+                "disc_u": pa.array(disc_u, pa.int64()),
+                "charge_u": pa.array(charge_u, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(widen, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_c", alias_name="sq"),
+            Sum("price_c", alias_name="sp"),
+            Sum("disc_u", alias_name="sd"),
+            Sum("charge_u", alias_name="sc"),
+            Sum("disc_c", alias_name="sdisc"),
+            Count(alias_name="count_order"),
+        )
+        .sort(["l_returnflag", "l_linestatus"])
+        .to_pandas()
+    )
+    n = agg["count_order"]
+    out = pd.DataFrame(
+        {
+            "l_returnflag": agg["l_returnflag"],
+            "l_linestatus": agg["l_linestatus"],
+            "sum_qty": agg["sq"] / 100.0,
+            "sum_base_price": agg["sp"] / 100.0,
+            "sum_disc_price": agg["sd"] / 10000.0,
+            "sum_charge": agg["sc"] / 1000000.0,
+            "avg_qty": (agg["sq"] / 100.0) / n,
+            "avg_price": (agg["sp"] / 100.0) / n,
+            "avg_disc": (agg["sdisc"] / 100.0) / n,
+            "count_order": n,
+        }
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def top_customers(sf_dir: str, k: int = 10) -> pa.Table:
+    """Revenue top-k: orders aggregated then joined to the (small)
+    customer dimension via broadcast — no shuffle join."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "tp_c": pa.array(_cents(t["o_totalprice"]), pa.int64()),
+            }
+        )
+
+    revenue = (
+        orders.map_batches(widen, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Sum("tp_c", alias_name="rev_c"),
+            Count(alias_name="n_orders"),
+        )
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    cust_ref = ray.put(cust)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        cdf = ray.get(cust_ref)
+        df = batch.to_pandas().merge(
+            cdf, left_on="o_custkey", right_on="c_custkey", how="inner"
+        )
+        df["revenue"] = df["rev_c"] / 100.0
+        return pa.Table.from_pandas(
+            df[["c_custkey", "c_name", "revenue", "n_orders"]],
+            preserve_index=False,
+        )
+
+    joined = revenue.map_batches(attach, batch_format="pyarrow")
+    top = joined.sort(["revenue", "c_custkey"], descending=[True, False]).limit(k)
+    return pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+
+
+def customers_per_region(sf_dir: str) -> pa.Table:
+    """Three-way broadcast join chain: customer → nation → region →
+    counts per region name."""
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    dim = nation.merge(
+        region, left_on="n_regionkey", right_on="r_regionkey"
+    )[["n_nationkey", "r_name"]]
+    dim_ref = ray.put(dim)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        d = ray.get(dim_ref)
+        df = batch.to_pandas().merge(
+            d, left_on="c_nationkey", right_on="n_nationkey"
+        )
+        return pa.Table.from_pandas(df[["r_name"]], preserve_index=False)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    out = (
+        cust.map_batches(tag, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_customers"))
+        .sort("r_name")
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def brand_revenue(sf_dir: str) -> pa.Table:
+    """lineitem ⋈ part on partkey (part broadcast; at scale use
+    ``hash_join``) → revenue per brand."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    part_ref = ray.put(part)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        p = ray.get(part_ref)
+        df = batch.to_pandas()
+        df["rev_u"] = _cents(batch["l_extendedprice"]) * (
+            100 - _cents(batch["l_discount"])
+        )
+        df = df.merge(p, left_on="l_partkey", right_on="p_partkey",
+                      how="inner")
+        return pa.Table.from_pandas(
+            df[["p_brand", "rev_u"]], preserve_index=False
+        )
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount"])
+    agg = (
+        li.map_batches(attach, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(
+            Sum("rev_u", alias_name="rev_u_sum"),
+            Count(alias_name="n_items"),
+        )
+        .sort("p_brand")
+        .to_pandas()
+    )
+    agg["revenue"] = agg["rev_u_sum"] / 10000.0
+    return pa.Table.from_pandas(
+        agg[["p_brand", "revenue", "n_items"]], preserve_index=False
+    )
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_key: str,
+    right_key: str,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Explicit partitioned hash join for two LARGE sides: both sides
+    gain a ``__bucket`` = hash(key) % B column, are grouped by it, and
+    matching buckets merge pairwise inside ``map_groups``.  Skewed hot
+    keys should be salted into sub-buckets by the caller (documented
+    seam; dimension tables here never need it)."""
+
+    def bucketed(ds: ray.data.Dataset, key: str, side: str) -> ray.data.Dataset:
+        def add(batch: pa.Table) -> pa.Table:
+            k = batch[key].to_numpy(zero_copy_only=False)
+            h = pd.util.hash_array(np.asarray(k)) % num_buckets
+            t = batch.append_column(
+                "__bucket", pa.array(h.astype(np.int32), pa.int32())
+            )
+            return t.append_column("__side", pa.array([side] * len(k)))
+
+        return ds.map_batches(add, batch_format="pyarrow")
+
+    lb = bucketed(left, left_key, "l")
+    rb = bucketed(right, right_key, "r")
+    both = lb.union(rb)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "l"].drop(columns=["__bucket", "__side"])
+        rg = g[g["__side"] == "r"].drop(columns=["__bucket", "__side"])
+        lg = lg.dropna(axis=1, how="all")
+        rg = rg.dropna(axis=1, how="all")
+        if lg.empty or rg.empty:
+            return pd.DataFrame()
+        return lg.merge(rg, left_on=left_key, right_on=right_key)
+
+    return both.groupby("__bucket").map_groups(
+        join_bucket, batch_format="pandas"
+    )
+
+
+def events_hourly(sf_dir: str) -> pa.Table:
+    """Stream-shaped: tumbling 1-hour windows per event_type
+    (``floor_temporal`` + grouped agg; SURVEY §2.8 — semantics stay
+    batch, ordering from the window key not arrival order)."""
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def window(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour": hour,
+                "value": t["value"],
+                "value_c": pa.array(_cents(t["value"]), pa.int64()),
+            }
+        )
+
+    agg = (
+        ev.map_batches(window, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_c", alias_name="sum_value_c"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+        )
+        .sort(["event_type", "hour"])
+        .to_pandas()
+    )
+    agg["sum_value"] = agg["sum_value_c"] / 100.0
+    # DuckDB returns timestamps at us precision; align so value hashes
+    # compare dtype-identically
+    agg["hour"] = agg["hour"].astype("datetime64[us]")
+    return pa.Table.from_pandas(
+        agg[["event_type", "hour", "n_events", "sum_value",
+             "min_value", "max_value"]],
+        preserve_index=False,
+    )
+
+
+def user_activity(sf_dir: str) -> pa.Table:
+    """Per-user session-ish rollup: count, total value, active span."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "value_c": pa.array(_cents(t["value"]), pa.int64()),
+            }
+        )
+
+    agg = (
+        ev.map_batches(widen, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_c", alias_name="total_value_c"),
+            Min("ts", alias_name="first_ts"),
+            Max("ts", alias_name="last_ts"),
+        )
+        .sort("user_id")
+        .to_pandas()
+    )
+    agg["total_value"] = agg["total_value_c"] / 100.0
+    return pa.Table.from_pandas(
+        agg[["user_id", "n_events", "total_value", "first_ts", "last_ts"]],
+        preserve_index=False,
+    )
+
+
+def docs_lang_stats(sf_dir: str) -> pa.Table:
+    """documents per-lang rollup (M11 char accounting analogue)."""
+    docs = _read(sf_dir, "documents", ["lang", "n_chars"])
+    out = (
+        docs.groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="total_chars"),
+            Mean("n_chars", alias_name="avg_chars"),
+        )
+        .sort("lang")
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def distinct_langs(sf_dir: str) -> pa.Table:
+    """Set op: distinct values of a column (``ds.unique`` shuffle)."""
+    docs = _read(sf_dir, "documents", ["lang"])
+    vals = sorted(docs.unique("lang"))
+    return pa.table({"lang": pa.array(vals, pa.string())})

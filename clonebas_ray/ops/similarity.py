@@ -1,0 +1,266 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* ``knn_brute`` — exact cosine top-k: the query matrix is broadcast
+  once (``ray.put``), every batch computes one matmul against it and
+  emits only its LOCAL top-k rows per query (a combiner), so the
+  driver-side merge sees ``num_batches * k`` rows, not N.
+* ``ivf_knn`` — the scale path: a small k-means codebook (trained on a
+  driver-side sample) partitions vectors into lists; queries probe
+  only the ``n_probe`` nearest lists.  Recall < 1 by design; the
+  codebook rides along as broadcast state in the assignment actor.
+
+Ties are broken by ``(round(cos, 6) desc, vec_id asc)`` so results are
+reproducible and comparable against a DuckDB oracle using
+``list_cosine_similarity``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _batch_embeddings(batch: pa.Table, col: str) -> np.ndarray:
+    """list<float> column → (n, dim) float64 matrix.  float64 so the
+    cosine math matches a DuckDB oracle computing on DOUBLE[] casts to
+    within ~1 ulp (float32 kernels diverge in the 7th digit, which
+    round(,6) can expose)."""
+    arr = batch[col].combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.chunk(0)
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = len(flat) // len(arr)
+    return flat.reshape(len(arr), dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def knn_brute(
+    vectors: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_ids: np.ndarray | None = None,
+) -> pa.Table:
+    """→ (query_id, rank, vec_id, cosine) for the top-k per query."""
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(qn)
+    if query_ids is None:
+        query_ids = np.arange(len(qn), dtype=np.int64)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        emb = _normalize(_batch_embeddings(batch, emb_col))
+        ids = batch[id_col].to_numpy()
+        cos = emb @ q.T  # (n, Q)
+        kk = min(k, len(ids))
+        # local top-k per query (combiner): argpartition then sort
+        top = np.argpartition(-cos, kk - 1, axis=0)[:kk]  # (kk, Q)
+        out_q, out_i, out_c = [], [], []
+        for qi in range(q.shape[0]):
+            sel = top[:, qi]
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_i.append(ids[sel])
+            out_c.append(cos[sel, qi].astype(np.float64))
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_i), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+            }
+        )
+
+    partials = vectors.select_columns([id_col, emb_col]).map_batches(
+        local_topk, batch_format="pyarrow"
+    )
+    df = partials.to_pandas()
+    df["cosine_r"] = df["cosine"].round(6)
+    df = df.sort_values(
+        ["query_id", "cosine_r", "vec_id"], ascending=[True, False, True]
+    )
+    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df["query_id"] = query_ids[df["query_id"].to_numpy()]
+    return pa.table(
+        {
+            "query_id": pa.array(df["query_id"], pa.int64()),
+            "rank": pa.array(df["rank"], pa.int64()),
+            "vec_id": pa.array(df["vec_id"], pa.int64()),
+            "cosine": pa.array(df["cosine_r"], pa.float64()),
+        }
+    )
+
+
+def train_codebook(
+    vectors: ray.data.Dataset,
+    n_lists: int = 16,
+    sample_rows: int = 4096,
+    iters: int = 10,
+    emb_col: str = "embedding",
+    seed: int = 11,
+) -> np.ndarray:
+    """Tiny k-means (driver-side, on a sample) — the IVF codebook."""
+    sample = vectors.select_columns([emb_col]).limit(sample_rows)
+    mats = [
+        _batch_embeddings(b, emb_col)
+        for b in sample.iter_batches(batch_size=1024, batch_format="pyarrow")
+    ]
+    x = _normalize(np.vstack(mats))
+    rng = np.random.default_rng(seed)
+    centroids = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = (x @ centroids.T).argmax(axis=1)
+        for c in range(len(centroids)):
+            mask = assign == c
+            if mask.any():
+                centroids[c] = x[mask].mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+def ivf_knn(
+    vectors: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pa.Table:
+    """Approximate top-k: probe only the ``n_probe`` nearest inverted
+    lists per query.  Same output schema as ``knn_brute``."""
+    centroids = train_codebook(vectors, n_lists=n_lists, emb_col=emb_col)
+    c_ref = ray.put(centroids)
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    probes = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]  # (Q, p)
+    probe_sets = [set(row) for row in probes]
+    q_ref = ray.put((qn, probe_sets))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        cents = ray.get(c_ref)
+        q, psets = ray.get(q_ref)
+        emb = _normalize(_batch_embeddings(batch, emb_col))
+        ids = batch[id_col].to_numpy()
+        lists = (emb @ cents.T).argmax(axis=1)  # list id per vector
+        cos = emb @ q.T
+        out_q, out_i, out_c = [], [], []
+        for qi in range(q.shape[0]):
+            mask = np.isin(lists, list(psets[qi]))
+            if not mask.any():
+                continue
+            c = cos[mask, qi]
+            vid = ids[mask]
+            kk = min(k, len(vid))
+            sel = np.argpartition(-c, kk - 1)[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_i.append(vid[sel])
+            out_c.append(c[sel].astype(np.float64))
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_i), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+            }
+        )
+
+    partials = vectors.select_columns([id_col, emb_col]).map_batches(
+        local_topk, batch_format="pyarrow"
+    )
+    df = partials.to_pandas()
+    df["cosine_r"] = df["cosine"].round(6)
+    df = df.sort_values(
+        ["query_id", "cosine_r", "vec_id"], ascending=[True, False, True]
+    )
+    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return pa.table(
+        {
+            "query_id": pa.array(df["query_id"], pa.int64()),
+            "rank": pa.array(df["rank"], pa.int64()),
+            "vec_id": pa.array(df["vec_id"], pa.int64()),
+            "cosine": pa.array(df["cosine_r"], pa.float64()),
+        }
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: ray.data.Dataset,
+    threshold: float = 0.95,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pa.Table:
+    """Embedding-cosine near-duplicate pairs: vectors are bucketed by
+    their nearest centroid (IVF lists) and all-pairs cosine runs only
+    within each list — the embedding analogue of the LSH candidate
+    join.  Boundary pairs split across lists are missed (documented
+    approximation; raise n_probe-style multi-assignment to trade cost
+    for recall)."""
+    centroids = train_codebook(vectors, n_lists=n_lists, emb_col=emb_col)
+    c_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(c_ref)
+        emb = _normalize(_batch_embeddings(batch, emb_col))
+        lists = (emb @ cents.T).argmax(axis=1).astype(np.int32)
+        return pa.table(
+            {
+                "list_id": pa.array(lists, pa.int32()),
+                id_col: batch[id_col],
+                emb_col: batch[emb_col],
+            }
+        )
+
+    assigned = vectors.select_columns([id_col, emb_col]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+    def pair_list(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        emb = _normalize(np.vstack(g[emb_col].to_numpy()))
+        cos = emb @ emb.T
+        a, b = np.nonzero(np.triu(cos >= threshold, k=1))
+        return pd.DataFrame(
+            {
+                "vec_a": ids[a],
+                "vec_b": ids[b],
+                "cosine": np.round(cos[a, b].astype(np.float64), 6),
+            }
+        )
+
+    pairs = assigned.groupby("list_id").map_groups(
+        pair_list, batch_format="pandas"
+    )
+    df = pairs.to_pandas()
+    if df.empty:
+        return pa.table(
+            {
+                "vec_a": pa.array([], pa.int64()),
+                "vec_b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+    a = df["vec_a"].to_numpy().copy()
+    b = df["vec_b"].to_numpy().copy()
+    swap = a > b
+    a[swap], b[swap] = df["vec_b"].to_numpy()[swap], df["vec_a"].to_numpy()[swap]
+    out = pd.DataFrame({"vec_a": a, "vec_b": b, "cosine": df["cosine"].to_numpy()})
+    out = out.drop_duplicates(["vec_a", "vec_b"]).sort_values(["vec_a", "vec_b"])
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)

@@ -1,0 +1,192 @@
+"""Text-analysis operators for training-data curation: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All are single ``map_batches`` stages; the stateful ones (compiled
+regexes, stopword tables) are callable classes so the state builds
+once per actor.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from clonebas_ray.functions.murmur3 import hash128
+
+#: tiny per-language stopword lists for the n-gram/stopword heuristic
+#: language identifier (public common-word lists)
+STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "es", "por", "los"},
+    "fr": {"le", "la", "de", "et", "un", "est", "que", "pour", "dans"},
+}
+
+
+class LanguageId:
+    """Stopword-ratio language ID: argmax over per-language hit rates;
+    'und' (undetermined) when nothing matches."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.word_re = re.compile(r"[a-zA-Z']+")
+        self.tables = {lang: ws for lang, ws in STOPWORDS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        langs, scores = [], []
+        for t in texts:
+            toks = [w.lower() for w in self.word_re.findall(t)]
+            if not toks:
+                langs.append("und")
+                scores.append(0.0)
+                continue
+            best_lang, best = "und", 0.0
+            for lang, ws in self.tables.items():
+                hit = sum(1 for w in toks if w in ws) / len(toks)
+                if hit > best:
+                    best_lang, best = lang, hit
+            langs.append(best_lang)
+            scores.append(round(best, 6))
+        return batch.append_column(
+            "lang_pred", pa.array(langs, pa.string())
+        ).append_column("lang_score", pa.array(scores, pa.float64()))
+
+
+class QualityScore:
+    """Heuristic document quality: length, mean word length, stopword
+    ratio, punctuation ratio, digit ratio, repetition ratio — folded
+    into one [0,1] score (C4/Gopher-style filters, simplified)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.punct_re = re.compile(r"[.,;:!?]")
+        self.digit_re = re.compile(r"\d")
+        self.stop = STOPWORDS["en"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        cols = {
+            "n_chars_q": [], "n_tokens": [], "mean_word_len": [],
+            "stop_ratio": [], "punct_ratio": [], "digit_ratio": [],
+            "rep_ratio": [], "quality": [],
+        }
+        for t in texts:
+            toks = t.split()
+            n = len(t)
+            nt = len(toks)
+            mwl = (sum(len(w) for w in toks) / nt) if nt else 0.0
+            sr = (sum(1 for w in toks if w.lower() in self.stop) / nt) if nt else 0.0
+            pr = len(self.punct_re.findall(t)) / max(1, n)
+            dr = len(self.digit_re.findall(t)) / max(1, n)
+            rep = 1.0 - (len(set(toks)) / nt) if nt else 0.0
+            q = 1.0
+            if nt < 10 or nt > 100_000:
+                q *= 0.2
+            if not (2.0 <= mwl <= 12.0):
+                q *= 0.5
+            q *= min(1.0, 0.2 + sr * 4)  # some stopwords = natural prose
+            q *= 1.0 - min(0.8, rep)     # heavy repetition = boilerplate
+            cols["n_chars_q"].append(n)
+            cols["n_tokens"].append(nt)
+            cols["mean_word_len"].append(round(mwl, 6))
+            cols["stop_ratio"].append(round(sr, 6))
+            cols["punct_ratio"].append(round(pr, 6))
+            cols["digit_ratio"].append(round(dr, 6))
+            cols["rep_ratio"].append(round(rep, 6))
+            cols["quality"].append(round(q, 6))
+        out = batch
+        for name in cols:
+            typ = pa.int64() if name in ("n_chars_q", "n_tokens") else pa.float64()
+            out = out.append_column(name, pa.array(cols[name], typ))
+        return out
+
+
+_BPE_ISH = re.compile(r"\w+|[^\w\s]")
+
+
+def token_counts(
+    ds: ray.data.Dataset, text_col: str = "text"
+) -> ray.data.Dataset:
+    """Append whitespace and BPE-ish (word/punct split) token counts —
+    vectorized via pyarrow where possible."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ws = np.fromiter(
+            (len(t.split()) for t in texts), dtype=np.int64, count=len(texts)
+        )
+        bpe = np.fromiter(
+            (len(_BPE_ISH.findall(t)) for t in texts),
+            dtype=np.int64, count=len(texts),
+        )
+        return batch.append_column(
+            "ws_tokens", pa.array(ws, pa.int64())
+        ).append_column("bpe_tokens", pa.array(bpe, pa.int64()))
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+class DocFingerprint:
+    """64-bit rolling-hash document fingerprint: polynomial rolling
+    hash over token murmur hashes (Rabin-Karp style), order-sensitive
+    — a cheap content identity robust to whitespace normalization."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self._cache: dict[str, int] = {}
+        self.base = 0x100000001B3
+
+    def _tok_hash(self, w: str) -> int:
+        h = self._cache.get(w)
+        if h is None:
+            h = hash128(w, 0xBEEF)[0]
+            self._cache[w] = h
+        return h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mask = (1 << 64) - 1
+        out = []
+        for t in batch[self.text_col].to_pylist():
+            acc = 0
+            for w in t.split():
+                acc = (acc * self.base + self._tok_hash(w)) & mask
+            out.append(acc)
+        return batch.append_column(
+            "fingerprint", pa.array(np.array(out, dtype=np.uint64), pa.uint64())
+        )
+
+
+def word_census(
+    ds: ray.data.Dataset, text_col: str = "text"
+) -> ray.data.Dataset:
+    """Global word census (SURVEY M10/A5 — the reference's
+    ``-nodeCount`` over AST node names, here over document tokens):
+    per-batch partial counts, then one small groupby over partials.
+    Tokenization = split on single spaces, matching DuckDB's
+    ``string_split(text, ' ')`` for the oracle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in batch[text_col].to_pylist():
+            for w in t.split(" "):
+                counts[w] = counts.get(w, 0) + 1
+        return pa.table(
+            {
+                "word": pa.array(list(counts), pa.string()),
+                "partial_n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.select_columns([text_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return partials.groupby("word").aggregate(Sum("partial_n", alias_name="n"))

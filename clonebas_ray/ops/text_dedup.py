@@ -1,0 +1,357 @@
+"""Deduplication family over document tables (doc_id, text, ...).
+
+Five operators, each streaming Ray Data pipelines:
+
+* exact dedup        — content-hash groupby, keep min doc_id;
+* SimHash near-dup   — the flagship clone pipeline in ``text`` word
+                       mode (tokens as eigen words), reusing the LSH
+                       candidate join + Hamming verify + union-find;
+* MinHash + LSH      — shingle → 128-perm minhash → banded buckets →
+                       groupby → candidate pairs → exact Jaccard
+                       verify → union-find clusters;
+* n-gram Jaccard     — the verify kernel, exposed standalone;
+* embedding cosine   — see ``clonebas_ray.ops.similarity``.
+
+All per-batch kernels are vectorized numpy; per-actor state (hash
+coefficients, token-id caches) is built once in ``__init__``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from clonebas_ray.functions.murmur3 import hash128
+
+_MERSENNE_P = (1 << 61) - 1
+
+
+def add_content_hash(
+    ds: ray.data.Dataset, text_col: str = "text", algo: str = "md5"
+) -> ray.data.Dataset:
+    """Append ``content_hash`` (hex digest of the text column)."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        h = [
+            getattr(hashlib, algo)(t.encode("utf-8", "surrogatepass")).hexdigest()
+            for t in batch[text_col].to_pylist()
+        ]
+        return batch.append_column("content_hash", pa.array(h, pa.string()))
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def exact_dedup_docs(
+    ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> ray.data.Dataset:
+    """doc table → (content_hash, rep_id, n_dups): one row per distinct
+    content, keeping the smallest id as representative.
+
+    Pattern: hash in ``map_batches`` → per-batch partial (min id,
+    count) → small ``groupby`` merge — full rows never shuffle.
+    """
+    hashed = add_content_hash(ds, text_col)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["content_hash", id_col]).to_pandas()
+        g = (
+            df.groupby("content_hash", sort=False)[id_col]
+            .agg(["min", "size"])
+            .reset_index()
+        )
+        g.columns = ["content_hash", "rep_id", "n_dups"]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "content_hash": [g["content_hash"].iloc[0]],
+                "rep_id": [g["rep_id"].min()],
+                "n_dups": [g["n_dups"].sum()],
+            }
+        )
+
+    return (
+        hashed.map_batches(partial, batch_format="pyarrow")
+        .groupby("content_hash")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def _shingle_hashes(tokens: list[int], k: int) -> np.ndarray:
+    """k-token shingle hashes from per-token 64-bit hashes via a
+    rolling polynomial (vectorized)."""
+    arr = np.asarray(tokens, dtype=np.uint64)
+    n = len(arr)
+    if n < k:
+        return arr[:1] if n else np.zeros(1, dtype=np.uint64)
+    # polynomial combine: sum token_hash * B^pos over window
+    B = np.uint64(0x100000001B3)  # FNV prime as the mix base
+    acc = np.zeros(n - k + 1, dtype=np.uint64)
+    for off in range(k):
+        acc = acc * B + arr[off : n - k + 1 + off]
+    return np.unique(acc)
+
+
+class MinHasher:
+    """Stateful minhash worker: hash coefficients + token-id cache live
+    per actor; emits one signature row per doc plus banded bucket keys.
+    """
+
+    def __init__(self, num_perm: int = 128, shingle_k: int = 5,
+                 n_bands: int = 32, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE_P, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE_P, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.k = shingle_k
+        self.n_bands = n_bands
+        self.rows_per_band = num_perm // n_bands
+        self._token_cache: dict[str, int] = {}
+
+    def _token_ids(self, text: str) -> list[int]:
+        cache = self._token_cache
+        out = []
+        for t in text.split():
+            h = cache.get(t)
+            if h is None:
+                h = hash128(t, 0x1234)[0]
+                cache[t] = h
+            out.append(h)
+        return out
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(self._token_ids(text), self.k)
+        # h_i(x) = (a_i * x + b_i) mod p, folded to uint64
+        x = sh.astype(np.uint64)[:, None]
+        vals = (x * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE_P)
+        return vals.min(axis=0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        sigs = np.vstack([self.signature(t) for t in texts])
+        # band hash: fold each band's rows into one uint64
+        r = self.rows_per_band
+        bands = sigs.reshape(len(ids), self.n_bands, r)
+        folded = np.zeros((len(ids), self.n_bands), dtype=np.uint64)
+        for i in range(r):
+            folded = folded * np.uint64(0x100000001B3) + bands[:, :, i]
+        band_idx = np.tile(np.arange(self.n_bands, dtype=np.uint64), len(ids))
+        doc_rep = np.repeat(np.asarray(ids, dtype=np.int64), self.n_bands)
+        return pa.table(
+            {
+                "band_key": pa.array(
+                    (band_idx << np.uint64(56))
+                    ^ (folded.reshape(-1) & np.uint64((1 << 56) - 1)),
+                    pa.uint64(),
+                ),
+                "doc_id": pa.array(doc_rep, pa.int64()),
+            }
+        )
+
+
+def jaccard(tokens_a: set, tokens_b: set) -> float:
+    """n-gram Jaccard similarity (exposed standalone as the verify
+    kernel)."""
+    if not tokens_a and not tokens_b:
+        return 1.0
+    inter = len(tokens_a & tokens_b)
+    return inter / (len(tokens_a) + len(tokens_b) - inter)
+
+
+def shingle_set(text: str, k: int = 5) -> set:
+    toks = text.split()
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def minhash_lsh_pairs(
+    docs: ray.data.Dataset,
+    num_perm: int = 128,
+    shingle_k: int = 5,
+    n_bands: int = 32,
+    threshold: float = 0.8,
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> ray.data.Dataset:
+    """documents → verified near-dup pairs (doc_a, doc_b, jaccard).
+
+    Shuffle layout mirrors the flagship: banded keys → groupby → bucket
+    candidate pairs; verification (exact Jaccard on shingle sets)
+    re-reads only candidate docs via a broadcast text lookup — at
+    sf-test scale the doc table is broadcast; at 100 TB swap in a
+    hash-partitioned text join keyed by doc_id (documented seam).
+    """
+    import ray as ray_api
+
+    P = 64  # pairing partitions (amortizes tiny-bucket scheduling)
+
+    keyed = docs.select_columns(["doc_id", "text"]).map_batches(
+        MinHasher,
+        fn_constructor_kwargs={
+            "num_perm": num_perm, "shingle_k": shingle_k, "n_bands": n_bands,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = batch["band_key"].to_numpy().astype(np.uint64)
+        part = (
+            (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(52)
+        ) % np.uint64(P)
+        return batch.append_column(
+            "band_part", pa.array(part.astype(np.int32), pa.int32())
+        )
+
+    keyed = keyed.map_batches(add_part, batch_format="pyarrow")
+
+    def partition_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in part.groupby("band_key", sort=False):
+            ids = np.unique(g["doc_id"].to_numpy())
+            if len(ids) < 2:
+                continue
+            a, b = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[a])
+            out_b.append(ids[b])
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_a": pd.Series(dtype="int64"),
+                 "doc_b": pd.Series(dtype="int64")}
+            )
+        df = pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        )
+        return df.drop_duplicates()
+
+    candidates = keyed.groupby("band_part").map_groups(
+        partition_pairs, batch_format="pandas"
+    )
+
+    text_df = docs.select_columns(["doc_id", "text"]).to_pandas()
+    text_map = dict(zip(text_df["doc_id"], text_df["text"]))
+    text_ref = ray_api.put(text_map)
+    k = shingle_k
+    thr = threshold
+
+    class Verifier:
+        def __init__(self):
+            self.texts = ray_api.get(text_ref)
+            self._cache: dict[int, set] = {}
+
+        def _sh(self, d: int) -> set:
+            s = self._cache.get(d)
+            if s is None:
+                s = shingle_set(self.texts[d], k)
+                self._cache[d] = s
+            return s
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            da = batch["doc_a"].to_pylist()
+            db = batch["doc_b"].to_pylist()
+            seen = set()
+            oa, ob, oj = [], [], []
+            for x, y in zip(da, db):
+                if (x, y) in seen:
+                    continue
+                seen.add((x, y))
+                j = jaccard(self._sh(x), self._sh(y))
+                if j >= thr:
+                    oa.append(x)
+                    ob.append(y)
+                    oj.append(round(j, 6))
+            return pa.table(
+                {
+                    "doc_a": pa.array(oa, pa.int64()),
+                    "doc_b": pa.array(ob, pa.int64()),
+                    "jaccard": pa.array(oj, pa.float64()),
+                }
+            )
+
+    return candidates.map_batches(
+        Verifier, batch_format="pyarrow", concurrency=concurrency
+    )
+
+
+def minhash_dedup_clusters(
+    docs: ray.data.Dataset, **kwargs
+) -> pa.Table:
+    """Full MinHash-LSH dedup: pairs → driver union-find →
+    (doc_id, cluster_id) assignments."""
+    from clonebas_ray.stages.cluster import union_find_clusters
+
+    pairs = minhash_lsh_pairs(docs, **kwargs)
+    pdf = pairs.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+    edge_t = pa.table(
+        {
+            "sha_a": pa.array(pdf["doc_a"].astype(str), pa.string()),
+            "sha_b": pa.array(pdf["doc_b"].astype(str), pa.string()),
+        }
+    )
+    assignment = union_find_clusters(edge_t)
+    ids = sorted(assignment, key=int)
+    return pa.table(
+        {
+            "doc_id": pa.array([int(i) for i in ids], pa.int64()),
+            "cluster_id": pa.array([assignment[i] for i in ids], pa.int64()),
+        }
+    )
+
+
+def docs_as_files(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Adapt (doc_id, text, ...) to the flagship file-table shape with
+    ``lang='text'`` so the clone pipeline's token-shingle mode applies."""
+
+    def adapt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch["doc_id"].to_pylist()
+        repo = (
+            batch["source"]
+            if "source" in batch.column_names
+            else pa.array(["docs"] * n, pa.string())
+        )
+        return pa.table(
+            {
+                "repo": repo,
+                "path": pa.array([f"doc/{i}" for i in ids], pa.string()),
+                "commit": pa.array([""] * n, pa.string()),
+                "lang": pa.array(["text"] * n, pa.string()),
+                "content": batch["text"],
+            }
+        )
+
+    return docs.map_batches(adapt, batch_format="pyarrow")
+
+
+def simhash_text_dedup(
+    docs: ray.data.Dataset, config=None,
+    concurrency: int | tuple[int, int] | None = None,
+) -> pa.Table:
+    """SimHash near-dup clusters over documents via the flagship stages
+    (no checkpointing — in-memory variant for tables already loaded):
+    returns (sha, cluster_id, tier)."""
+    from clonebas_ray.config import DEFAULT_CONFIG
+    from clonebas_ray.stages.ingest import prepare_stage
+    from clonebas_ray.stages.fingerprint import fingerprint_stage
+    from clonebas_ray.stages.candidates import (
+        sig_groups, candidate_edges, membership_edges,
+    )
+    from clonebas_ray.stages.cluster import union_find_clusters, clusters_table
+
+    cfg = config or DEFAULT_CONFIG
+    files = docs_as_files(docs)
+    fp = fingerprint_stage(prepare_stage(files), cfg, concurrency=concurrency)
+    sigs = sig_groups(fp, cfg).materialize()
+    edges = candidate_edges(sigs, cfg).union(membership_edges(sigs, cfg))
+    high = edges.filter(expr=f"hamming <= {cfg.t_high}")
+    edge_t = pa.Table.from_pandas(
+        high.select_columns(["sha_a", "sha_b"]).to_pandas()
+    )
+    return clusters_table(union_find_clusters(edge_t), tier=1)

@@ -83,6 +83,16 @@ class OracleFingerprint:
     sig_lo: int
     token_num: int
     file_key: str  # repo/path@commit — the "filename" for same/diff-file
+    # --- block mode (reference default path) ---
+    fp_type: int = 8  # FP_Type ordinal (EigenWord.h:111-114)
+    block_id: int = 0
+    #: indices (into the fingerprint list) of ancestor-block
+    #: fingerprints in the same file — m_fathernodes (J4)
+    father_idx: tuple = ()
+    #: indices of immediate-child-block fingerprints — m_comp_son_nodes
+    child_idx: tuple = ()
+    #: J6 child-suppression flag (SimHasher.cpp:58-89)
+    to_be_cmp: bool = True
 
 
 @dataclass
@@ -130,12 +140,70 @@ def _check_to_compare(
     # span gate — SimHasher.cpp:97-99 (0.3 hard-coded)
     if abs(a.token_num - b.token_num) > min(a.token_num, b.token_num) * config.span_gate:
         return False
+    # ancestor exclusion (J4) — SimHasher.cpp:101-110: a fingerprint
+    # never pairs with any of its own AST-ancestor fingerprints
+    if a.father_idx and b.index in a.father_idx:
+        return False
+    if b.father_idx and a.index in b.father_idx:
+        return False
     # same/diff file filters — SimHasher.cpp:111-122
     if config.only_diff_file and a.file_key == b.file_key:
         return False
     if config.only_same_file and a.file_key != b.file_key:
         return False
     return True
+
+
+def compute_block_fingerprints(
+    rows: list[dict], config: PipelineConfig = DEFAULT_CONFIG
+) -> list[OracleFingerprint]:
+    """Block mode (the reference's default path): one fingerprint per
+    simplified block, appended post-order within each file
+    (``Main.cpp:178-244``), with ancestor/child bookkeeping.  Only
+    span-gated blocks emit (``FixedNode.cpp:58,99,144``)."""
+    import hashlib
+
+    reg = ExtractorRegistry(ast_opt=config.ast_opt)
+    cache = WordVectorCache(config.weight_table(), config.seed)
+    fps: list[OracleFingerprint] = []
+    for row in rows:
+        content = row["content"]
+        sha = hashlib.sha256(content.encode()).hexdigest()
+        fkey = f"{row.get('repo','')}/{row.get('path','')}@{row.get('commit','')}"
+        blocks = reg.get(row.get("lang", "cpp")).extract_blocks(content)
+        # map block_id → fingerprint index for gated blocks of THIS file
+        by_block: dict[int, int] = {}
+        parent_of: dict[int, int] = {}
+        file_fps: list[OracleFingerprint] = []
+        for b in blocks:  # post-order
+            parent_of[b["block_id"]] = b["parent_id"]
+            span = b["end"] - b["begin"]
+            if span <= config.char_boundary:
+                continue
+            hi, lo = simhash_of_words(b["words"], cache, config.fold_threshold)
+            idx = len(fps) + len(file_fps)
+            fp = OracleFingerprint(
+                index=idx, sha=sha, sig_hi=hi, sig_lo=lo, token_num=span,
+                file_key=fkey, fp_type=b["fp_type"], block_id=b["block_id"],
+            )
+            by_block[b["block_id"]] = idx
+            file_fps.append(fp)
+        # ancestors: walk parent chain; children: immediate gated kids
+        children: dict[int, list[int]] = {}
+        for fp in file_fps:
+            fathers = []
+            p = parent_of.get(fp.block_id, -1)
+            while p != -1:
+                if p in by_block:
+                    fathers.append(by_block[p])
+                p = parent_of.get(p, -1)
+            fp.father_idx = tuple(fathers)
+            if fathers:
+                children.setdefault(fathers[0], []).append(fp.index)
+        for fp in file_fps:
+            fp.child_idx = tuple(children.get(fp.index, ()))
+        fps.extend(file_fps)
+    return fps
 
 
 def greedy_cluster(
@@ -156,6 +224,10 @@ def greedy_cluster(
                 continue
             if not _check_to_compare(fps[i], fps[j], config):
                 continue
+            # J6 child suppression: skip only when BOTH sides are
+            # flagged (SimHasher.cpp:172-174)
+            if not fps[i].to_be_cmp and not fps[j].to_be_cmp:
+                continue
             # complete linkage: j must be within sigma of EVERY member
             ok = True
             for m in same_set_with_i:
@@ -167,7 +239,57 @@ def greedy_cluster(
                 same_set_with_i.append(j)
                 uf.join(i, j)
                 sim_cnt += 1
+                # mark both sides' immediate compound children
+                # (markSonToNotCmp, SimHasher.cpp:58-89)
+                for c in fps[i].child_idx:
+                    fps[c].to_be_cmp = False
+                for c in fps[j].child_idx:
+                    fps[c].to_be_cmp = False
     return uf, sim_cnt
+
+
+def unit_key(fp: OracleFingerprint) -> str:
+    return f"{fp.sha}:{fp.block_id}"
+
+
+def run_block_oracle(
+    rows: list[dict], config: PipelineConfig = DEFAULT_CONFIG
+) -> OracleResult:
+    """Block-mode oracle: greedy clustering over per-block fingerprints
+    with ancestor exclusion + child suppression.  Pair keys are
+    ``sha:block_id`` units.  Tier flags are NOT reset between the high
+    and normal passes — the reference shares ``to_be_cmp`` across both
+    ``initDisJointSet`` calls (``SimHasher.cpp:21-22``)."""
+    fps = compute_block_fingerprints(rows, config)
+    # re-number indices post-gating so list positions match fp.index
+    for pos, fp in enumerate(fps):
+        assert fp.index == pos
+    n = len(fps)
+    t_max = max(config.t_high, config.t_normal)
+    edges = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            if not _check_to_compare(fps[i], fps[j], config):
+                continue
+            d = popcount128(fps[i].sig_hi, fps[i].sig_lo,
+                            fps[j].sig_hi, fps[j].sig_lo)
+            if d <= t_max:
+                edges.append((i, j, d))
+    clusters: dict[str, list[list[int]]] = {}
+    pairs: dict[str, set[frozenset]] = {}
+    for tier, sigma in (("high", config.t_high), ("normal", config.t_normal)):
+        uf, _ = greedy_cluster(fps, sigma, config)
+        cls = [sorted(v) for v in uf.sets().values()]
+        clusters[tier] = sorted(cls)
+        p: set[frozenset] = set()
+        for members in cls:
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    a, b = unit_key(fps[members[x]]), unit_key(fps[members[y]])
+                    if a != b:
+                        p.add(frozenset((a, b)))
+        pairs[tier] = p
+    return OracleResult(fps, clusters, pairs, edges)
 
 
 def run_oracle(

@@ -74,7 +74,12 @@ def run_dedup_pipeline(
 
     # --- fingerprints ------------------------------------------------
     def build_fingerprints() -> ray.data.Dataset:
-        ds = read_files(input_path)
+        import ray
+
+        # split the read so sha256+parse parallelize even off a single
+        # parquet file (a lone file otherwise yields one read task)
+        n_blocks = max(64, int(ray.cluster_resources().get("CPU", 4)) * 2)
+        ds = read_files(input_path, override_num_blocks=n_blocks)
         ds = prepare_stage(ds)
         return fingerprint_stage(ds, config, concurrency=concurrency)
 
@@ -86,15 +91,20 @@ def run_dedup_pipeline(
             build_fingerprints, resume,
         )
     else:
-        fingerprints, resumed_fp = build_fingerprints(), False
+        # fingerprints feed two consumers (sig groups + membership);
+        # pin them in the object store so the parse runs once
+        fingerprints, resumed_fp = build_fingerprints().materialize(), False
     metrics["fingerprints_resumed"] = resumed_fp
     metrics["fingerprint_s"] = round(time.perf_counter() - t0, 3)
 
     # --- edges -------------------------------------------------------
     def build_edges() -> ray.data.Dataset:
-        sigs = sig_groups(fingerprints, config)
+        # one shuffle produces the distinct-signature table (with
+        # member lists); candidates AND membership edges both derive
+        # from it, so the signature groupby happens exactly once
+        sigs = sig_groups(fingerprints, config).materialize()
         near = candidate_edges(sigs, config)
-        same = membership_edges(fingerprints, config)
+        same = membership_edges(sigs, config)
         return near.union(same)
 
     t0 = time.perf_counter()
@@ -105,7 +115,7 @@ def run_dedup_pipeline(
             build_edges, resume,
         )
     else:
-        edges, resumed_e = build_edges(), False
+        edges, resumed_e = build_edges().materialize(), False
     metrics["edges_resumed"] = resumed_e
     metrics["edges_s"] = round(time.perf_counter() - t0, 3)
 
@@ -113,9 +123,10 @@ def run_dedup_pipeline(
     # config — dif_config.txt line 3 = -1) ----------------------------
     t0 = time.perf_counter()
     high_edges = edges.filter(expr=f"hamming <= {config.t_high}")
-    edge_table = pa.Table.from_pandas(
-        high_edges.select_columns(["sha_a", "sha_b"]).to_pandas()
-    )
+    edge_df = high_edges.select_columns(["sha_a", "sha_b"]).to_pandas()
+    if config.block_mode:
+        edge_df = _apply_block_edge_filters(edge_df, fingerprints, config)
+    edge_table = pa.Table.from_pandas(edge_df, preserve_index=False)
     assignment = union_find_clusters(edge_table)
     clusters = clusters_table(assignment, tier=1)
     metrics["cluster_s"] = round(time.perf_counter() - t0, 3)
@@ -142,6 +153,82 @@ def run_dedup_pipeline(
     )
     metrics["total_s"] = round(time.perf_counter() - t_start, 3)
     return DedupResult(fingerprints, edges, clusters, cluster_stats, metrics)
+
+
+def _apply_block_edge_filters(edge_df, fingerprints, config: PipelineConfig):
+    """Block-mode edge post-filters (driver-side; the verified edge
+    list is small by construction):
+
+    * J4 ancestor exclusion (``SimHasher.cpp:101-110``): drop an edge
+      whose endpoints are blocks of the SAME file where one is an
+      ancestor of the other;
+    * J6 child suppression (``SimHasher.cpp:58-89``), opt-in via
+      ``config.child_suppression``: drop a pair of blocks whose
+      nearest gated ancestors are themselves a verified pair — an
+      order-independent approximation of the reference's sequential
+      marking (SURVEY §7 "hard parts").
+    """
+    import numpy as np
+    import ray
+
+    if edge_df.empty:
+        return edge_df
+    units = set(edge_df["sha_a"]) | set(edge_df["sha_b"])
+    file_shas = {u.rsplit(":", 1)[0] for u in units}
+    shas_ref = ray.put(file_shas)
+
+    def pull(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(shas_ref)
+        df = batch.to_pandas()
+        df = df[df["file_sha"].isin(wanted)]
+        return pa.Table.from_pandas(
+            df[["sha", "file_sha", "block_id", "ancestors"]],
+            preserve_index=False,
+        )
+
+    meta = fingerprints.map_batches(pull, batch_format="pyarrow").to_pandas()
+    anc = {
+        row.sha: (row.file_sha, row.block_id, list(row.ancestors))
+        for row in meta.itertuples()
+    }
+    unit_set = set(anc)
+
+    def is_ancestor_pair(a: str, b: str) -> bool:
+        ia, ib = anc.get(a), anc.get(b)
+        if not ia or not ib or ia[0] != ib[0]:
+            return False
+        return ib[1] in ia[2] or ia[1] in ib[2]
+
+    keep = [
+        not is_ancestor_pair(a, b)
+        for a, b in zip(edge_df["sha_a"], edge_df["sha_b"])
+    ]
+    edge_df = edge_df[np.array(keep, dtype=bool)]
+
+    if config.child_suppression and not edge_df.empty:
+        def parent_unit(u: str) -> str | None:
+            ia = anc.get(u)
+            if not ia:
+                return None
+            for blk in ia[2]:
+                cand = f"{ia[0]}:{blk}"
+                if cand in unit_set:
+                    return cand
+            return None
+
+        pair_set = {
+            frozenset((a, b))
+            for a, b in zip(edge_df["sha_a"], edge_df["sha_b"])
+        }
+        keep2 = []
+        for a, b in zip(edge_df["sha_a"], edge_df["sha_b"]):
+            pa_, pb = parent_unit(a), parent_unit(b)
+            keep2.append(
+                not (pa_ and pb and pa_ != pb
+                     and frozenset((pa_, pb)) in pair_set)
+            )
+        edge_df = edge_df[np.array(keep2, dtype=bool)]
+    return edge_df.reset_index(drop=True)
 
 
 def _cluster_stats(
@@ -188,23 +275,26 @@ def _cluster_stats(
             }
         )
 
-    tagged = fingerprints.map_batches(tag, batch_format="pyarrow")
-    from ray.data.aggregate import Count, Max, Mean, Min, Sum
-
+    # the tagged subset only contains clustered rows (near-dup members),
+    # which are small relative to the input by construction — so the
+    # final roll-up is a driver-side pandas groupby instead of a
+    # distributed sort shuffle (saves a fixed ~3-5s barrier per run)
+    tagged = fingerprints.map_batches(tag, batch_format="pyarrow").to_pandas()
     stats = (
         tagged.groupby("cluster_id")
-        .aggregate(
-            Count(alias_name="n_files"),
-            Max("token_num", alias_name="max_span"),
-            Min("token_num", alias_name="min_span"),
-            Mean("token_num", alias_name="avg_span"),
-            Sum("token_num", alias_name="total_span"),
+        .agg(
+            n_files=("sha", "size"),
+            max_span=("token_num", "max"),
+            min_span=("token_num", "min"),
+            avg_span=("token_num", "mean"),
+            total_span=("token_num", "sum"),
         )
+        .reset_index()
     )
     n_shas = (
         clusters.group_by("cluster_id")
         .aggregate([("sha", "count_distinct")])
         .rename_columns(["cluster_id", "n_shas"])
     )
-    stats_t = pa.Table.from_pandas(stats.to_pandas(), preserve_index=False)
+    stats_t = pa.Table.from_pandas(stats, preserve_index=False)
     return stats_t.join(n_shas, keys="cluster_id").sort_by("cluster_id")

@@ -77,45 +77,74 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 def sig_groups(fingerprints: ray.data.Dataset,
                config: PipelineConfig = DEFAULT_CONFIG) -> ray.data.Dataset:
     """fingerprints → one row per distinct signature:
-    ``sig_hi, sig_lo, rep_sha, n_members, token_min, token_max``.
+    ``sig_hi, sig_lo, rep_sha, n_members, token_min, token_max,
+    member_shas (list<string>, distinct shas beyond the rep)``.
 
     Only gated rows (``gen_fp``) participate.  Two-level aggregation:
     a per-batch combiner collapses duplicates before the shuffle
     (pre-aggregation, SURVEY §4), then partitions merge with one
-    vectorized pandas groupby per partition.
+    vectorized pandas groupby per partition.  Carrying the member-sha
+    list here lets ``membership_edges`` derive Hamming-0 edges WITHOUT
+    a second shuffle; a signature with a pathological dup count (10^9+
+    copies of one file) would make that one row/partition heavy — at
+    that scale split the membership path back into its own groupby
+    (documented seam).
     """
     P = config.pair_partitions
 
     def per_batch_distinct(batch: pa.Table) -> pa.Table:
+        # vectorized partial: distinct (sig, sha) + partition key; no
+        # per-group python in the hot path
         df = batch.to_pandas()
-        g = (
-            df.groupby(["sig_hi", "sig_lo"], sort=False)
-            .agg(
-                rep_sha=("sha", "min"),
-                n_members=("sha", "size"),
-                token_min=("token_num", "min"),
-                token_max=("token_num", "max"),
-            )
-            .reset_index()
-        )
+        df = df.drop_duplicates(["sig_hi", "sig_lo", "sha"])
         part = _splitmix64(
-            g["sig_hi"].to_numpy(np.uint64) ^ _splitmix64(g["sig_lo"].to_numpy(np.uint64))
+            df["sig_hi"].to_numpy(np.uint64)
+            ^ _splitmix64(df["sig_lo"].to_numpy(np.uint64))
         ) % np.uint64(P)
-        g["sig_part"] = part.astype(np.int32)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        df = df.assign(sig_part=part.astype(np.int32))
+        return pa.Table.from_pandas(df, preserve_index=False)
 
     def merge_partition(part: pd.DataFrame) -> pd.DataFrame:
-        out = (
-            part.groupby(["sig_hi", "sig_lo"], sort=False)
-            .agg(
-                rep_sha=("rep_sha", "min"),
-                n_members=("n_members", "sum"),
-                token_min=("token_min", "min"),
-                token_max=("token_max", "max"),
+        if part.empty:
+            return pd.DataFrame(
+                {
+                    "sig_hi": pd.Series(dtype="uint64"),
+                    "sig_lo": pd.Series(dtype="uint64"),
+                    "rep_sha": pd.Series(dtype="object"),
+                    "n_members": pd.Series(dtype="int64"),
+                    "token_min": pd.Series(dtype="int64"),
+                    "token_max": pd.Series(dtype="int64"),
+                    "member_shas": pd.Series(dtype="object"),
+                }
             )
-            .reset_index()
+        hi = part["sig_hi"].to_numpy(np.uint64)
+        lo = part["sig_lo"].to_numpy(np.uint64)
+        sha = part["sha"].to_numpy()
+        tok = part["token_num"].to_numpy(np.int64)
+        order = np.lexsort((sha, lo, hi))
+        hi, lo, sha, tok = hi[order], lo[order], sha[order], tok[order]
+        new_grp = np.empty(len(hi), dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+        starts = np.flatnonzero(new_grp)
+        # distinct (sig, sha) rows for member lists
+        dup_sha = np.empty(len(hi), dtype=bool)
+        dup_sha[0] = False
+        dup_sha[1:] = (~new_grp[1:]) & (sha[1:] == sha[:-1])
+        return pd.DataFrame(
+            {
+                "sig_hi": hi[starts],
+                "sig_lo": lo[starts],
+                "rep_sha": sha[starts],  # sorted → first is min
+                "n_members": np.diff(np.append(starts, len(hi))),
+                "token_min": np.minimum.reduceat(tok, starts),
+                "token_max": np.maximum.reduceat(tok, starts),
+                "member_shas": [
+                    list(dict.fromkeys(chunk))
+                    for chunk in np.split(sha, starts[1:])
+                ],
+            }
         )
-        return out
 
     gated = fingerprints.filter(expr="gen_fp")
     gated = gated.select_columns(["sig_hi", "sig_lo", "sha", "token_num"])
@@ -128,13 +157,15 @@ def sig_groups(fingerprints: ray.data.Dataset,
 def expand_bands(
     sig_ds: ray.data.Dataset, config: PipelineConfig = DEFAULT_CONFIG
 ) -> ray.data.Dataset:
-    """distinct sigs → ``n_bands`` rows each, keyed by
-    ``band_key = (band_index << 56) | block_bits`` (collision-free for
-    block width <= 56) and hash-partitioned on ``band_part``."""
+    """distinct sigs → ``n_bands`` rows each, keyed by a mixed
+    ``band_key`` (band index folded in via a per-band salt — key
+    collisions across bands only add candidates that exact Hamming
+    verification discards) and hash-partitioned on ``band_part``."""
     n_bands = config.n_bands
-    width = VEC_LEN // n_bands
-    assert width <= 56, "band index packing needs block width <= 56 bits"
     P = config.pair_partitions
+    salts = (_splitmix64(
+        np.arange(1, n_bands + 1, dtype=np.uint64) * np.uint64(0xA5A5A5A5A5A5A5A5)
+    ))
 
     def expand(batch: pa.Table) -> pa.Table:
         hi = batch["sig_hi"].to_numpy().astype(np.uint64)
@@ -142,14 +173,14 @@ def expand_bands(
         n = len(hi)
         keys = band_keys(hi, lo, n_bands)  # (n, n_bands)
         band_idx = np.tile(np.arange(n_bands, dtype=np.uint64), n)
-        packed = (band_idx << np.uint64(56)) | keys.reshape(-1)
+        mixed = _splitmix64(keys.reshape(-1)) ^ np.tile(salts, n)
         rep = np.repeat(np.arange(n), n_bands)
         return pa.table(
             {
-                "band_key": pa.array(packed, pa.uint64()),
+                "band_key": pa.array(mixed, pa.uint64()),
+                "band_idx": pa.array(band_idx.astype(np.int8), pa.int8()),
                 "band_part": pa.array(
-                    (_splitmix64(packed) % np.uint64(P)).astype(np.int32),
-                    pa.int32(),
+                    (mixed % np.uint64(P)).astype(np.int32), pa.int32()
                 ),
                 "sig_hi": pa.array(hi[rep], pa.uint64()),
                 "sig_lo": pa.array(lo[rep], pa.uint64()),
@@ -229,7 +260,7 @@ def candidate_edges(
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
         out_d: list[np.ndarray] = []
-        for band_key, g in part.groupby("band_key", sort=False):
+        for _, g in part.groupby("band_key", sort=False):
             if len(g) < 2:
                 continue
             _pair_bucket(
@@ -238,7 +269,7 @@ def candidate_edges(
                 g["token_min"].to_numpy(np.float64),
                 g["token_max"].to_numpy(np.float64),
                 g["rep_sha"].to_numpy(),
-                int(int(band_key) >> 56),
+                int(g["band_idx"].iloc[0]),
                 config,
                 out_a, out_b, out_d,
             )
@@ -258,44 +289,36 @@ def candidate_edges(
 
 
 def membership_edges(
-    fingerprints: ray.data.Dataset, config: PipelineConfig = DEFAULT_CONFIG
+    sig_ds: ray.data.Dataset, config: PipelineConfig = DEFAULT_CONFIG
 ) -> ray.data.Dataset:
     """Hamming-0 edges linking each signature's representative sha to
     every other member sha (the exact-dup / identical-signature fast
-    path — replaces pairing within the hottest buckets entirely)."""
-    P = config.pair_partitions
+    path — replaces pairing within the hottest buckets entirely).
 
-    def per_batch(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df = df[df["gen_fp"]]
-        df = df.drop_duplicates(["sig_hi", "sig_lo", "sha"])
-        part = _splitmix64(
-            df["sig_hi"].to_numpy(np.uint64)
-            ^ _splitmix64(df["sig_lo"].to_numpy(np.uint64))
-        ) % np.uint64(P)
-        df = df[["sig_hi", "sig_lo", "sha"]].assign(
-            sig_part=part.astype(np.int32)
-        )
-        return pa.Table.from_pandas(df, preserve_index=False)
+    Consumes the ``sig_groups`` output (member lists already
+    co-located), so this is a stateless ``map_batches`` explode — no
+    extra shuffle."""
 
-    def merge_partition(part: pd.DataFrame) -> pd.DataFrame:
-        part = part.drop_duplicates(["sig_hi", "sig_lo", "sha"])
-        part = part.sort_values(["sig_hi", "sig_lo", "sha"])
-        g = part.groupby(["sig_hi", "sig_lo"], sort=False)["sha"]
-        rep = g.transform("min")
-        mask = part["sha"].to_numpy() != rep.to_numpy()
-        if not mask.any():
-            return _EMPTY_EDGES.copy()
-        return pd.DataFrame(
+    def explode(batch: pa.Table) -> pa.Table:
+        reps = batch["rep_sha"].to_pylist()
+        members = batch["member_shas"].to_pylist()
+        out_a: list[str] = []
+        out_b: list[str] = []
+        for rep, shas in zip(reps, members):
+            for s in shas:
+                if s != rep:
+                    out_a.append(rep)
+                    out_b.append(s)
+        return pa.table(
             {
-                "sha_a": rep.to_numpy()[mask],
-                "sha_b": part["sha"].to_numpy()[mask],
-                "hamming": np.zeros(int(mask.sum()), dtype=np.int32),
+                "sha_a": pa.array(out_a, pa.string()),
+                "sha_b": pa.array(out_b, pa.string()),
+                "hamming": pa.array(
+                    np.zeros(len(out_a), dtype=np.int32), pa.int32()
+                ),
             }
         )
 
-    gated = fingerprints.select_columns(["sig_hi", "sig_lo", "sha", "gen_fp"])
-    partial = gated.map_batches(per_batch, batch_format="pyarrow")
-    return partial.groupby("sig_part").map_groups(
-        merge_partition, batch_format="pandas"
+    return sig_ds.select_columns(["rep_sha", "member_shas"]).map_batches(
+        explode, batch_format="pyarrow"
     )

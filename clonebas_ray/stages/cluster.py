@@ -37,6 +37,8 @@ def union_find_clusters(edges: pa.Table) -> dict[str, int]:
     dense ints ordered by the min sha in each cluster (deterministic,
     independent of edge arrival order)."""
     parent: dict[str, str] = {}
+    if edges.num_rows == 0 or "sha_a" not in edges.column_names:
+        return {}
 
     def find(x: str) -> str:
         root = x

@@ -60,32 +60,51 @@ class FingerprintActor:
         self.config = config
         self.registry = ExtractorRegistry(ast_opt=config.ast_opt)
         self.cache = WordVectorCache(config.weight_table(), config.seed)
+        #: per-actor exact-dup fast path: sha → word-id array.  Real
+        #: corpora are duplicate-heavy; identical content parses once
+        #: per actor.  Bounded FIFO so a pathological all-distinct
+        #: stream can't grow the heap.
+        self._sha_memo: dict[str, np.ndarray] = {}
+        self._sha_memo_cap = 50_000
+
+    def _fold(self, id_arrays: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+        n = len(id_arrays)
+        vocab_size = len(self.cache.vocab)
+        if not (vocab_size and n):
+            return (np.zeros(n, dtype=np.uint64), np.zeros(n, dtype=np.uint64))
+        lens = np.fromiter((len(a) for a in id_arrays), dtype=np.int64, count=n)
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        flat = (
+            np.concatenate(id_arrays) if lens.sum() else np.empty(0, np.int64)
+        )
+        counts = np.bincount(
+            row_idx * vocab_size + flat, minlength=n * vocab_size
+        ).reshape(n, vocab_size)
+        bits = fold_counts(counts, self.cache.matrix, self.config.fold_threshold)
+        return pack_signature(bits)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.config.block_mode:
+            return self._call_blocks(batch)
         n = batch.num_rows
         contents = batch["content"].to_pylist()
         langs = batch["lang"].to_pylist()
+        shas = batch["sha"].to_pylist()
 
+        memo = self._sha_memo
         id_arrays: list[np.ndarray] = []
-        lens = np.empty(n, dtype=np.int64)
         for i in range(n):
-            words = self.registry.get(langs[i]).extract(contents[i])
-            ids = self.cache.ids(words)
+            ids = memo.get(shas[i])
+            if ids is None:
+                ids = self.cache.ids(
+                    self.registry.get(langs[i]).extract(contents[i])
+                )
+                if len(memo) >= self._sha_memo_cap:
+                    memo.pop(next(iter(memo)))
+                memo[shas[i]] = ids
             id_arrays.append(ids)
-            lens[i] = len(ids)
-
-        vocab_size = len(self.cache.vocab)
-        if vocab_size and n:
-            row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
-            flat = np.concatenate(id_arrays) if id_arrays else np.empty(0, np.int64)
-            counts = np.bincount(
-                row_idx * vocab_size + flat, minlength=n * vocab_size
-            ).reshape(n, vocab_size)
-            bits = fold_counts(counts, self.cache.matrix, self.config.fold_threshold)
-            hi, lo = pack_signature(bits)
-        else:
-            hi = np.zeros(n, dtype=np.uint64)
-            lo = np.zeros(n, dtype=np.uint64)
+        hi, lo = self._fold(id_arrays)
+        lens = np.fromiter((len(a) for a in id_arrays), dtype=np.int32, count=n)
 
         token_num = batch["token_num"].to_numpy().astype(np.int32)
         out = pa.table(
@@ -99,7 +118,7 @@ class FingerprintActor:
                 "token_num": pa.array(token_num, pa.int32()),
                 "sig_hi": pa.array(hi, pa.uint64()),
                 "sig_lo": pa.array(lo, pa.uint64()),
-                "n_words": pa.array(lens.astype(np.int32), pa.int32()),
+                "n_words": pa.array(lens, pa.int32()),
                 # emission gate: char span must EXCEED the boundary
                 # (EigenWordGenerate.cpp:94; 200 per token_boundary_config)
                 "gen_fp": pa.array(token_num > self.config.char_boundary),
@@ -107,21 +126,81 @@ class FingerprintActor:
         )
         return out
 
+    def _call_blocks(self, batch: pa.Table) -> pa.Table:
+        """Block mode (reference default path): one output row per
+        span-gated block; the ``sha`` column carries the unit key
+        ``<file_sha>:<block_id>`` so every downstream stage (signature
+        grouping, LSH pairing, clustering) works unchanged on block
+        units.  Ancestor block ids ride along for the J4 edge filter.
+        """
+        contents = batch["content"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        shas = batch["sha"].to_pylist()
+        fkeys = batch["file_key"].to_pylist()
+
+        id_arrays: list[np.ndarray] = []
+        cols: dict[str, list] = {
+            "sha": [], "file_sha": [], "file_key": [], "lang": [],
+            "block_id": [], "fp_type": [], "token_num": [], "ancestors": [],
+        }
+        boundary = self.config.char_boundary
+        for i, content in enumerate(contents):
+            blocks = self.registry.get(langs[i]).extract_blocks(content)
+            parent_of = {b["block_id"]: b["parent_id"] for b in blocks}
+            for b in blocks:
+                span = b["end"] - b["begin"]
+                if span <= boundary:
+                    continue
+                ancestors = []
+                p = b["parent_id"]
+                while p != -1:
+                    ancestors.append(p)
+                    p = parent_of.get(p, -1)
+                id_arrays.append(self.cache.ids(b["words"]))
+                cols["sha"].append(f"{shas[i]}:{b['block_id']}")
+                cols["file_sha"].append(shas[i])
+                cols["file_key"].append(fkeys[i])
+                cols["lang"].append(langs[i])
+                cols["block_id"].append(b["block_id"])
+                cols["fp_type"].append(b["fp_type"])
+                cols["token_num"].append(span)
+                cols["ancestors"].append(ancestors)
+        hi, lo = self._fold(id_arrays)
+        n = len(id_arrays)
+        return pa.table(
+            {
+                "sha": pa.array(cols["sha"], pa.string()),
+                "file_sha": pa.array(cols["file_sha"], pa.string()),
+                "file_key": pa.array(cols["file_key"], pa.string()),
+                "lang": pa.array(cols["lang"], pa.string()),
+                "block_id": pa.array(cols["block_id"], pa.int32()),
+                "fp_type": pa.array(cols["fp_type"], pa.int8()),
+                "token_num": pa.array(cols["token_num"], pa.int32()),
+                "sig_hi": pa.array(hi, pa.uint64()),
+                "sig_lo": pa.array(lo, pa.uint64()),
+                "ancestors": pa.array(cols["ancestors"], pa.list_(pa.int32())),
+                "gen_fp": pa.array([True] * n, pa.bool_()),
+            }
+        )
+
 
 def fingerprint_stage(
     ds: ray.data.Dataset,
     config: PipelineConfig = DEFAULT_CONFIG,
     concurrency: int | tuple[int, int] | None = None,
-    batch_size: int = 512,
+    batch_size: int = 2048,
 ) -> ray.data.Dataset:
-    """files (prepared) → fingerprints.  ``concurrency=None`` sizes an
-    autoscaling actor pool (1, cluster CPUs); pass an int/(min,max) to
-    pin it."""
+    """files (prepared) → fingerprints.  ``concurrency=None`` pins the
+    actor pool to (cluster CPUs - 2): a fixed pool starts every actor
+    immediately instead of autoscale-ramping, and the two spare CPUs
+    keep the upstream read/key tasks schedulable — a pool reserving
+    every CPU starves its own input and stalls the pipeline.  Pass an
+    int/(min,max) to override."""
     if concurrency is None:
         import ray
 
         total = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = (1, max(2, total))
+        concurrency = max(2, total - 2)
     return ds.map_batches(
         FingerprintActor,
         fn_constructor_kwargs={"config": config},

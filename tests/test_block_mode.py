@@ -1,0 +1,141 @@
+"""Block-mode conformance: per-block fingerprints (the reference's
+default path) — pipeline vs block oracle with ancestor exclusion and
+child suppression."""
+
+import itertools
+
+import pytest
+
+from clonebas_ray.config import PipelineConfig
+
+
+def _pair_set(clusters):
+    import collections
+
+    clus = collections.defaultdict(set)
+    for sha, cid in zip(
+        clusters["sha"].to_pylist(), clusters["cluster_id"].to_pylist()
+    ):
+        clus[cid].add(sha)
+    pairs = set()
+    for members in clus.values():
+        for a, b in itertools.combinations(sorted(members), 2):
+            pairs.add(frozenset((a, b)))
+    return pairs
+
+
+def test_block_extraction_nesting():
+    from clonebas_ray.functions.words import WordExtractor
+
+    src = """
+int f(int a) {
+    if (a > 0) {
+        while (a > 1) { a = a - 1; }
+    }
+    return a;
+}
+"""
+    blocks = WordExtractor("c").extract_blocks(src)
+    by_id = {b["block_id"]: b for b in blocks}
+    # post-order emission: innermost first
+    assert [b["block_id"] for b in blocks] == [2, 1, 0]
+    assert by_id[2]["fp_type"] == 10  # loop
+    assert by_id[1]["fp_type"] == 9   # selection
+    assert by_id[0]["fp_type"] == 8   # function body compound
+    assert by_id[2]["parent_id"] == 1 and by_id[1]["parent_id"] == 0
+    # ancestor word containment
+    assert set(by_id[2]["words"]) <= set(by_id[0]["words"])
+
+
+def test_block_oracle_ancestor_exclusion():
+    """A block and its enclosing block never pair, even at Hamming 0
+    (J4 — SimHasher.cpp:101-110)."""
+    from clonebas_ray.oracle import run_block_oracle
+
+    # inner body dominates the outer block's words → near-identical
+    # signatures at nested levels
+    inner = "x = x + 1; " * 40
+    src = "int f(int x) { while (x > 0) { %s } return x; }" % inner
+    res = run_block_oracle([
+        {"repo": "r", "path": "p", "commit": "c", "lang": "c",
+         "content": src}
+    ])
+    assert len(res.fingerprints) >= 2
+    for a, b, d in res.edges:
+        fa, fb = res.fingerprints[a], res.fingerprints[b]
+        assert fa.index not in fb.father_idx
+        assert fb.index not in fa.father_idx
+
+
+def test_block_oracle_finds_cross_file_block_clones():
+    from clonebas_ray.oracle import run_block_oracle, unit_key
+
+    body = "if (a > 1) { b = b + a; a = a - 1; c = c * 2; d = d + 7; } " * 8
+    f1 = "int f(int a, int b, int c, int d) { %s return b; }" % body
+    f2 = ("int g(int a, int b, int c, int d) { %s return b; }\n"
+          "int other(int q) { return q + 1; }" % body)
+    res = run_block_oracle([
+        {"repo": "r", "path": "p1", "commit": "c", "lang": "c", "content": f1},
+        {"repo": "r", "path": "p2", "commit": "c", "lang": "c", "content": f2},
+    ])
+    assert res.pairs["high"], "cross-file block clones not found"
+
+
+@pytest.fixture(scope="module")
+def block_corpus(corpus_dir):
+    d, tables = corpus_dir
+    return d, tables
+
+
+def test_block_pipeline_recall_vs_oracle(ray_session, block_corpus,
+                                         tmp_path_factory):
+    from clonebas_ray.oracle import run_block_oracle
+    from clonebas_ray.pipelines.dedup import run_dedup_pipeline
+
+    d, tables = block_corpus
+    cfg = PipelineConfig(block_mode=True)
+    res = run_dedup_pipeline(
+        f"{d}/files.parquet", str(tmp_path_factory.mktemp("blockrun")),
+        config=cfg, checkpoint=False,
+    )
+    oracle = run_block_oracle(tables.files.to_pylist(), cfg)
+    ours = _pair_set(res.clusters)
+    op = oracle.pairs["high"]
+    assert op, "block oracle found nothing — corpus/extractor broken"
+    inter = ours & op
+    recall = len(inter) / len(op)
+    precision = len(inter) / max(1, len(ours))
+    assert recall >= 0.99, f"block-mode recall {recall:.4f}"
+    assert precision >= 0.5, f"block-mode precision {precision:.4f}"
+
+
+def test_block_pipeline_excludes_ancestor_edges(ray_session, block_corpus,
+                                                tmp_path_factory):
+    from clonebas_ray.pipelines.dedup import run_dedup_pipeline
+
+    d, tables = block_corpus
+    cfg = PipelineConfig(block_mode=True)
+    res = run_dedup_pipeline(
+        f"{d}/files.parquet", str(tmp_path_factory.mktemp("blockrun2")),
+        config=cfg, checkpoint=False,
+    )
+    fp = res.fingerprints.to_pandas()
+    anc = {
+        r.sha: (r.file_sha, r.block_id, set(r.ancestors))
+        for r in fp.itertuples()
+    }
+    # no final cluster edge connects ancestor-descendant blocks directly
+    # (transitive co-clustering is allowed; the EDGE filter is what
+    # mirrors checkToCompare)
+    edges = res.edges.to_pandas()
+    high = edges[edges.hamming <= cfg.t_high]
+    # edges dataset is pre-filter; re-check the filter function output
+    from clonebas_ray.pipelines.dedup import _apply_block_edge_filters
+
+    filtered = _apply_block_edge_filters(
+        high[["sha_a", "sha_b"]].copy(), res.fingerprints, cfg
+    )
+    for a, b in zip(filtered["sha_a"], filtered["sha_b"]):
+        ia, ib = anc.get(a), anc.get(b)
+        if ia and ib and ia[0] == ib[0]:
+            assert ib[1] not in ia[2] and ia[1] not in ib[2]

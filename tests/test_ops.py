@@ -1,0 +1,229 @@
+"""Extended-operator tests: dedup family, similarity, text analysis,
+multimodal plumbing, relational hash join."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    rows = {
+        "doc_id": list(range(8)),
+        "text": [
+            "the quick brown fox jumps over the lazy dog again and again",
+            "the quick brown fox jumps over the lazy dog again and again",  # exact dup of 0
+            "the quick brown fox leaps over the lazy dog again and again",  # near dup of 0
+            "completely different content about ray data pipelines here",
+            "another unrelated document mentioning shuffles and actors",
+            "the quick brown fox jumps over the lazy dog again and again today",  # near dup
+            "short text",
+            "data pipelines with ray are streaming and distributed today yes",
+        ],
+    }
+    return ray.data.from_arrow(pa.table(rows))
+
+
+def test_exact_dedup_docs(docs_ds):
+    from clonebas_ray.ops.text_dedup import exact_dedup_docs
+
+    out = exact_dedup_docs(docs_ds).to_pandas()
+    assert len(out) == 7  # 8 docs, one exact dup pair
+    dup = out[out.n_dups == 2]
+    assert len(dup) == 1
+    assert dup.iloc[0]["rep_id"] == 0  # min doc_id kept
+
+
+def test_minhash_pairs_finds_near_dups(docs_ds):
+    from clonebas_ray.ops.text_dedup import minhash_lsh_pairs
+
+    pairs = (
+        minhash_lsh_pairs(docs_ds, shingle_k=3, threshold=0.5)
+        .to_pandas()
+        .drop_duplicates(["doc_a", "doc_b"])
+    )
+    got = {(a, b) for a, b in zip(pairs.doc_a, pairs.doc_b)}
+    assert (0, 1) in got  # exact dup: jaccard 1.0
+    assert any(p in got for p in [(0, 2), (0, 5), (1, 2), (1, 5)])
+    # unrelated docs must not pair
+    assert not any({3, 6} == {a, b} for a, b in got)
+
+
+def test_minhash_clusters(docs_ds):
+    from clonebas_ray.ops.text_dedup import minhash_dedup_clusters
+
+    out = minhash_dedup_clusters(docs_ds, shingle_k=3, threshold=0.5).to_pandas()
+    by_doc = dict(zip(out.doc_id, out.cluster_id))
+    assert by_doc[0] == by_doc[1]  # exact dups cluster together
+
+
+def test_jaccard_kernel():
+    from clonebas_ray.ops.text_dedup import jaccard, shingle_set
+
+    a = shingle_set("a b c d e", 3)
+    assert jaccard(a, a) == 1.0
+    assert jaccard(a, set()) == 0.0
+    assert jaccard(set(), set()) == 1.0
+
+
+def test_knn_brute_self_is_top1(ray_session):
+    import ray.data
+
+    from clonebas_ray.ops.similarity import knn_brute
+
+    rng = np.random.default_rng(5)
+    emb = rng.normal(size=(50, 16)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(50), pa.int64()),
+            "embedding": pa.array(
+                [row.tolist() for row in emb], pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    out = knn_brute(ds, emb[:3], k=5).to_pandas()
+    top1 = out[out["rank"] == 1]
+    assert list(top1.sort_values("query_id")["vec_id"]) == [0, 1, 2]
+    assert (top1["cosine"] == 1.0).all()
+    assert len(out) == 15
+
+
+def test_ivf_knn_mostly_agrees_with_brute(ray_session):
+    import ray.data
+
+    from clonebas_ray.ops.similarity import ivf_knn, knn_brute
+
+    rng = np.random.default_rng(6)
+    emb = rng.normal(size=(200, 16)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(200), pa.int64()),
+            "embedding": pa.array(
+                [row.tolist() for row in emb], pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    brute = knn_brute(ds, emb[:4], k=5).to_pandas()
+    approx = ivf_knn(ds, emb[:4], k=5, n_lists=8, n_probe=4).to_pandas()
+    b = {(q, v) for q, v in zip(brute.query_id, brute.vec_id)}
+    a = {(q, v) for q, v in zip(approx.query_id, approx.vec_id)}
+    assert len(a & b) / len(b) >= 0.5  # probe recall (approximate by design)
+
+
+def test_embedding_near_dup(ray_session):
+    import ray.data
+
+    from clonebas_ray.ops.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 16)).astype(np.float32)
+    dup = base[0] + rng.normal(scale=0.01, size=16).astype(np.float32)
+    emb = np.vstack([base, dup[None, :]])
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(21), pa.int64()),
+            "embedding": pa.array(
+                [r.tolist() for r in emb], pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = embedding_near_dup_pairs(
+        ray.data.from_arrow(t), threshold=0.99, n_lists=2
+    ).to_pandas()
+    assert {(0, 20)} <= {(a, b) for a, b in zip(out.vec_a, out.vec_b)}
+
+
+def test_language_id_and_quality(ray_session):
+    import ray.data
+
+    from clonebas_ray.ops.text_analysis import LanguageId, QualityScore
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": [
+                "the cat and the dog sat in a corner of the house",
+                "el perro y el gato en la casa de los abuelos",
+            ],
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    lang = ds.map_batches(LanguageId, batch_format="pyarrow",
+                          concurrency=1).to_pandas()
+    assert list(lang.lang_pred) == ["en", "es"]
+    q = ds.map_batches(QualityScore, batch_format="pyarrow",
+                       concurrency=1).to_pandas()
+    assert ((q.quality >= 0) & (q.quality <= 1)).all()
+
+
+def test_doc_fingerprint_order_sensitive(ray_session):
+    import ray.data
+
+    from clonebas_ray.ops.text_analysis import DocFingerprint
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": ["alpha beta gamma", "alpha  beta   gamma",
+                     "gamma beta alpha"],
+        }
+    )
+    out = (
+        ray.data.from_arrow(t)
+        .map_batches(DocFingerprint, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    fps = list(out.fingerprint)
+    assert fps[0] == fps[1]  # whitespace-normalized
+    assert fps[0] != fps[2]  # order-sensitive
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data
+
+    from clonebas_ray.ops.multimodal import (
+        ImageDecodeFeatures,
+        media_feature_pipeline,
+        media_frame_pipeline,
+        synth_media_table,
+    )
+
+    media = ray.data.from_arrow(synth_media_table(n=30))
+    feats = media_feature_pipeline(media, concurrency=1).to_pandas()
+    assert len(feats) == 10  # a third are images
+    assert all(len(f) == 64 for f in feats.feature)
+    frames = media_frame_pipeline(media, n_frames=3, concurrency=1).to_pandas()
+    assert len(frames) == 20 * 3
+    # deterministic across reruns
+    feats2 = media_feature_pipeline(media, concurrency=1).to_pandas()
+    assert np.allclose(np.vstack(feats.feature), np.vstack(feats2.feature))
+
+
+def test_multimodal_strict_stub():
+    from clonebas_ray.ops.multimodal import AudioFrameSampler
+
+    with pytest.raises(NotImplementedError):
+        AudioFrameSampler(strict=True)
+
+
+def test_hash_join(ray_session):
+    import ray.data
+
+    from clonebas_ray.ops.relational import hash_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                  "lv": ["a", "b", "c", "d"]})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"rk": pa.array([2, 3, 3, 5], pa.int64()),
+                  "rv": ["x", "y", "z", "w"]})
+    )
+    out = hash_join(left, right, "k", "rk", num_buckets=4).to_pandas()
+    got = sorted(zip(out.k, out.lv, out.rv))
+    assert got == [(2, "b", "x"), (3, "c", "y"), (3, "c", "z")]

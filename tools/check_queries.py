@@ -1,0 +1,114 @@
+"""Driver-shaped local check: run every queries() entry at a given sf
+and compare against oracle_sql() via DuckDB (row count, schema-width,
+order-insensitive value hash on name-sorted columns) — a local stand-in
+for the driver's CORRECTNESS_r{N}.json gate.
+
+Usage: python tools/check_queries.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif df[c].dtype.kind == "M":
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype.kind == "u":
+            df[c] = df[c].astype("int64", errors="ignore")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def value_hash(df: pd.DataFrame) -> int:
+    import hashlib
+
+    h = hashlib.sha256()
+    for c in df.columns:
+        col = df[c]
+        if col.dtype.kind == "f":
+            col = col.round(9)
+        h.update(c.encode())
+        h.update(pd.util.hash_pandas_object(col, index=False).values.tobytes())
+    return int.from_bytes(h.digest()[:8], "big")
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    ray.init(
+        address="local", num_cpus=8, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.perf_counter()
+        try:
+            res = fn(sf_dir)
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: query raised {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        if hasattr(res, "to_pandas"):
+            res = res.to_pandas()
+        dt = time.perf_counter() - t0
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"ok    {name}: rows={len(res)} cols={len(res.columns)} "
+                  f"({dt:.1f}s, rows-only)")
+            continue
+        exp = con.execute(sql).df()
+        a, b = norm(res), norm(exp)
+        status = []
+        if len(a) != len(b):
+            status.append(f"rowcount {len(a)} != {len(b)}")
+        if list(a.columns) != list(b.columns):
+            status.append(f"schema {list(a.columns)} != {list(b.columns)}")
+        elif len(a) == len(b) and value_hash(a) != value_hash(b):
+            status.append("value-hash mismatch")
+            # show first differing row for debugging
+            neq = (a != b) & ~(a.isna() & b.isna())
+            rows = neq.any(axis=1)
+            if rows.any():
+                i = rows.idxmax()
+                status.append(f"first diff row {i}: ray={a.loc[i].to_dict()} "
+                              f"sql={b.loc[i].to_dict()}")
+        if status:
+            print(f"FAIL  {name}: {'; '.join(status)} ({dt:.1f}s)")
+            failures += 1
+        else:
+            print(f"MATCH {name}: rows={len(a)} ({dt:.1f}s)")
+    ray.shutdown()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
