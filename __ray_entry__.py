@@ -287,6 +287,61 @@ def _q_clone_corpus(sf_dir: str):
         return res.clusters.to_pandas()
 
 
+def _q_model_clusters(sf_dir: str):
+    """-clonemodel path (M9/T3/J8) on the synthetic corpus: sequences →
+    embedding actor pool (deterministic stand-in model) → cosine
+    pairing → clusters.  Not SQL-expressible (model scoring)."""
+    _quiet()
+    import tempfile
+
+    import ray.data
+
+    from clonebas_ray.corpus import generate_corpus, write_corpus
+    from clonebas_ray.ops.model_path import model_clone_clusters
+
+    with tempfile.TemporaryDirectory() as td:
+        write_corpus(generate_corpus(seed=42), td)
+        files = ray.data.read_parquet(f"{td}/files.parquet")
+        return model_clone_clusters(files).to_pandas()
+
+
+def _q_code_metrics(sf_dir: str):
+    """M12 per-file metrics on the synthetic corpus (rows-only)."""
+    _quiet()
+    import tempfile
+
+    import ray.data
+
+    from clonebas_ray.corpus import generate_corpus, write_corpus
+    from clonebas_ray.ops.code_metrics import code_metrics
+    from clonebas_ray.stages.ingest import prepare_stage
+
+    with tempfile.TemporaryDirectory() as td:
+        write_corpus(generate_corpus(seed=42), td)
+        files = prepare_stage(ray.data.read_parquet(f"{td}/files.parquet"))
+        return code_metrics(files).to_pandas()
+
+
+def _q_block_clusters(sf_dir: str):
+    """Block-mode clone clusters (the reference's default path) on the
+    synthetic corpus (rows-only; pytest enforces recall vs the block
+    oracle)."""
+    _quiet()
+    import tempfile
+
+    from clonebas_ray.config import PipelineConfig
+    from clonebas_ray.corpus import generate_corpus, write_corpus
+    from clonebas_ray.pipelines.dedup import run_dedup_pipeline
+
+    with tempfile.TemporaryDirectory() as td:
+        write_corpus(generate_corpus(seed=42), td)
+        res = run_dedup_pipeline(
+            f"{td}/files.parquet", f"{td}/run",
+            config=PipelineConfig(block_mode=True), checkpoint=False,
+        )
+        return res.clusters.to_pandas()
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from clonebas_ray.ops import relational as rel
 
@@ -300,6 +355,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity": rel.user_activity,
         "docs_lang_stats": rel.docs_lang_stats,
         "distinct_langs": rel.distinct_langs,
+        "customers_without_orders": rel.customers_without_orders,
+        "big_spender_segments": rel.big_spender_segments,
+        "orders_monthly": rel.orders_monthly,
+        "user_sessions": rel.user_sessions,
         # text / census ops (SQL-oracled)
         "word_census": _q_word_census,
         "exact_dedup": _q_exact_dedup,
@@ -317,6 +376,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "clone_corpus_clusters": _q_clone_corpus,
+        "clone_block_clusters": _q_block_clusters,
+        "model_clone_clusters": _q_model_clusters,
+        "code_metrics": _q_code_metrics,
     }
 
 
@@ -405,6 +467,41 @@ SELECT doc_id,
     AS ws_tokens,
   length(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS bpe_tokens
 FROM documents
+""",
+        "customers_without_orders": """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+""",
+        "big_spender_segments": """
+SELECT c_mktsegment, count(*) AS n_customers FROM customer
+WHERE c_custkey IN
+  (SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+        "orders_monthly": """
+SELECT date_trunc('month', o_orderdate) AS month,
+  count(*) AS n_orders,
+  sum(CAST(floor(o_totalprice*100.0+0.5) AS BIGINT))/100.0 AS total_price
+FROM orders GROUP BY month ORDER BY month
+""",
+        "user_sessions": """
+WITH e AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS session
+  FROM e)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+  count(*) AS n_events
+FROM s GROUP BY user_id, session
+ORDER BY user_id, session_start
 """,
         "knn_cosine": """
 WITH q AS (

@@ -1,0 +1,200 @@
+"""Per-file code metrics and quality-score roll-up (SURVEY M12 / A4).
+
+Mirrors the reference's checks over our token stream:
+
+* cyclomatic complexity: +1 per ``if/for/while/do/case/default``
+  (root = count + 1 — ``FixedChecker.cpp:455-480``; warn > 5);
+* max block-nesting depth (brace depth; warn > 5 —
+  ``FixedChecker.cpp:482-508``);
+* parameter count of the widest signature (warn > 3 —
+  ``FixedChecker.cpp:540-564``);
+* parse health: unbalanced-brace count (our stand-in for the Clang
+  diagnostics the reference buffers — M14; tree-sitter/Clang error
+  nodes are out of scope in this container);
+
+and the four-axis quality roll-up (``ScoreController.cpp:136-184``):
+per-file scores in [0,100] per axis (complexity, nesting, interface,
+duplication placeholder), char-count-weighted global average, clamped
+to 0-100 like the reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Sum
+
+from clonebas_ray.functions.words import tokenize, IDENT, OP
+
+_BRANCH_KEYWORDS = frozenset(
+    ["if", "for", "while", "do", "case", "default"]
+)
+
+
+def _file_metrics(content: str) -> tuple[int, int, int, int, int]:
+    toks = tokenize(content)
+    complexity = 1
+    depth = 0
+    max_depth = 0
+    max_params = 0
+    open_braces = 0
+    i = 0
+    n = len(toks)
+    while i < n:
+        kind, text = toks[i]
+        if kind == IDENT and text in _BRANCH_KEYWORDS:
+            complexity += 1
+        elif kind == OP:
+            if text == "{":
+                depth += 1
+                open_braces += 1
+                if depth > max_depth:
+                    max_depth = depth
+            elif text == "}":
+                depth -= 1
+                open_braces -= 1
+            elif text == "(":
+                # param count heuristic: ident '(' ... ')' followed by '{'
+                j = i + 1
+                pdepth = 1
+                commas = 0
+                has_tok = False
+                while j < n and pdepth:
+                    k2, t2 = toks[j]
+                    if t2 == "(":
+                        pdepth += 1
+                    elif t2 == ")":
+                        pdepth -= 1
+                    elif t2 == "," and pdepth == 1:
+                        commas += 1
+                    elif pdepth == 1:
+                        has_tok = True
+                    j += 1
+                if j < n and toks[j][1] == "{" and has_tok:
+                    max_params = max(max_params, commas + 1)
+        i += 1
+    unbalanced = abs(open_braces)
+    return complexity, max_depth, max_params, unbalanced, len(toks)
+
+
+def code_metrics(
+    files: ray.data.Dataset,
+) -> ray.data.Dataset:
+    """files (with ``sha``/``content``) → per-file metric columns."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        rows = [
+            _file_metrics(c) for c in batch["content"].to_pylist()
+        ]
+        arr = np.array(rows, dtype=np.int64).reshape(len(rows), 5)
+        out = pa.table(
+            {
+                "sha": batch["sha"],
+                "file_key": batch["file_key"],
+                "complexity": pa.array(arr[:, 0], pa.int64()),
+                "max_depth": pa.array(arr[:, 1], pa.int64()),
+                "max_params": pa.array(arr[:, 2], pa.int64()),
+                "unbalanced_braces": pa.array(arr[:, 3], pa.int64()),
+                "n_tokens": pa.array(arr[:, 4], pa.int64()),
+                "n_chars": pa.array(
+                    [len(c) for c in batch["content"].to_pylist()],
+                    pa.int64(),
+                ),
+                "warn_complexity": pa.array(arr[:, 0] > 5),
+                "warn_depth": pa.array(arr[:, 1] > 5),
+                "warn_params": pa.array(arr[:, 2] > 3),
+            }
+        )
+        return out
+
+    return files.map_batches(per_batch, batch_format="pyarrow")
+
+
+def quality_rollup(metrics: ray.data.Dataset) -> dict:
+    """Char-weighted global quality score (A4): per-file axis scores
+    0-100, weighted by file char count, clamped — the distributed
+    analogue of the reference's recursive score tree
+    (``ScoreController.cpp:136-184``)."""
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        cx = batch["complexity"].to_numpy()
+        dp = batch["max_depth"].to_numpy()
+        pm = batch["max_params"].to_numpy()
+        chars = batch["n_chars"].to_numpy().astype(np.float64)
+        s_cx = np.clip(100 - 10.0 * np.maximum(0, cx - 5), 0, 100)
+        s_dp = np.clip(100 - 15.0 * np.maximum(0, dp - 5), 0, 100)
+        s_if = np.clip(100 - 20.0 * np.maximum(0, pm - 3), 0, 100)
+        composite = (s_cx + s_dp + s_if) / 3.0
+        return pa.table(
+            {
+                "w_score": pa.array(composite * chars, pa.float64()),
+                "w": pa.array(chars, pa.float64()),
+                "s_cx_w": pa.array(s_cx * chars, pa.float64()),
+                "s_dp_w": pa.array(s_dp * chars, pa.float64()),
+                "s_if_w": pa.array(s_if * chars, pa.float64()),
+            }
+        )
+
+    agg = (
+        metrics.map_batches(score_batch, batch_format="pyarrow")
+        .aggregate(
+            Sum("w_score", alias_name="ws"),
+            Sum("w", alias_name="w"),
+            Sum("s_cx_w", alias_name="cx"),
+            Sum("s_dp_w", alias_name="dp"),
+            Sum("s_if_w", alias_name="iface"),
+        )
+    )
+    w = max(agg["w"], 1e-9)
+    clamp = lambda x: float(np.clip(x, 0.0, 100.0))  # noqa: E731
+    return {
+        "quality_score": clamp(agg["ws"] / w),
+        "complexity_score": clamp(agg["cx"] / w),
+        "nesting_score": clamp(agg["dp"] / w),
+        "interface_score": clamp(agg["iface"] / w),
+    }
+
+
+def clone_scores(cluster_stats: pa.Table, clusters: pa.Table,
+                 fingerprints: ray.data.Dataset) -> pa.Table:
+    """A3 clone score per cluster: mean member span, doubled for
+    cross-file clusters in the high tier (``CloneSet.cpp:235-259``)."""
+    import pandas as pd
+    import ray
+
+    cs = cluster_stats.to_pandas()
+    cmap = dict(
+        zip(clusters["sha"].to_pylist(), clusters["cluster_id"].to_pylist())
+    )
+    ref = ray.put(cmap)
+
+    def files_per_cluster(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        shas = batch["sha"].to_pylist()
+        fkeys = batch["file_key"].to_pylist()
+        cid, fk = [], []
+        for s, f in zip(shas, fkeys):
+            c = m.get(s)
+            if c is not None:
+                cid.append(c)
+                fk.append(f)
+        return pa.table(
+            {
+                "cluster_id": pa.array(cid, pa.int64()),
+                "file_key": pa.array(fk, pa.string()),
+            }
+        )
+
+    tagged = fingerprints.map_batches(
+        files_per_cluster, batch_format="pyarrow"
+    ).to_pandas()
+    nfiles = tagged.groupby("cluster_id")["file_key"].nunique()
+    cs = cs.merge(
+        nfiles.rename("n_distinct_files").reset_index(), on="cluster_id",
+        how="left",
+    )
+    cross = (cs["n_distinct_files"].fillna(1) > 1).to_numpy()
+    cs["clone_score"] = cs["avg_span"] * np.where(cross, 2.0, 1.0)
+    return pa.Table.from_pandas(cs, preserve_index=False)

@@ -1,0 +1,191 @@
+"""The `-clonemodel` pipeline (SURVEY §3.3): AST sequence
+serialization → embedding actor pool → cosine-similarity pairing.
+
+Mirrors the reference's model path:
+
+* **M9 sequence serialization** (``NodeTravesal.cpp:11-239``):
+  per-block pre-order (type 0) and post-order (type 2) node-name
+  strings.  Our pseudo-AST walker is pre-order; the post-order string
+  is derived per block by reversing the pre-order word sequence — a
+  documented approximation (the real reference needs Clang's tree
+  shape; parity for the model path is defined at the pipeline level,
+  not per-string).
+* **S4/T3 remote model** (``FingerPrintGenerator.cpp:48-100``): the
+  reference ships sequences to a TCP model server returning 512-float
+  embeddings.  No model exists in this container, so ``EmbedActor``
+  is a deterministic stand-in (feature-hashed bag-of-words projected
+  to ``dim`` floats, L2-normalized) behind the REAL actor-pool
+  plumbing — swap ``_embed`` for an actual model call (``num_gpus=``)
+  in production.
+* **J8 cosine pairing** (``FingerPrintGenerator.cpp:157-262``): pairs
+  with ``cos*0.5+0.5 >= threshold`` (default 0.6 —
+  ``FingerPrintGenerator.cpp:8``), single (high) tier, clustered by
+  union-find.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from clonebas_ray.config import PipelineConfig, DEFAULT_CONFIG
+from clonebas_ray.functions.murmur3 import hash128
+from clonebas_ray.functions.words import ExtractorRegistry
+
+SEQ_DIM = 512  # SEQ_FG_LEN — FingerPrintGenerator.h:4
+
+
+class SequenceActor:
+    """files → one row per span-gated block with pre/post-order
+    sequence strings (M9)."""
+
+    def __init__(self, config: PipelineConfig = DEFAULT_CONFIG):
+        self.config = config
+        self.registry = ExtractorRegistry(ast_opt=config.ast_opt)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        contents = batch["content"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        shas = batch["sha"].to_pylist()
+        cols = {"unit": [], "sha": [], "preseq": [], "postseq": [],
+                "token_num": []}
+        boundary = self.config.char_boundary
+        for i, content in enumerate(contents):
+            for b in self.registry.get(langs[i]).extract_blocks(content):
+                span = b["end"] - b["begin"]
+                if span <= boundary:
+                    continue
+                words = b["words"]
+                cols["unit"].append(f"{shas[i]}:{b['block_id']}")
+                cols["sha"].append(shas[i])
+                cols["preseq"].append(" ".join(words))
+                cols["postseq"].append(" ".join(reversed(words)))
+                cols["token_num"].append(span)
+        return pa.table(
+            {
+                "unit": pa.array(cols["unit"], pa.string()),
+                "sha": pa.array(cols["sha"], pa.string()),
+                "preseq": pa.array(cols["preseq"], pa.string()),
+                "postseq": pa.array(cols["postseq"], pa.string()),
+                "token_num": pa.array(cols["token_num"], pa.int32()),
+            }
+        )
+
+
+class EmbedActor:
+    """Sequence → ``dim``-float embedding.  Deterministic stand-in for
+    the remote clone model (feature hashing of sequence tokens);
+    replace ``_embed`` with a real model forward pass and give the
+    stage ``num_gpus=`` for production."""
+
+    def __init__(self, dim: int = SEQ_DIM):
+        self.dim = dim
+        self._token_cache: dict[str, tuple[int, float]] = {}
+
+    def _embed(self, seq: str) -> np.ndarray:
+        v = np.zeros(self.dim, dtype=np.float64)
+        cache = self._token_cache
+        for tok in seq.split():
+            slot = cache.get(tok)
+            if slot is None:
+                h1, h2 = hash128(tok, 0x5EED)
+                slot = (h1 % self.dim, 1.0 if h2 & 1 else -1.0)
+                cache[tok] = slot
+            v[slot[0]] += slot[1]
+        n = np.linalg.norm(v)
+        return v / n if n else v
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = [self._embed(s) for s in batch["preseq"].to_pylist()]
+        return pa.table(
+            {
+                "unit": batch["unit"],
+                "sha": batch["sha"],
+                "token_num": batch["token_num"],
+                "embedding": pa.array(
+                    [e.astype(np.float32).tolist() for e in emb],
+                    pa.list_(pa.float32(), self.dim),
+                ),
+            }
+        )
+
+
+def model_clone_pairs(
+    files: ray.data.Dataset,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    threshold: float = 0.6,
+    n_lists: int = 8,
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> pa.Table:
+    """End-to-end model path: sequences → embeddings → IVF-bucketed
+    cosine pairing at ``(cos*0.5+0.5) >= threshold`` → pairs table.
+
+    The reference compares all pairs sequentially
+    (``FingerPrintGenerator.cpp:157-240``); we bucket by nearest
+    centroid like ``embedding_near_dup_pairs`` and verify exactly.
+    """
+    from clonebas_ray.ops.similarity import embedding_near_dup_pairs
+    from clonebas_ray.stages.ingest import prepare_stage
+
+    prepared = prepare_stage(files)
+    seqs = prepared.map_batches(
+        SequenceActor,
+        fn_constructor_kwargs={"config": config},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    embedded = seqs.map_batches(
+        EmbedActor, batch_format="pyarrow", concurrency=concurrency,
+    )
+    # cos*0.5+0.5 >= t  ⇔  cos >= 2t-1 (FingerPrintGenerator.cpp:242-262)
+    cos_threshold = 2.0 * threshold - 1.0
+    # unit keys are strings; embedding_near_dup_pairs wants an id col —
+    # give it dense ids and map back
+    with_ids = embedded.map_batches(
+        lambda t: t.append_column(
+            "vec_id",
+            pa.array(
+                pd.util.hash_array(np.asarray(t["unit"].to_pylist(), dtype=object)).astype("int64")
+            ),
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    pairs = embedding_near_dup_pairs(
+        with_ids, threshold=cos_threshold, n_lists=n_lists,
+    )
+    id_map = {}
+    for b in with_ids.select_columns(["vec_id", "unit"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        id_map.update(zip(b["vec_id"].to_pylist(), b["unit"].to_pylist()))
+    df = pairs.to_pandas()
+    df["unit_a"] = df["vec_a"].map(id_map)
+    df["unit_b"] = df["vec_b"].map(id_map)
+    return pa.Table.from_pandas(
+        df[["unit_a", "unit_b", "cosine"]], preserve_index=False
+    )
+
+
+def model_clone_clusters(
+    files: ray.data.Dataset, **kwargs
+) -> pa.Table:
+    from clonebas_ray.stages.cluster import union_find_clusters
+
+    pairs = model_clone_pairs(files, **kwargs)
+    edge_t = pa.table(
+        {
+            "sha_a": pairs["unit_a"],
+            "sha_b": pairs["unit_b"],
+        }
+    )
+    assignment = union_find_clusters(edge_t)
+    units = sorted(assignment)
+    return pa.table(
+        {
+            "unit": pa.array(units, pa.string()),
+            "cluster_id": pa.array([assignment[u] for u in units], pa.int64()),
+        }
+    )

@@ -337,3 +337,130 @@ def distinct_langs(sf_dir: str) -> pa.Table:
     docs = _read(sf_dir, "documents", ["lang"])
     vals = sorted(docs.unique("lang"))
     return pa.table({"lang": pa.array(vals, pa.string())})
+
+
+def customers_without_orders(sf_dir: str) -> pa.Table:
+    """Anti join: broadcast the order-custkey set (a Bloom filter at
+    real scale) and filter inside ``map_batches`` — no shuffle."""
+    okeys = set(
+        _read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
+    )
+    keys_ref = ray.put(okeys)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        mask = [k not in ks for k in batch["c_custkey"].to_pylist()]
+        return batch.filter(pa.array(mask))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    out = cust.map_batches(anti, batch_format="pyarrow").sort("c_custkey")
+    df = out.to_pandas()
+    if df.empty:  # keep the schema even when every customer has orders
+        df = pd.DataFrame(
+            {
+                "c_custkey": pd.Series(dtype="int64"),
+                "c_name": pd.Series(dtype="object"),
+                "c_acctbal": pd.Series(dtype="float64"),
+            }
+        )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def big_spender_segments(sf_dir: str) -> pa.Table:
+    """Semi join + grouped agg: customers WITH at least one order over
+    200k, counted per market segment."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def big(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["o_totalprice"], 200000.0))
+
+    keys = set(
+        orders.map_batches(big, batch_format="pyarrow").unique("o_custkey")
+    )
+    keys_ref = ray.put(keys)
+
+    def semi(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        mask = [k in ks for k in batch["c_custkey"].to_pylist()]
+        return batch.filter(pa.array(mask))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    out = (
+        cust.map_batches(semi, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_customers"))
+        .sort("c_mktsegment")
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def orders_monthly(sf_dir: str) -> pa.Table:
+    """Calendar rollup: orders per month with exact cent sums."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(
+            pc.cast(t["o_orderdate"], pa.timestamp("us")), unit="month"
+        )
+        return pa.table(
+            {
+                "month": month,
+                "tp_c": pa.array(_cents(t["o_totalprice"]), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(widen, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("tp_c", alias_name="tp_c_sum"),
+        )
+        .sort("month")
+        .to_pandas()
+    )
+    agg["total_price"] = agg["tp_c_sum"] / 100.0
+    agg["month"] = agg["month"].astype("datetime64[us]")
+    return pa.Table.from_pandas(
+        agg[["month", "n_orders", "total_price"]], preserve_index=False
+    )
+
+
+def user_sessions(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
+    """Sessionization (stream-shaped, SURVEY §2.8): events per user
+    split into sessions at >gap_minutes inactivity;
+    ``groupby(user).map_groups`` sorts each group by ts and applies the
+    gap rule — the partitioning assumption (all of a user's events in
+    one group) is exactly what the groupby provides."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        new_session = g["ts"].diff() > gap
+        sid = new_session.cumsum()
+        out = (
+            g.assign(session=sid)
+            .groupby("session")
+            .agg(
+                user_id=("user_id", "first"),
+                session_start=("ts", "min"),
+                session_end=("ts", "max"),
+                n_events=("ts", "size"),
+            )
+            .reset_index(drop=True)
+        )
+        return out
+
+    out = (
+        ev.groupby("user_id")
+        .map_groups(sessionize, batch_format="pandas")
+        .sort(["user_id", "session_start"])
+        .to_pandas()
+    )
+    out["session_start"] = out["session_start"].astype("datetime64[us]")
+    out["session_end"] = out["session_end"].astype("datetime64[us]")
+    out["n_events"] = out["n_events"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -108,7 +108,18 @@ def label_propagation(
             }
         )
 
+    def add_bucket(batch: pa.Table, col: str) -> pa.Table:
+        h = pd.util.hash_array(
+            batch[col].to_numpy(zero_copy_only=False)
+        ) % 32
+        return batch.append_column(
+            "__bucket", pa.array(h.astype("int32"), pa.int32())
+        )
+
     directed = edges.map_batches(to_directed, batch_format="pyarrow")
+    directed = directed.map_batches(
+        lambda t: add_bucket(t, "node"), batch_format="pyarrow"
+    ).materialize()
     # initial label of a node = min(node, min peer)
     labels = directed.groupby("node").aggregate(
         ray.data.aggregate.Min("peer", alias_name="label")
@@ -122,34 +133,53 @@ def label_propagation(
         ),
         batch_format="pyarrow",
     )
-    directed = directed.materialize()
 
     for _ in range(max_iters):
         labels_mat = labels.materialize()
-        # push labels across edges: node's label reaches its peers
-        pushed = directed.join(
-            labels_mat, on=("node",), join_type="inner", num_partitions=32
-        ) if hasattr(directed, "join") else None
-        if pushed is None:
-            # portable path: pandas merge inside a co-grouped stage
-            ldf = labels_mat.to_pandas()
-            ref = ray.put(ldf)
+        # push labels across edges with an explicit bucketed merge:
+        # co-locate edge rows and label rows by hash(node), pandas-merge
+        # within each bucket — no driver pull, no engine join op
+        lab_b = labels_mat.map_batches(
+            lambda t: add_bucket(t, "node").append_column(
+                "peer", pa.array([""] * t.num_rows, pa.string())
+            ),
+            batch_format="pyarrow",
+        )
 
-            def push(batch: pa.Table) -> pa.Table:
-                import ray as _ray
-
-                lmap = _ray.get(ref)
-                df = batch.to_pandas()
-                m = df.merge(lmap, on="node", how="left")
-                m["label"] = m["label"].fillna(m["node"])
-                return pa.table(
-                    {
-                        "node": pa.array(m["peer"], pa.string()),
-                        "label": pa.array(m["label"], pa.string()),
-                    }
+        def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            lab = g[g["peer"] == ""][["node", "label"]]
+            edg = g[g["peer"] != ""][["node", "peer"]]
+            if edg.empty:
+                return pd.DataFrame(
+                    {"node": pd.Series(dtype="object"),
+                     "label": pd.Series(dtype="object")}
                 )
+            m = edg.merge(lab, on="node", how="left")
+            m["label"] = m["label"].fillna(m["node"])
+            return pd.DataFrame(
+                {"node": m["peer"].to_numpy(), "label": m["label"].to_numpy()}
+            )
 
-            pushed = directed.map_batches(push, batch_format="pyarrow")
+        dir_tagged = directed.map_batches(
+            lambda t: t.append_column(
+                "label", pa.array([None] * t.num_rows, pa.string())
+            ),
+            batch_format="pyarrow",
+        )
+        both = dir_tagged.select_columns(
+            ["node", "peer", "label", "__bucket"]
+        ).union(
+            lab_b.select_columns(["node", "peer", "label", "__bucket"])
+        )
+        pushed = both.groupby("__bucket").map_groups(
+            merge_bucket, batch_format="pandas"
+        )
+        # normalize to arrow blocks so the union feeding the next
+        # groupby is homogeneous (mixed pandas/arrow blocks break
+        # sort-boundary sampling)
+        pushed = pushed.map_batches(
+            lambda t: t, batch_format="pyarrow"
+        )
         cand = pushed.union(labels_mat)
         new_labels = cand.groupby("node").aggregate(
             ray.data.aggregate.Min("label", alias_name="label")

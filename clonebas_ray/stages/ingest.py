@@ -86,3 +86,92 @@ def exact_dedup(
         return g.sort_values("file_key").head(1) if "file_key" in g else g.head(1)
 
     return ds.groupby(key).map_groups(first, batch_format="pandas")
+
+
+def file_table(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """S6 file-table emission (``Main.cpp:368-381``): the distinct
+    (file_key, sha) dimension — replaces the reference's mutable
+    path→id counter with content-derived keys."""
+    import pandas as pd
+
+    def distinct(batch: pa.Table) -> pa.Table:
+        df = batch.select(["file_key", "repo", "path", "commit", "sha"]).to_pandas()
+        return pa.Table.from_pandas(
+            df.drop_duplicates("file_key"), preserve_index=False
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    partial = ds.map_batches(distinct, batch_format="pyarrow")
+    return partial.groupby("file_key").map_groups(merge, batch_format="pandas")
+
+
+def export_word_corpus(
+    ds: ray.data.Dataset, config=None
+) -> ray.data.Dataset:
+    """M8 ``-genfile`` corpus export (``EigenWordGenerate.cpp:320-351``):
+    one row per file with its space-joined eigen-word sequence, for
+    offline model training; write with ``.write_parquet``."""
+    from clonebas_ray.config import DEFAULT_CONFIG
+    from clonebas_ray.functions.words import ExtractorRegistry
+
+    cfg = config or DEFAULT_CONFIG
+
+    class WordDump:
+        def __init__(self):
+            self.registry = ExtractorRegistry(ast_opt=cfg.ast_opt)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            words = [
+                " ".join(self.registry.get(lang).extract(content))
+                for lang, content in zip(
+                    batch["lang"].to_pylist(), batch["content"].to_pylist()
+                )
+            ]
+            return pa.table(
+                {
+                    "sha": batch["sha"],
+                    "file_key": batch["file_key"],
+                    "words": pa.array(words, pa.string()),
+                }
+            )
+
+    return ds.map_batches(
+        WordDump, batch_format="pyarrow", concurrency=(1, 8)
+    )
+
+
+def node_census(ds: ray.data.Dataset, config=None) -> ray.data.Dataset:
+    """M10 ``-nodeCount`` census (``NodeTravesal.cpp:242-323``): global
+    node-kind → count over the corpus; per-batch partial counts then a
+    small groupby over partials."""
+    from ray.data.aggregate import Sum
+
+    from clonebas_ray.config import DEFAULT_CONFIG
+    from clonebas_ray.functions.words import ExtractorRegistry
+
+    cfg = config or DEFAULT_CONFIG
+
+    class Census:
+        def __init__(self):
+            self.registry = ExtractorRegistry(ast_opt=cfg.ast_opt)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            counts: dict[str, int] = {}
+            for lang, content in zip(
+                batch["lang"].to_pylist(), batch["content"].to_pylist()
+            ):
+                for w in self.registry.get(lang).extract(content):
+                    counts[w] = counts.get(w, 0) + 1
+            return pa.table(
+                {
+                    "word": pa.array(list(counts), pa.string()),
+                    "partial_n": pa.array(list(counts.values()), pa.int64()),
+                }
+            )
+
+    partial = ds.map_batches(
+        Census, batch_format="pyarrow", concurrency=(1, 8)
+    )
+    return partial.groupby("word").aggregate(Sum("partial_n", alias_name="n"))
