@@ -85,11 +85,12 @@ def run_dedup_pipeline(
 
     t0 = time.perf_counter()
     if checkpoint:
-        fingerprints, resumed_fp = checkpointed(
-            run_dir, "fingerprints",
-            lineage_key(input_id, cfg_hash, "fingerprints"),
-            build_fingerprints, resume,
+        fingerprints, n_cached, n_computed = _sharded_fingerprints(
+            input_path, run_dir, config, resume, concurrency
         )
+        resumed_fp = n_computed == 0 and n_cached > 0
+        metrics["fingerprint_shards_cached"] = n_cached
+        metrics["fingerprint_shards_computed"] = n_computed
     else:
         # fingerprints feed two consumers (sig groups + membership);
         # pin them in the object store so the parse runs once
@@ -152,7 +153,70 @@ def run_dedup_pipeline(
         len(set(assignment.values())) if assignment else 0
     )
     metrics["total_s"] = round(time.perf_counter() - t_start, 3)
+    if checkpoint:
+        # structured run report (the Ray-side analogue of the
+        # reference's GlobalInfo/event stream — InfoStruct.h:16-236)
+        import json
+        import os
+
+        report_path = os.path.join(run_dir, "run_report.json")
+        with open(report_path + ".tmp", "w") as f:
+            json.dump(metrics, f, indent=1)
+        os.replace(report_path + ".tmp", report_path)
     return DedupResult(fingerprints, edges, clusters, cluster_stats, metrics)
+
+
+def _sharded_fingerprints(
+    input_path, run_dir: str, config: PipelineConfig, resume: bool,
+    concurrency,
+) -> tuple[ray.data.Dataset, int, int]:
+    """Per-partition fingerprint checkpointing: every input shard's
+    output is written and manifested independently, so a killed run
+    resumes computing ONLY the missing shards (north rule:
+    per-partition lineage).  Shards compute sequentially with full
+    intra-shard parallelism — at corpus scale a shard is GBs, so the
+    per-shard pipeline startup amortizes; tiny-shard inputs pay a few
+    hundred ms each (documented tradeoff vs one fused pipeline).
+    """
+    import os
+    import shutil
+
+    import ray
+
+    from clonebas_ray.state.checkpoint import (
+        ShardedCheckpoint, list_input_shards,
+    )
+
+    shards = list_input_shards(input_path)
+    if not shards:
+        raise ValueError(f"no parquet shards under {input_path!r}")
+    ckpt = ShardedCheckpoint(run_dir, "fingerprints", config.config_hash())
+    cached, todo = ckpt.plan(shards, resume)
+    n_blocks = max(16, int(ray.cluster_resources().get("CPU", 4)) * 2)
+    out_dirs = list(cached)
+    for shard in todo:
+        t0 = time.perf_counter()
+        ds = read_files(shard, override_num_blocks=n_blocks)
+        fp = fingerprint_stage(prepare_stage(ds), config,
+                               concurrency=concurrency)
+        out = ckpt.out_path(shard)
+        tmp = out + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        fp.write_parquet(tmp)
+        shutil.rmtree(out, ignore_errors=True)
+        os.replace(tmp, out)
+        rows = ray.data.read_parquet(out).count()
+        ckpt.record(shard, rows, time.perf_counter() - t0)
+        out_dirs.append(out)
+    # read_parquet accepts a list of FILES (not of directories) —
+    # expand each shard dir
+    files = [
+        os.path.join(d, f)
+        for d in out_dirs
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    return ray.data.read_parquet(files), len(cached), len(todo)
 
 
 def _apply_block_edge_filters(edge_df, fingerprints, config: PipelineConfig):
@@ -182,13 +246,14 @@ def _apply_block_edge_filters(edge_df, fingerprints, config: PipelineConfig):
         df = batch.to_pandas()
         df = df[df["file_sha"].isin(wanted)]
         return pa.Table.from_pandas(
-            df[["sha", "file_sha", "block_id", "ancestors"]],
+            df[["sha", "file_sha", "file_key", "block_id", "ancestors"]],
             preserve_index=False,
         )
 
     meta = fingerprints.map_batches(pull, batch_format="pyarrow").to_pandas()
     anc = {
-        row.sha: (row.file_sha, row.block_id, list(row.ancestors))
+        row.sha: (row.file_sha, row.block_id, list(row.ancestors),
+                  row.file_key)
         for row in meta.itertuples()
     }
     unit_set = set(anc)
@@ -199,8 +264,20 @@ def _apply_block_edge_filters(edge_df, fingerprints, config: PipelineConfig):
             return False
         return ib[1] in ia[2] or ia[1] in ib[2]
 
+    def file_filter_ok(a: str, b: str) -> bool:
+        # J5 same/diff-file pair filters — SimHasher.cpp:111-122
+        if not (config.only_diff_file or config.only_same_file):
+            return True
+        ia, ib = anc.get(a), anc.get(b)
+        same = bool(ia and ib and ia[3] == ib[3])
+        if config.only_diff_file and same:
+            return False
+        if config.only_same_file and not same:
+            return False
+        return True
+
     keep = [
-        not is_ancestor_pair(a, b)
+        not is_ancestor_pair(a, b) and file_filter_ok(a, b)
         for a, b in zip(edge_df["sha_a"], edge_df["sha_b"])
     ]
     edge_df = edge_df[np.array(keep, dtype=bool)]

@@ -126,3 +126,91 @@ def checkpointed(
         if cached is not None:
             return cached, True
     return ckpt.save(factory()), False
+
+
+def list_input_shards(path: str | list[str]) -> list[str]:
+    """Input as a list of shard files (a directory of parquet parts, a
+    single file, or an explicit list)."""
+    if isinstance(path, list):
+        return sorted(path)
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return [path]
+
+
+class ShardedCheckpoint:
+    """Per-partition (input-shard) checkpoint: each input shard's stage
+    output is written independently under ``data/<shard>.parquet`` and
+    recorded in the manifest with its own lineage entry (shard
+    identity x config hash).  Resume recomputes ONLY shards whose
+    entry is missing or stale — the north rule's "resumable from
+    checkpoint with per-partition lineage".
+    """
+
+    def __init__(self, run_dir: str, stage: str, config_hash: str):
+        self.stage_dir = os.path.join(run_dir, stage)
+        self.data_dir = os.path.join(self.stage_dir, "data")
+        self.manifest_path = os.path.join(self.stage_dir, "manifest.json")
+        self.config_hash = config_hash
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    def _load_manifest(self) -> dict:
+        try:
+            with open(self.manifest_path) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return {"shards": {}}
+
+    def _shard_key(self, shard_path: str) -> str:
+        return lineage_key(
+            input_identity(shard_path), self.config_hash,
+            os.path.basename(shard_path),
+        )
+
+    def _out_path(self, shard_path: str) -> str:
+        # one DIRECTORY per shard (a shard's output may be many part
+        # files); written to .tmp then atomically renamed
+        name = os.path.basename(shard_path).replace(".parquet", "")
+        return os.path.join(self.data_dir, name)
+
+    def plan(self, shards: list[str], resume: bool = True
+             ) -> tuple[list[str], list[str]]:
+        """→ (cached_output_dirs, shards_to_compute)."""
+        manifest = self._load_manifest() if resume else {"shards": {}}
+        cached, todo = [], []
+        for s in shards:
+            entry = manifest["shards"].get(os.path.basename(s))
+            out = self._out_path(s)
+            if (
+                resume
+                and entry
+                and entry.get("lineage_key") == self._shard_key(s)
+                and os.path.isdir(out)
+            ):
+                cached.append(out)
+            else:
+                todo.append(s)
+        return cached, todo
+
+    def record(self, shard_path: str, rows: int, wall_s: float) -> None:
+        """Atomically add/refresh one shard's manifest entry (called
+        after its output file is fully written)."""
+        manifest = self._load_manifest()
+        manifest["shards"][os.path.basename(shard_path)] = {
+            "lineage_key": self._shard_key(shard_path),
+            "output": os.path.basename(self._out_path(shard_path)),
+            "rows": rows,
+            "wall_s": round(wall_s, 3),
+        }
+        manifest["config_hash"] = self.config_hash
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self.manifest_path)
+
+    def out_path(self, shard_path: str) -> str:
+        return self._out_path(shard_path)

@@ -1,0 +1,65 @@
+"""Per-partition (shard) checkpoint lineage: a killed run resumes
+computing only the missing shards (SURVEY §4 / north rule)."""
+
+import json
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture()
+def sharded_corpus(tmp_path, corpus_dir):
+    _, tables = corpus_dir
+    d = tmp_path / "shards"
+    d.mkdir()
+    n = tables.files.num_rows
+    per = (n + 3) // 4
+    for s in range(4):
+        part = tables.files.slice(s * per, per)
+        if part.num_rows:
+            pq.write_table(part, str(d / f"part-{s:02d}.parquet"))
+    return str(d)
+
+
+def test_partial_shard_resume(ray_session, sharded_corpus, tmp_path):
+    from clonebas_ray.pipelines.dedup import run_dedup_pipeline
+
+    run_dir = str(tmp_path / "run")
+    res1 = run_dedup_pipeline(sharded_corpus, run_dir)
+    assert res1.metrics["fingerprint_shards_computed"] == 4
+    assert res1.metrics["fingerprint_shards_cached"] == 0
+
+    # simulate a kill that lost two shards' outputs
+    manifest_path = os.path.join(run_dir, "fingerprints", "manifest.json")
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    victims = sorted(manifest["shards"])[:2]
+    for v in victims:
+        out = manifest["shards"][v]["output"]
+        shutil.rmtree(
+            os.path.join(run_dir, "fingerprints", "data",
+                         v.replace(".parquet", "")),
+            ignore_errors=True,
+        )
+    res2 = run_dedup_pipeline(sharded_corpus, run_dir)
+    assert res2.metrics["fingerprint_shards_cached"] == 2
+    assert res2.metrics["fingerprint_shards_computed"] == 2
+    assert res2.clusters.equals(res1.clusters)
+
+
+def test_shard_mutation_invalidates_only_that_shard(ray_session,
+                                                    sharded_corpus,
+                                                    tmp_path):
+    from clonebas_ray.pipelines.dedup import run_dedup_pipeline
+
+    run_dir = str(tmp_path / "run2")
+    res1 = run_dedup_pipeline(sharded_corpus, run_dir)
+    # touch ONE input shard: its lineage entry goes stale
+    victim = sorted(os.listdir(sharded_corpus))[0]
+    os.utime(os.path.join(sharded_corpus, victim))
+    res2 = run_dedup_pipeline(sharded_corpus, run_dir)
+    assert res2.metrics["fingerprint_shards_cached"] == 3
+    assert res2.metrics["fingerprint_shards_computed"] == 1
+    assert res2.clusters.equals(res1.clusters)
