@@ -120,8 +120,8 @@ def run_dedup_pipeline(
     metrics["edges_resumed"] = resumed_e
     metrics["edges_s"] = round(time.perf_counter() - t0, 3)
 
-    # --- clusters (high tier; normal tier is disabled in the shipped
-    # config — dif_config.txt line 3 = -1) ----------------------------
+    # --- clusters: high tier always; normal tier only when enabled
+    # (disabled in the shipped config — dif_config.txt line 3 = -1) ---
     t0 = time.perf_counter()
     high_edges = edges.filter(expr=f"hamming <= {config.t_high}")
     edge_df = high_edges.select_columns(["sha_a", "sha_b"]).to_pandas()
@@ -130,6 +130,20 @@ def run_dedup_pipeline(
     edge_table = pa.Table.from_pandas(edge_df, preserve_index=False)
     assignment = union_find_clusters(edge_table)
     clusters = clusters_table(assignment, tier=1)
+    if config.t_normal >= 0:
+        normal_edges = edges.filter(expr=f"hamming <= {config.t_normal}")
+        ndf = normal_edges.select_columns(["sha_a", "sha_b"]).to_pandas()
+        if config.block_mode:
+            ndf = _apply_block_edge_filters(ndf, fingerprints, config)
+        n_assign = union_find_clusters(
+            pa.Table.from_pandas(ndf, preserve_index=False)
+        )
+        # keep cluster ids globally unique across tiers
+        offset = (max(assignment.values()) + 1) if assignment else 0
+        n_assign = {k: v + offset for k, v in n_assign.items()}
+        clusters = pa.concat_tables(
+            [clusters, clusters_table(n_assign, tier=2)]
+        )
     metrics["cluster_s"] = round(time.perf_counter() - t0, 3)
 
     # --- per-cluster stats (SURVEY §2.5 A2/A3) -----------------------

@@ -1,0 +1,25 @@
+"""Two-tier clustering when the normal tier is enabled."""
+
+from clonebas_ray.config import PipelineConfig
+
+
+def test_two_tier_output(ray_session, corpus_dir, tmp_path_factory):
+    from clonebas_ray.pipelines.dedup import run_dedup_pipeline
+
+    d, _ = corpus_dir
+    cfg = PipelineConfig(t_high=1, t_normal=3, n_bands=4)
+    res = run_dedup_pipeline(
+        f"{d}/files.parquet", str(tmp_path_factory.mktemp("tiers")),
+        config=cfg, checkpoint=False,
+    )
+    df = res.clusters.to_pandas()
+    tiers = set(df["tier"])
+    assert tiers == {1, 2}
+    # normal tier (looser threshold) covers at least the high tier shas
+    high = set(df[df.tier == 1]["sha"])
+    normal = set(df[df.tier == 2]["sha"])
+    assert high <= normal
+    # cluster ids unique across tiers
+    assert not (
+        set(df[df.tier == 1]["cluster_id"]) & set(df[df.tier == 2]["cluster_id"])
+    )

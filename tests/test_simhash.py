@@ -101,3 +101,22 @@ def test_band_keys_values():
     assert [int(x) for x in k] == [
         0x01234567, 0x89ABCDEF, 0xFEDCBA98, 0x76543210,
     ]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    sig=st.integers(min_value=0, max_value=2**128 - 1),
+    flip=st.one_of(st.none(), st.integers(min_value=0, max_value=127)),
+)
+def test_pigeonhole_k2_for_t1(sig, flip):
+    """The production config: k=2 (64-bit halves) is complete for the
+    shipped t_high=1 — any pair at Hamming <= 1 matches exactly on one
+    half."""
+    other = sig if flip is None else sig ^ (1 << flip)
+    a = np.array([sig >> 64], dtype=np.uint64)
+    al = np.array([sig & ((1 << 64) - 1)], dtype=np.uint64)
+    b = np.array([other >> 64], dtype=np.uint64)
+    bl = np.array([other & ((1 << 64) - 1)], dtype=np.uint64)
+    ka = band_keys(a, al, 2)[0]
+    kb = band_keys(b, bl, 2)[0]
+    assert any(ka[i] == kb[i] for i in range(2))
