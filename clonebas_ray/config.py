@@ -136,6 +136,13 @@ class PipelineConfig:
     #: one fingerprint per file (``-filebased``).  Unit keys become
     #: ``sha:block_id``.
     block_mode: bool = False
+    #: refine connected components with the exact greedy
+    #: complete-linkage loop per component (driver-side; components are
+    #: tiny) in canonical walk order — reproduces the reference's
+    #: order-dependent clustering from a shuffled distributed run.
+    #: File mode only (block mode's cross-component child-suppression
+    #: marks resist per-component replay).
+    refine_clusters: bool = True
     #: J6 child suppression as an order-independent edge post-filter
     #: (drop a child pair when the parents' pair exists); the
     #: reference's sequential marking is order-dependent — documented
@@ -165,6 +172,7 @@ class PipelineConfig:
                 "ast_opt": self.ast_opt,
                 "block_mode": self.block_mode,
                 "child_suppression": self.child_suppression,
+                "refine_clusters": self.refine_clusters,
             },
             sort_keys=True,
         ).encode()

@@ -108,16 +108,30 @@ class OracleResult:
     edges: list[tuple[int, int, int]]
 
 
+def _walk_order(rows: list[dict]) -> list[dict]:
+    """Canonical insertion order: sorted by file key — the analog of
+    the reference's recursive directory walk (``Main.cpp:345-366``
+    enumerates paths in filesystem order).  Both the oracle and the
+    pipeline's complete-linkage refinement use this order, so the
+    order-dependent greedy semantics are reproducible from a shuffled
+    distributed run."""
+    return sorted(
+        rows,
+        key=lambda r: f"{r.get('repo','')}|{r.get('path','')}|{r.get('commit','')}",
+    )
+
+
 def compute_fingerprints(
     rows: list[dict], config: PipelineConfig = DEFAULT_CONFIG
 ) -> list[OracleFingerprint]:
-    """rows: dicts with repo/path/commit/lang/content, in input order."""
+    """rows: dicts with repo/path/commit/lang/content; processed in
+    canonical walk order (see ``_walk_order``)."""
     import hashlib
 
     reg = ExtractorRegistry(ast_opt=config.ast_opt)
     cache = WordVectorCache(config.weight_table(), config.seed)
     out = []
-    for i, row in enumerate(rows):
+    for i, row in enumerate(_walk_order(rows)):
         content = row["content"]
         words = reg.get(row.get("lang", "cpp")).extract(content)
         hi, lo = simhash_of_words(words, cache, config.fold_threshold)
@@ -128,7 +142,7 @@ def compute_fingerprints(
                 sig_hi=hi,
                 sig_lo=lo,
                 token_num=len(content),
-                file_key=f"{row.get('repo','')}/{row.get('path','')}@{row.get('commit','')}",
+                file_key=f"{row.get('repo','')}|{row.get('path','')}|{row.get('commit','')}",
             )
         )
     return out
@@ -169,7 +183,7 @@ def compute_block_fingerprints(
     for row in rows:
         content = row["content"]
         sha = hashlib.sha256(content.encode()).hexdigest()
-        fkey = f"{row.get('repo','')}/{row.get('path','')}@{row.get('commit','')}"
+        fkey = f"{row.get('repo','')}|{row.get('path','')}|{row.get('commit','')}"
         blocks = reg.get(row.get("lang", "cpp")).extract_blocks(content)
         # map block_id → fingerprint index for gated blocks of THIS file
         by_block: dict[int, int] = {}
@@ -260,7 +274,7 @@ def run_block_oracle(
     ``sha:block_id`` units.  Tier flags are NOT reset between the high
     and normal passes — the reference shares ``to_be_cmp`` across both
     ``initDisJointSet`` calls (``SimHasher.cpp:21-22``)."""
-    fps = compute_block_fingerprints(rows, config)
+    fps = compute_block_fingerprints(_walk_order(rows), config)
     # re-number indices post-gating so list positions match fp.index
     for pos, fp in enumerate(fps):
         assert fp.index == pos

@@ -129,6 +129,8 @@ def run_dedup_pipeline(
         edge_df = _apply_block_edge_filters(edge_df, fingerprints, config)
     edge_table = pa.Table.from_pandas(edge_df, preserve_index=False)
     assignment = union_find_clusters(edge_table)
+    if config.refine_clusters and not config.block_mode and assignment:
+        assignment = _refine_assignment(assignment, fingerprints, config)
     clusters = clusters_table(assignment, tier=1)
     if config.t_normal >= 0:
         normal_edges = edges.filter(expr=f"hamming <= {config.t_normal}")
@@ -231,6 +233,49 @@ def _sharded_fingerprints(
         if f.endswith(".parquet")
     ]
     return ray.data.read_parquet(files), len(cached), len(todo)
+
+
+def _refine_assignment(
+    assignment: dict, fingerprints, config: PipelineConfig
+) -> dict:
+    """Pull (sig, token, order-key) for the clustered shas only (a
+    broadcast-filtered scan — clustered shas are small by construction)
+    and replay the exact greedy loop per component."""
+    import ray
+
+    from clonebas_ray.stages.cluster import refine_complete_linkage
+
+    wanted_ref = ray.put(set(assignment))
+
+    def pull(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(wanted_ref)
+        df = batch.to_pandas()
+        df = df[df["sha"].isin(wanted)]
+        return pa.Table.from_pandas(
+            df[["sha", "sig_hi", "sig_lo", "token_num", "file_key"]],
+            preserve_index=False,
+        )
+
+    meta_df = fingerprints.map_batches(pull, batch_format="pyarrow").to_pandas()
+    # order anchor per sha = MAX file key among its rows (the greedy
+    # loop's descending pass hits a sha at its highest walk position)
+    meta_df = (
+        meta_df.groupby("sha")
+        .agg(
+            sig_hi=("sig_hi", "first"),
+            sig_lo=("sig_lo", "first"),
+            token_num=("token_num", "first"),
+            order_key=("file_key", "max"),
+        )
+        .reset_index()
+    )
+    meta = {
+        r.sha: (int(r.sig_hi), int(r.sig_lo), int(r.token_num), r.order_key)
+        for r in meta_df.itertuples()
+    }
+    return refine_complete_linkage(
+        assignment, meta, config.t_high, config.span_gate
+    )
 
 
 def _apply_block_edge_filters(edge_df, fingerprints, config: PipelineConfig):

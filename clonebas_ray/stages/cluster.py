@@ -208,3 +208,112 @@ def _labels_checksum(labels: ray.data.Dataset) -> int:
     for row in parts:
         acc ^= int(row["h"])
     return acc
+
+
+def refine_complete_linkage(
+    assignment: dict[str, int],
+    meta: dict[str, tuple[int, int, int, str]],
+    sigma: int,
+    span_gate: float,
+    max_component: int = 20000,
+) -> dict[str, int]:
+    """Exact greedy complete-linkage WITHIN each connected component
+    (``SimHasher.cpp:149-192`` semantics at sha level), in canonical
+    walk order (descending file key — see ``oracle._walk_order``).
+
+    Connected components can only over-merge relative to the
+    reference's greedy loop; since cross-component joins are
+    impossible (complete linkage requires Hamming <= sigma to the set
+    anchor), re-running the exact sequential algorithm per component
+    reproduces the reference clustering while every component stays a
+    tiny driver-side problem.
+
+    Scale discipline:
+    * shas with identical (signature, span) are collapsed to one node
+      first — exact (twins share every pairwise decision), and it is
+      what bounds hot boilerplate components;
+    * the pairwise Hamming/gate matrix is built vectorized; the greedy
+      scan touches only each anchor's sigma-neighborhood (a running
+      ``feasible`` AND-mask), so total work is O(component edges);
+    * a component still larger than ``max_component`` nodes after
+      collapsing keeps its connected-components grouping (logged via
+      the returned ids; recall unaffected — CC only over-merges).
+
+    ``meta``: sha → (sig_hi, sig_lo, token_num, order_key).
+    Returns the refined assignment (singleton shas are dropped, like
+    the reference, which only reports joined sets).
+    """
+    import collections
+
+    from clonebas_ray.functions.simhash import hamming_pairs
+
+    comps: dict[int, list[str]] = collections.defaultdict(list)
+    for sha, cid in assignment.items():
+        comps[cid].append(sha)
+
+    sets_by_min_sha: list[tuple[str, list[str]]] = []
+    for cid, shas in comps.items():
+        if len(shas) < 2:
+            continue
+        # collapse identical (sig, token) twins
+        nodes: dict[tuple[int, int, int], list[str]] = collections.defaultdict(list)
+        for s in shas:
+            hi, lo, tok, _ = meta[s]
+            nodes[(hi, lo, tok)].append(s)
+        keys = list(nodes)
+        K = len(keys)
+        if K > max_component:
+            # pathological: keep CC grouping for this component
+            sets_by_min_sha.append((min(shas), list(shas)))
+            continue
+        if K == 1:
+            sets_by_min_sha.append((min(shas), list(shas)))
+            continue
+        # order: descending max order-key over the node's twins
+        order_key = [max(meta[s][3] for s in nodes[k]) for k in keys]
+        order = sorted(range(K), key=lambda i: order_key[i], reverse=True)
+        hi = np.array([k[0] for k in keys], dtype=np.uint64)
+        lo = np.array([k[1] for k in keys], dtype=np.uint64)
+        tok = np.array([k[2] for k in keys], dtype=np.float64)
+        d = hamming_pairs(hi[:, None], lo[:, None], hi[None, :], lo[None, :])
+        gate = (
+            np.abs(tok[:, None] - tok[None, :])
+            <= np.minimum(tok[:, None], tok[None, :]) * span_gate
+        )
+        # reference semantics: the span gate applies only between j and
+        # the set ANCHOR i (checkToCompare(i,j) — SimHasher.cpp:171),
+        # while Hamming <= sigma applies to EVERY member
+        # (checkCanAddToSet — SimHasher.cpp:177)
+        ok_sigma = d <= sigma
+        ok = ok_sigma & gate  # anchor-row condition
+        pos = np.empty(K, dtype=np.int64)
+        for p_, n_ in enumerate(order):
+            pos[n_] = p_
+        in_set = np.zeros(K, dtype=bool)
+        for p_i, i in enumerate(order):
+            if in_set[i]:
+                continue
+            feasible = ok[i].copy()
+            members = [i]
+            joined = False
+            # scan only i's sigma-neighborhood, in walk order after i
+            cand = np.flatnonzero(ok[i] & ~in_set)
+            cand = cand[pos[cand] > p_i]
+            cand = cand[np.argsort(pos[cand])]
+            for j in cand:
+                if in_set[j] or not feasible[j]:
+                    continue
+                members.append(int(j))
+                in_set[j] = True
+                joined = True
+                feasible &= ok_sigma[j]  # members constrain sigma only
+            if joined:
+                in_set[i] = True
+                flat = [s for n_ in members for s in nodes[keys[n_]]]
+                sets_by_min_sha.append((min(flat), flat))
+
+    refined: dict[str, int] = {}
+    for new_id, (_, members) in enumerate(sorted(sets_by_min_sha)):
+        for s in members:
+            refined[s] = new_id
+    return refined

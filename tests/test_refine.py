@@ -1,0 +1,95 @@
+"""Complete-linkage refinement parity — including the anchor-only
+span-gate nuance: the reference gates a candidate against the set
+ANCHOR (checkToCompare, SimHasher.cpp:171) but checks Hamming against
+every member (checkCanAddToSet, SimHasher.cpp:177)."""
+
+from clonebas_ray.config import PipelineConfig
+from clonebas_ray.oracle import OracleFingerprint, greedy_cluster
+from clonebas_ray.stages.cluster import refine_complete_linkage
+
+CFG = PipelineConfig()
+
+
+def _meta(entries):
+    """entries: list of (sha, sig_hi, sig_lo, tok, order_key)."""
+    return {e[0]: (e[1], e[2], e[3], e[4]) for e in entries}
+
+
+def test_anchor_gate_not_pairwise():
+    # sigs identical; toks C=100, B=77, D=130.  gate(C,B) and gate(C,D)
+    # pass; gate(B,D) FAILS.  Reference joins all three into C's set.
+    entries = [
+        ("shaB", 7, 7, 77, "k1"),
+        ("shaD", 7, 7, 130, "k2"),
+        ("shaC", 7, 7, 100, "k3"),  # highest order → anchor
+    ]
+    assignment = {"shaB": 0, "shaC": 0, "shaD": 0}  # one CC component
+    refined = refine_complete_linkage(assignment, _meta(entries), 1, 0.3)
+    assert set(refined) == {"shaB", "shaC", "shaD"}
+    assert len(set(refined.values())) == 1
+
+    # cross-check against the sequential oracle loop (insertion order =
+    # ascending order key, greedy iterates descending)
+    fps = [
+        OracleFingerprint(index=i, sha=e[0], sig_hi=e[1], sig_lo=e[2],
+                          token_num=e[3], file_key=e[4])
+        for i, e in enumerate(sorted(entries, key=lambda e: e[4]))
+    ]
+    uf, _ = greedy_cluster(fps, 1, CFG)
+    sets = [sorted(fps[i].sha for i in v) for v in uf.sets().values()]
+    assert sorted(map(sorted, sets)) == [["shaB", "shaC", "shaD"]]
+
+
+def test_anchor_gate_rejects_out_of_range():
+    # gate(C,A) fails even though gate(A,B) would pass: A stays out.
+    entries = [
+        ("shaA", 7, 7, 60, "k1"),
+        ("shaB", 7, 7, 77, "k2"),
+        ("shaC", 7, 7, 100, "k3"),
+    ]
+    assignment = {"shaA": 0, "shaB": 0, "shaC": 0}
+    refined = refine_complete_linkage(assignment, _meta(entries), 1, 0.3)
+    assert set(refined) == {"shaB", "shaC"}
+
+    fps = [
+        OracleFingerprint(index=i, sha=e[0], sig_hi=e[1], sig_lo=e[2],
+                          token_num=e[3], file_key=e[4])
+        for i, e in enumerate(sorted(entries, key=lambda e: e[4]))
+    ]
+    uf, _ = greedy_cluster(fps, 1, CFG)
+    sets = [sorted(fps[i].sha for i in v) for v in uf.sets().values()]
+    assert sorted(map(sorted, sets)) == [["shaB", "shaC"]]
+
+
+def test_sigma_checked_against_every_member():
+    # A-B d=1, B-C d=1, A-C d=2; same toks.  Anchor C grabs B; A fails
+    # the every-member sigma check (complete linkage, no chaining).
+    entries = [
+        ("shaA", 0b00, 0, 100, "k1"),
+        ("shaB", 0b01, 0, 100, "k2"),
+        ("shaC", 0b11, 0, 100, "k3"),
+    ]
+    assignment = {"shaA": 0, "shaB": 0, "shaC": 0}
+    refined = refine_complete_linkage(assignment, _meta(entries), 1, 0.3)
+    assert set(refined) == {"shaB", "shaC"}
+
+
+def test_twin_collapse_exact():
+    # five identical (sig, tok) twins + one near twin → one set of six
+    entries = [(f"sha{i}", 7, 7, 100, f"k{i}") for i in range(5)]
+    entries.append(("shaX", 7 ^ 1, 7, 100, "k9"))
+    assignment = {e[0]: 0 for e in entries}
+    refined = refine_complete_linkage(assignment, _meta(entries), 1, 0.3)
+    assert len(refined) == 6
+    assert len(set(refined.values())) == 1
+
+
+def test_oversized_component_falls_back_to_cc():
+    entries = [(f"sha{i:03d}", i, 0, 100, f"k{i:03d}") for i in range(30)]
+    assignment = {e[0]: 0 for e in entries}
+    refined = refine_complete_linkage(
+        assignment, _meta(entries), 1, 0.3, max_component=10
+    )
+    # fallback keeps the whole component together (over-merge only)
+    assert len(refined) == 30
+    assert len(set(refined.values())) == 1
