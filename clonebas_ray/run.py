@@ -1,0 +1,68 @@
+"""Job entrypoint — the ``ray job submit`` surface (north rule).
+
+    ray job submit --working-dir . -- \\
+        python -m clonebas_ray.run --input /data/files --run-dir /data/run
+
+Owns the Ray session (guarded init, shutdown at exit) per the driver
+contract; inside an existing cluster it attaches via RAY_ADDRESS.
+Prints the run report JSON on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True,
+                   help="parquet file/dir of (repo,path,commit,lang,content)")
+    p.add_argument("--run-dir", required=True,
+                   help="checkpoint + output directory")
+    p.add_argument("--block-mode", action="store_true",
+                   help="per-block fingerprints (reference default path)")
+    p.add_argument("--t-high", type=int, default=1)
+    p.add_argument("--t-normal", type=int, default=-1)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--num-cpus", type=int, default=None,
+                   help="local mode only; omit inside a cluster")
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(include_dashboard=False, ignore_reinit_error=True,
+                      logging_level="ERROR")
+        if args.num_cpus:
+            kwargs.update(address="local", num_cpus=args.num_cpus)
+        ray.init(**kwargs)
+    import logging
+
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from clonebas_ray.config import PipelineConfig
+    from clonebas_ray.pipelines.dedup import run_dedup_pipeline
+
+    n_bands = max(2, max(args.t_high, args.t_normal) + 1)
+    config = PipelineConfig(
+        t_high=args.t_high, t_normal=args.t_normal,
+        block_mode=args.block_mode, n_bands=n_bands,
+    )
+    try:
+        res = run_dedup_pipeline(
+            args.input, args.run_dir, config=config,
+            resume=not args.no_resume,
+        )
+    finally:
+        ray.shutdown()
+    print(json.dumps(res.metrics))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
