@@ -132,10 +132,31 @@ class MinHasher:
         vals = (x * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE_P)
         return vals.min(axis=0)
 
+    def _signatures_batch(self, texts: list[str]) -> np.ndarray:
+        """All docs' signatures in ONE (total_shingles, num_perm)
+        matrix + segment-min via ``np.minimum.reduceat`` — the per-doc
+        loop only tokenizes."""
+        shingle_arrs = [
+            _shingle_hashes(self._token_ids(t), self.k) for t in texts
+        ]
+        lens = np.fromiter((len(a) for a in shingle_arrs), dtype=np.int64,
+                           count=len(shingle_arrs))
+        flat = (
+            np.concatenate(shingle_arrs)
+            if lens.sum()
+            else np.zeros(1, dtype=np.uint64)
+        )
+        vals = (
+            flat[:, None] * self.a[None, :] + self.b[None, :]
+        ) % np.uint64(_MERSENNE_P)
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        return np.minimum.reduceat(vals, starts, axis=0)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
-        sigs = np.vstack([self.signature(t) for t in texts])
+        sigs = self._signatures_batch(texts)
         # band hash: fold each band's rows into one uint64
         r = self.rows_per_band
         bands = sigs.reshape(len(ids), self.n_bands, r)

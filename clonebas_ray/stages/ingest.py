@@ -47,6 +47,18 @@ def read_files(
 
 
 def _key_batch(batch: pa.Table) -> pa.Table:
+    # null-robustness: treat missing content/lang as empty/cpp so one
+    # malformed row can't poison a task (SURVEY §4 poison-pill rows)
+    if batch["content"].null_count:
+        batch = batch.set_column(
+            batch.column_names.index("content"), "content",
+            pc.fill_null(batch["content"], ""),
+        )
+    if "lang" in batch.column_names and batch["lang"].null_count:
+        batch = batch.set_column(
+            batch.column_names.index("lang"), "lang",
+            pc.fill_null(batch["lang"], "cpp"),
+        )
     contents = batch["content"]
     sha = [
         hashlib.sha256(
