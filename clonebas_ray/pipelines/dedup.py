@@ -408,6 +408,7 @@ def _cluster_stats(
                 "cluster_id": pa.array(cid[keep], pa.int64()),
                 "sha": pa.array(np.array(shas, dtype=object)[keep], pa.string()),
                 "token_num": batch["token_num"].filter(pa.array(keep)),
+                "file_key": batch["file_key"].filter(pa.array(keep)),
             }
         )
 
@@ -420,12 +421,18 @@ def _cluster_stats(
         tagged.groupby("cluster_id")
         .agg(
             n_files=("sha", "size"),
+            n_distinct_files=("file_key", "nunique"),
             max_span=("token_num", "max"),
             min_span=("token_num", "min"),
             avg_span=("token_num", "mean"),
             total_span=("token_num", "sum"),
         )
         .reset_index()
+    )
+    # A3 clone score: mean member span, doubled for cross-file clusters
+    # in the high tier (CloneSet.cpp:235-259)
+    stats["clone_score"] = stats["avg_span"] * np.where(
+        stats["n_distinct_files"] > 1, 2.0, 1.0
     )
     n_shas = (
         clusters.group_by("cluster_id")

@@ -1,14 +1,15 @@
 """Clustering: verified edges → clone-cluster assignments (SURVEY §2.5 A1).
 
 The reference's greedy complete-linkage loop is order-dependent and
-inherently sequential (``SimHasher.cpp:149-192``); at sigma=1 its
-clusters are sandwiched between "connected components" (upper bound)
-and "pairwise-within-sigma cliques" (lower bound).  We compute
-connected components, which can only over-merge relative to the
-oracle — preserving dup-pair recall, the binding target (SURVEY §7
-"hard parts"); precision is measured and reported by the test suite.
+inherently sequential (``SimHasher.cpp:149-192``).  We compute
+connected components over the verified edges first (which can only
+over-merge — preserving dup-pair recall, the binding target), then
+``refine_complete_linkage`` replays the exact sequential loop WITHIN
+each component in canonical walk order, restoring full cluster parity
+(recall 1.0 AND precision 1.0 vs the oracle) while every sequential
+problem stays component-sized.
 
-Two implementations:
+Component builders (pick by edge volume):
 
 * ``union_find_clusters`` — driver-side union-find over the edge list.
   The DEFAULT: verified edges are orders of magnitude smaller than the
