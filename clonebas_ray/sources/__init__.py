@@ -1,0 +1,1 @@
+"""Input adapters: parquet file tables (primary) and raw source trees."""

@@ -1,0 +1,44 @@
+"""Source-tree reader (S1 analogue)."""
+
+import os
+
+
+def test_read_source_tree(ray_session, tmp_path, corpus_dir):
+    from clonebas_ray.sources.tree import read_source_tree
+    from clonebas_ray.stages.ingest import prepare_stage
+    from clonebas_ray.stages.fingerprint import fingerprint_stage
+
+    _, tables = corpus_dir
+    # materialize a few corpus files as a real tree
+    root = tmp_path / "checkout"
+    (root / "src").mkdir(parents=True)
+    contents = tables.files["content"].to_pylist()[:6]
+    for i, c in enumerate(contents):
+        (root / "src" / f"file{i}.cpp").write_text(c)
+    (root / "src" / "notes.rst").write_text("ignored extension")
+    (root / "src" / "weird.cpp").write_bytes(b"\xff\xfe invalid utf8 \xc3")
+
+    ds = read_source_tree(str(root), repo="org/demo", commit="deadbeef")
+    df = ds.to_pandas()
+    assert len(df) == 7  # 6 cpp + weird.cpp; .rst skipped
+    assert set(df["repo"]) == {"org/demo"}
+    assert set(df["lang"]) == {"cpp"}
+    assert all(p.startswith("src" + os.sep) for p in df["path"])
+    # invalid bytes decode with replacement, not crash
+    assert "invalid utf8" in df[df.path.str.contains("weird")].iloc[0]["content"]
+
+    # flows straight into the flagship stages
+    fp = fingerprint_stage(prepare_stage(ds), concurrency=2).to_pandas()
+    assert len(fp) == 7
+    assert fp["sha"].nunique() == 7
+
+
+def test_read_source_tree_empty(ray_session, tmp_path):
+    from clonebas_ray.sources.tree import read_source_tree
+
+    (tmp_path / "empty").mkdir()
+    ds = read_source_tree(str(tmp_path / "empty"))
+    assert ds.count() == 0
+    assert set(ds.schema().names) == {
+        "repo", "path", "commit", "lang", "content",
+    }
