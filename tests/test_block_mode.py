@@ -106,7 +106,10 @@ def test_block_pipeline_recall_vs_oracle(ray_session, block_corpus,
     recall = len(inter) / len(op)
     precision = len(inter) / max(1, len(ours))
     assert recall >= 0.99, f"block-mode recall {recall:.4f}"
-    assert precision >= 0.5, f"block-mode precision {precision:.4f}"
+    # measured 1.0 on this corpus; bound left slightly loose because
+    # block mode clusters by connected components (the oracle's
+    # cross-component child-suppression marks resist exact replay)
+    assert precision >= 0.9, f"block-mode precision {precision:.4f}"
 
 
 def test_block_pipeline_excludes_ancestor_edges(ray_session, block_corpus,
