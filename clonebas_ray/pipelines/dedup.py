@@ -5,15 +5,15 @@ End-to-end dataflow (SURVEY §3.1 "RD re-architecture"):
     read_parquet(files)
       → map_batches(sha256 + keys)                 [ingest, stateless]
       → map_batches(FingerprintActor)              [actor pool, parse+simhash]
-      → [checkpoint: fingerprints/]
+      → [per-shard checkpoint: fingerprints/]
       → groupby(sig).agg                           [distinct signatures]
-      → map_batches(band expansion, k=4 blocks)    [pigeonhole keys]
-      → groupby(band_key).map_groups(pairing)      [LSH shuffle + verify]
+      → map_batches(band expansion, k=t+1 blocks)  [pigeonhole keys]
+      → groupby(band_part).map_groups(pairing)     [LSH shuffle + verify]
       → union(membership edges)                    [identical-sig fast path]
       → [checkpoint: edges/]
-      → driver union-find (or label propagation)   [clusters]
-      → groupby(cluster).agg                       [stats]
-      → write_parquet(clusters/, stats/)
+      → driver union-find + complete-linkage refinement  [clusters]
+      → broadcast tag + driver agg                 [stats]
+      → write_parquet(clusters/) + run_report.json
 
 Control crosses the "cluster" boundary at exactly two shuffles (the
 signature groupby and the band groupby) plus the small stats
