@@ -63,6 +63,8 @@ def _ensure_worker_importable() -> None:
         "clonebas_ray.ops", "clonebas_ray.ops.text_dedup",
         "clonebas_ray.ops.similarity", "clonebas_ray.ops.text_analysis",
         "clonebas_ray.ops.multimodal", "clonebas_ray.ops.relational",
+        "clonebas_ray.ops.model_path", "clonebas_ray.ops.code_metrics",
+        "clonebas_ray.sources", "clonebas_ray.sources.tree",
     ):
         try:
             cloudpickle.register_pickle_by_value(

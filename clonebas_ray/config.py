@@ -149,6 +149,23 @@ class PipelineConfig:
     #: approximation, oracle measures the gap.  Only used in block mode.
     child_suppression: bool = False
 
+    def __post_init__(self) -> None:
+        # the pigeonhole recall guarantee needs n_bands >= t+1; a
+        # custom t_high/t_normal must never silently break it.  Bands
+        # must also divide the 128-bit signature evenly, so bump to the
+        # smallest power-of-two divisor >= t+1.
+        t_max = max(self.t_high, self.t_normal)
+        need = max(t_max + 1, self.n_bands) if t_max >= 0 else self.n_bands
+        k = 1
+        while k < need:
+            k *= 2
+        if k > VEC_LEN:
+            raise ValueError(
+                f"t={t_max} needs {need} bands > VEC_LEN={VEC_LEN}"
+            )
+        if k != self.n_bands:
+            object.__setattr__(self, "n_bands", k)
+
     def weight_table(self) -> dict[str, int]:
         return dict(self.weights)
 

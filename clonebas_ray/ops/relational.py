@@ -227,17 +227,19 @@ def hash_join(
 
         return ds.map_batches(add, batch_format="pyarrow")
 
+    # capture each side's schema up front — after the union both sides'
+    # columns exist on every row (null-padded), so selecting by known
+    # names is the only correct way to split them back apart
+    left_cols = left.schema().names
+    right_cols = right.schema().names
+
     lb = bucketed(left, left_key, "l")
     rb = bucketed(right, right_key, "r")
     both = lb.union(rb)
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == "l"].drop(columns=["__bucket", "__side"])
-        rg = g[g["__side"] == "r"].drop(columns=["__bucket", "__side"])
-        lg = lg.dropna(axis=1, how="all")
-        rg = rg.dropna(axis=1, how="all")
-        if lg.empty or rg.empty:
-            return pd.DataFrame()
+        lg = g[g["__side"] == "l"][left_cols]
+        rg = g[g["__side"] == "r"][right_cols]
         return lg.merge(rg, left_on=left_key, right_on=right_key)
 
     return both.groupby("__bucket").map_groups(

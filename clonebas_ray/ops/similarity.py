@@ -62,7 +62,10 @@ def knn_brute(
         emb = _normalize(_batch_embeddings(batch, emb_col))
         ids = batch[id_col].to_numpy()
         cos = emb @ q.T  # (n, Q)
-        kk = min(k, len(ids))
+        # local top-k with slack: the global ranking breaks rounding
+        # ties by vec_id, so a batch must not cut candidates that tie
+        # at 6 decimals with its k-th best
+        kk = min(k + 16, len(ids))
         # local top-k per query (combiner): argpartition then sort
         top = np.argpartition(-cos, kk - 1, axis=0)[:kk]  # (kk, Q)
         out_q, out_i, out_c = [], [], []
@@ -159,7 +162,7 @@ def ivf_knn(
                 continue
             c = cos[mask, qi]
             vid = ids[mask]
-            kk = min(k, len(vid))
+            kk = min(k + 16, len(vid))
             sel = np.argpartition(-c, kk - 1)[:kk]
             out_q.append(np.full(kk, qi, dtype=np.int64))
             out_i.append(vid[sel])

@@ -130,7 +130,9 @@ def run_dedup_pipeline(
     edge_table = pa.Table.from_pandas(edge_df, preserve_index=False)
     assignment = union_find_clusters(edge_table)
     if config.refine_clusters and not config.block_mode and assignment:
-        assignment = _refine_assignment(assignment, fingerprints, config)
+        assignment = _refine_assignment(
+            assignment, fingerprints, config, sigma=config.t_high
+        )
     clusters = clusters_table(assignment, tier=1)
     if config.t_normal >= 0:
         normal_edges = edges.filter(expr=f"hamming <= {config.t_normal}")
@@ -140,6 +142,10 @@ def run_dedup_pipeline(
         n_assign = union_find_clusters(
             pa.Table.from_pandas(ndf, preserve_index=False)
         )
+        if config.refine_clusters and not config.block_mode and n_assign:
+            n_assign = _refine_assignment(
+                n_assign, fingerprints, config, sigma=config.t_normal
+            )
         # keep cluster ids globally unique across tiers
         offset = (max(assignment.values()) + 1) if assignment else 0
         n_assign = {k: v + offset for k, v in n_assign.items()}
@@ -236,7 +242,8 @@ def _sharded_fingerprints(
 
 
 def _refine_assignment(
-    assignment: dict, fingerprints, config: PipelineConfig
+    assignment: dict, fingerprints, config: PipelineConfig,
+    sigma: int | None = None,
 ) -> dict:
     """Pull (sig, token, order-key) for the clustered shas only (a
     broadcast-filtered scan — clustered shas are small by construction)
@@ -274,7 +281,9 @@ def _refine_assignment(
         for r in meta_df.itertuples()
     }
     return refine_complete_linkage(
-        assignment, meta, config.t_high, config.span_gate
+        assignment, meta,
+        config.t_high if sigma is None else sigma,
+        config.span_gate,
     )
 
 
@@ -389,23 +398,16 @@ def _cluster_stats(
                 "total_span": pa.array([], pa.int64()),
             }
         )
-    cmap_ref = ray.put(
-        dict(
-            zip(
-                clusters["sha"].to_pylist(),
-                clusters["cluster_id"].to_pylist(),
-            )
-        )
-    )
+    # broadcast the clustered-sha SET (a sha can belong to one cluster
+    # per tier — a dict keyed by sha alone would collapse tiers)
+    shaset_ref = ray.put(set(clusters["sha"].to_pylist()))
 
     def tag(batch: pa.Table) -> pa.Table:
-        cmap = ray.get(cmap_ref)
+        wanted = ray.get(shaset_ref)
         shas = batch["sha"].to_pylist()
-        cid = np.array([cmap.get(s, -1) for s in shas], dtype=np.int64)
-        keep = cid >= 0
+        keep = np.array([s in wanted for s in shas], dtype=bool)
         return pa.table(
             {
-                "cluster_id": pa.array(cid[keep], pa.int64()),
                 "sha": pa.array(np.array(shas, dtype=object)[keep], pa.string()),
                 "token_num": batch["token_num"].filter(pa.array(keep)),
                 "file_key": batch["file_key"].filter(pa.array(keep)),
@@ -414,9 +416,11 @@ def _cluster_stats(
 
     # the tagged subset only contains clustered rows (near-dup members),
     # which are small relative to the input by construction — so the
-    # final roll-up is a driver-side pandas groupby instead of a
+    # final roll-up is a driver-side pandas merge+groupby instead of a
     # distributed sort shuffle (saves a fixed ~3-5s barrier per run)
     tagged = fingerprints.map_batches(tag, batch_format="pyarrow").to_pandas()
+    cdf = clusters.to_pandas()[["sha", "cluster_id"]]
+    tagged = tagged.merge(cdf, on="sha", how="inner")
     stats = (
         tagged.groupby("cluster_id")
         .agg(

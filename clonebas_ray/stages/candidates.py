@@ -127,16 +127,19 @@ def sig_groups(fingerprints: ray.data.Dataset,
         new_grp[0] = True
         new_grp[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
         starts = np.flatnonzero(new_grp)
-        # distinct (sig, sha) rows for member lists
+        # distinct (sig, sha) rows: the same pair can arrive from
+        # several input batches, so count DISTINCT shas per sig —
+        # deterministic regardless of batch layout
         dup_sha = np.empty(len(hi), dtype=bool)
         dup_sha[0] = False
         dup_sha[1:] = (~new_grp[1:]) & (sha[1:] == sha[:-1])
+        distinct = (~dup_sha).astype(np.int64)
         return pd.DataFrame(
             {
                 "sig_hi": hi[starts],
                 "sig_lo": lo[starts],
                 "rep_sha": sha[starts],  # sorted → first is min
-                "n_members": np.diff(np.append(starts, len(hi))),
+                "n_members": np.add.reduceat(distinct, starts),
                 "token_min": np.minimum.reduceat(tok, starts),
                 "token_max": np.maximum.reduceat(tok, starts),
                 "member_shas": [
@@ -297,7 +300,15 @@ def membership_edges(
 
     Consumes the ``sig_groups`` output (member lists already
     co-located), so this is a stateless ``map_batches`` explode — no
-    extra shuffle."""
+    extra shuffle.
+
+    These edges are deliberately NOT span-gated: identical-signature
+    members whose spans diverge past the 0.3 gate may still be
+    transitively joined by the reference through a mediator, so gating
+    here would cost recall.  In file mode the complete-linkage
+    refinement replays the exact gate afterwards; in block mode the
+    over-connection is a documented precision seam (measured 1.0 on
+    the conformance corpus)."""
 
     def explode(batch: pa.Table) -> pa.Table:
         reps = batch["rep_sha"].to_pylist()

@@ -67,6 +67,25 @@ class FingerprintActor:
         self._sha_memo: dict[str, np.ndarray] = {}
         self._sha_memo_cap = 50_000
 
+    #: above this vocabulary size the dense (batch x vocab) counts
+    #: matrix is replaced by a scatter-add over word rows — text-mode
+    #: vocabularies (one entry per distinct natural-language token) are
+    #: unbounded and would OOM the matmul path
+    _DENSE_VOCAB_LIMIT = 4096
+
+    #: text-mode vocabularies grow without bound; past this size the
+    #: word-vector cache (and the sha memo whose id arrays reference
+    #: it) is rebuilt after the current batch — bounded actor heap at
+    #: the cost of re-hashing words on later batches
+    _VOCAB_RESET_LIMIT = 500_000
+
+    def _maybe_reset_cache(self) -> None:
+        if len(self.cache.vocab) > self._VOCAB_RESET_LIMIT:
+            self.cache = WordVectorCache(
+                self.config.weight_table(), self.config.seed
+            )
+            self._sha_memo.clear()
+
     def _fold(self, id_arrays: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
         n = len(id_arrays)
         vocab_size = len(self.cache.vocab)
@@ -77,10 +96,17 @@ class FingerprintActor:
         flat = (
             np.concatenate(id_arrays) if lens.sum() else np.empty(0, np.int64)
         )
-        counts = np.bincount(
-            row_idx * vocab_size + flat, minlength=n * vocab_size
-        ).reshape(n, vocab_size)
-        bits = fold_counts(counts, self.cache.matrix, self.config.fold_threshold)
+        if vocab_size <= self._DENSE_VOCAB_LIMIT:
+            counts = np.bincount(
+                row_idx * vocab_size + flat, minlength=n * vocab_size
+            ).reshape(n, vocab_size)
+            bits = fold_counts(
+                counts, self.cache.matrix, self.config.fold_threshold
+            )
+        else:
+            sums = np.zeros((n, 128), dtype=np.int64)
+            np.add.at(sums, row_idx, self.cache.matrix[flat])
+            bits = sums > self.config.fold_threshold
         return pack_signature(bits)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -104,6 +130,7 @@ class FingerprintActor:
                 memo[shas[i]] = ids
             id_arrays.append(ids)
         hi, lo = self._fold(id_arrays)
+        self._maybe_reset_cache()
         lens = np.fromiter((len(a) for a in id_arrays), dtype=np.int32, count=n)
 
         token_num = batch["token_num"].to_numpy().astype(np.int32)
@@ -166,6 +193,7 @@ class FingerprintActor:
                 cols["token_num"].append(span)
                 cols["ancestors"].append(ancestors)
         hi, lo = self._fold(id_arrays)
+        self._maybe_reset_cache()
         n = len(id_arrays)
         return pa.table(
             {

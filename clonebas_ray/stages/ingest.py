@@ -47,18 +47,18 @@ def read_files(
 
 
 def _key_batch(batch: pa.Table) -> pa.Table:
-    # null-robustness: treat missing content/lang as empty/cpp so one
-    # malformed row can't poison a task (SURVEY §4 poison-pill rows)
-    if batch["content"].null_count:
-        batch = batch.set_column(
-            batch.column_names.index("content"), "content",
-            pc.fill_null(batch["content"], ""),
-        )
-    if "lang" in batch.column_names and batch["lang"].null_count:
-        batch = batch.set_column(
-            batch.column_names.index("lang"), "lang",
-            pc.fill_null(batch["lang"], "cpp"),
-        )
+    # null-robustness: fill every key column so one malformed row can't
+    # poison a task or the driver-side refinement (SURVEY §4
+    # poison-pill rows); a null path would otherwise yield a null
+    # file_key that breaks order-key sorting downstream
+    fills = {"content": "", "lang": "cpp", "repo": "", "path": "",
+             "commit": ""}
+    for col, fill in fills.items():
+        if col in batch.column_names and batch[col].null_count:
+            batch = batch.set_column(
+                batch.column_names.index(col), col,
+                pc.fill_null(batch[col], fill),
+            )
     contents = batch["content"]
     sha = [
         hashlib.sha256(
