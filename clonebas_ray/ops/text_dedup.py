@@ -65,7 +65,9 @@ def exact_dedup_docs(
             .reset_index()
         )
         g.columns = ["content_hash", "rep_id", "n_dups"]
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).replace_schema_metadata(None)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

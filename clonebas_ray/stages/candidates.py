@@ -102,7 +102,9 @@ def sig_groups(fingerprints: ray.data.Dataset,
             ^ _splitmix64(df["sig_lo"].to_numpy(np.uint64))
         ) % np.uint64(P)
         df = df.assign(sig_part=part.astype(np.int32))
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata(None)
 
     def merge_partition(part: pd.DataFrame) -> pd.DataFrame:
         if part.empty:

@@ -63,9 +63,16 @@ class FingerprintActor:
         #: per-actor exact-dup fast path: sha → word-id array.  Real
         #: corpora are duplicate-heavy; identical content parses once
         #: per actor.  Bounded FIFO so a pathological all-distinct
-        #: stream can't grow the heap.
+        #: stream can't grow the heap.  GRAFT_DISABLE_SHA_MEMO=1 turns
+        #: it off — scaling benchmarks must, because hit rate rises as
+        #: the pool shrinks (each actor sees more of the corpus), which
+        #: biases small-pool throughput upward.
+        import os
+
         self._sha_memo: dict[str, np.ndarray] = {}
-        self._sha_memo_cap = 50_000
+        self._sha_memo_cap = (
+            0 if os.environ.get("GRAFT_DISABLE_SHA_MEMO") == "1" else 50_000
+        )
 
     #: above this vocabulary size the dense (batch x vocab) counts
     #: matrix is replaced by a scatter-add over word rows — text-mode
@@ -118,6 +125,7 @@ class FingerprintActor:
         shas = batch["sha"].to_pylist()
 
         memo = self._sha_memo
+        memo_cap = self._sha_memo_cap
         id_arrays: list[np.ndarray] = []
         for i in range(n):
             ids = memo.get(shas[i])
@@ -125,9 +133,10 @@ class FingerprintActor:
                 ids = self.cache.ids(
                     self.registry.get(langs[i]).extract(contents[i])
                 )
-                if len(memo) >= self._sha_memo_cap:
-                    memo.pop(next(iter(memo)))
-                memo[shas[i]] = ids
+                if memo_cap:
+                    if len(memo) >= memo_cap:
+                        memo.pop(next(iter(memo)))
+                    memo[shas[i]] = ids
             id_arrays.append(ids)
         hi, lo = self._fold(id_arrays)
         self._maybe_reset_cache()
