@@ -222,8 +222,15 @@ def _q_embed_near_dup(sf_dir: str):
 
     vecs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     # synthetic embeddings are near-orthogonal (max pairwise cosine
-    # ~0.44), so 0.3 marks the upper tail as "near-dup"
-    return embedding_near_dup_pairs(vecs, threshold=0.3).to_pandas()
+    # ~0.44), so 0.3 marks the upper tail as "near-dup".  The exact
+    # block-pair join is COMPLETE, so a DuckDB all-pairs threshold
+    # query is a hard oracle.
+    return (
+        embedding_near_dup_pairs(vecs, threshold=0.3)
+        .to_pandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
 
 
 def _q_ivf_knn(sf_dir: str):
@@ -239,30 +246,36 @@ def _q_ivf_knn(sf_dir: str):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).to_pandas()
     qt = qt[qt.vec_id < 5].sort_values("vec_id")
-    return ivf_knn(vecs, np.vstack(qt["embedding"].to_numpy()), k=5).to_pandas()
+    # exhaustive probing (n_probe = n_lists) exercises the whole IVF
+    # machinery — codebook, list assignment, probe routing, local
+    # top-k combiner, global merge — while staying exact, so the
+    # brute-force DuckDB top-k SQL is a hard oracle.  Pruned-probe
+    # recall (the approximation knob) is bounded in tests/test_ops.py.
+    return ivf_knn(
+        vecs, np.vstack(qt["embedding"].to_numpy()),
+        k=5, n_lists=16, n_probe=16,
+    ).to_pandas()
 
 
 def _q_media_features(sf_dir: str):
+    """Multimodal plumbing over the documents table: text bytes as the
+    opaque binary payload, decode-stat kernel in an actor pool; every
+    output is integer math on an md5 checksum so the DuckDB oracle is
+    exact (real decoders are the documented strict= seam)."""
     _quiet()
-    import ray.data
+    from clonebas_ray.ops.multimodal import docs_as_media, media_stat_pipeline
 
-    from clonebas_ray.ops.multimodal import (
-        media_feature_pipeline, synth_media_table,
-    )
-
-    media = ray.data.from_arrow(synth_media_table(n=60))
-    return media_feature_pipeline(media).to_pandas()
+    media = docs_as_media(_docs(sf_dir, ["doc_id", "text"]))
+    return media_stat_pipeline(media).to_pandas()
 
 
 def _q_media_frames(sf_dir: str):
+    """Frame-sampling plumbing (payload chunk digests) over the
+    documents-derived media table — SQL-mirrored chunking."""
     _quiet()
-    import ray.data
+    from clonebas_ray.ops.multimodal import docs_as_media, media_frame_pipeline
 
-    from clonebas_ray.ops.multimodal import (
-        media_frame_pipeline, synth_media_table,
-    )
-
-    media = ray.data.from_arrow(synth_media_table(n=60))
+    media = docs_as_media(_docs(sf_dir, ["doc_id", "text"]))
     return media_frame_pipeline(media).to_pandas()
 
 
@@ -504,6 +517,185 @@ SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
   count(*) AS n_events
 FROM s GROUP BY user_id, session
 ORDER BY user_id, session_start
+""",
+        "media_features": """
+SELECT doc_id AS media_id,
+  length(text) AS n_bytes,
+  CAST(md5_number_lower(text) % 9223372036854775808 AS BIGINT)
+    AS checksum,
+  CAST(16 + (md5_number_lower(text) % 9223372036854775808) % 1008
+       AS BIGINT) AS pseudo_width,
+  CAST(16 + ((md5_number_lower(text) % 9223372036854775808) // 1008)
+       % 1008 AS BIGINT) AS pseudo_height
+FROM documents WHERE doc_id % 3 = 0
+ORDER BY media_id
+""",
+        "media_frames": """
+WITH av AS (
+  SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 <> 0
+), f AS (
+  SELECT media_id, text,
+    greatest(1, length(text) // 4) AS step,
+    unnest(range(4)) AS frame
+  FROM av
+)
+SELECT media_id, frame,
+  CAST(md5_number_lower(substr(text, frame * step + 1, step))
+       % 9223372036854775808 AS BIGINT) AS digest
+FROM f ORDER BY media_id, frame
+""",
+        "embed_near_dup": """
+WITH p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])) AS c
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(c, 6) AS cosine
+FROM p WHERE c >= 0.3 ORDER BY vec_a, vec_b
+""",
+        "ivf_knn": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id < 5
+), s AS (
+  SELECT q.query_id, e.vec_id,
+    round(list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                 CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+  FROM q CROSS JOIN embeddings e
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM s)
+SELECT query_id, rank, vec_id, cosine FROM r WHERE rank <= 5
+""",
+        "minhash_pairs": """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+         WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(t) - 3),
+                i -> array_to_string(t[i:i+4], ' ')))
+    END AS s
+  FROM toks
+), e AS (SELECT doc_id, unnest(s) AS sng FROM sh),
+sz AS (SELECT doc_id, len(s) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM e a JOIN e b ON a.sng = b.sng AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+  i / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
+ORDER BY doc_a, doc_b
+""",
+        "minhash_clusters": """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+         WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(t) - 3),
+                i -> array_to_string(t[i:i+4], ' ')))
+    END AS s
+  FROM toks
+), e AS (SELECT doc_id, unnest(s) AS sng FROM sh),
+sz AS (SELECT doc_id, len(s) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM e a JOIN e b ON a.sng = b.sng AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+  WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  SELECT a AS id, a AS lbl FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.id = e.a
+)
+SELECT id AS doc_id, min(lbl) AS cluster_id
+FROM reach GROUP BY id ORDER BY doc_id
+""",
+        "language_id": """
+WITH t AS (
+  SELECT doc_id,
+    list_transform(regexp_extract_all(text, '[a-zA-Z'']+'), w -> lower(w))
+      AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id, len(toks) AS nt,
+    len(list_filter(toks, w -> w IN
+      ('the','and','of','to','a','in','is','it','that','for'))) AS h_en,
+    len(list_filter(toks, w -> w IN
+      ('der','die','das','und','ist','nicht','ein','zu','mit'))) AS h_de,
+    len(list_filter(toks, w -> w IN
+      ('el','la','de','que','y','en','un','es','por','los'))) AS h_es,
+    len(list_filter(toks, w -> w IN
+      ('le','la','de','et','un','est','que','pour','dans'))) AS h_fr
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN nt = 0 OR greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+       WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
+       WHEN h_de = greatest(h_en, h_de, h_es, h_fr) THEN 'de'
+       WHEN h_es = greatest(h_en, h_de, h_es, h_fr) THEN 'es'
+       ELSE 'fr' END AS lang_pred,
+  CASE WHEN nt = 0 THEN 0.0
+       ELSE greatest(h_en, h_de, h_es, h_fr) / CAST(nt AS DOUBLE)
+  END AS lang_score
+FROM h
+""",
+        "quality_score": """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, len(toks) AS nt,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE list_sum(list_transform(toks, w -> length(w)))
+              / CAST(len(toks) AS DOUBLE) END AS mwl,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE len(list_filter(toks, w -> lower(w) IN
+                ('the','and','of','to','a','in','is','it','that','for')))
+              / CAST(len(toks) AS DOUBLE) END AS sr,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE 1.0 - (len(list_distinct(toks))
+                     / CAST(len(toks) AS DOUBLE)) END AS rep
+  FROM t
+)
+SELECT doc_id, nt AS n_tokens, sr AS stop_ratio, rep AS rep_ratio,
+  ((CASE WHEN nt < 10 OR nt > 100000 THEN 0.2 ELSE 1.0 END
+    * CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.5 END)
+   * least(1.0, 0.2 + sr * 4)) * (1.0 - least(0.8, rep)) AS quality
+FROM m
+""",
+        "doc_fingerprint": """
+SELECT doc_id,
+  CAST(list_reduce(
+    list_prepend(CAST(0 AS HUGEINT),
+      list_transform(
+        list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+        w -> CAST(md5_number_lower(w) AS HUGEINT))),
+    (a, b) -> (a * 1099511628211 + b) % 2305843009213693951
+  ) AS BIGINT) AS fingerprint
+FROM documents
 """,
         "knn_cosine": """
 WITH q AS (

@@ -117,16 +117,16 @@ def model_clone_pairs(
     files: ray.data.Dataset,
     config: PipelineConfig = DEFAULT_CONFIG,
     threshold: float = 0.6,
-    n_lists: int = 8,
     concurrency: int | tuple[int, int] = (1, 8),
 ) -> pa.Table:
-    """End-to-end model path: sequences → embeddings → IVF-bucketed
-    cosine pairing at ``(cos*0.5+0.5) >= threshold`` → pairs table.
+    """End-to-end model path: sequences → embeddings → exact
+    block-pair cosine join at ``(cos*0.5+0.5) >= threshold`` → pairs.
 
     The reference compares all pairs sequentially
-    (``FingerPrintGenerator.cpp:157-240``); we bucket by nearest
-    centroid like ``embedding_near_dup_pairs`` and verify exactly.
-    """
+    (``FingerPrintGenerator.cpp:157-240``); we run the same complete
+    comparison as a distributed block-pair join
+    (``embedding_near_dup_pairs``) with the string ``unit`` key riding
+    through as the id column — no driver-side id maps."""
     from clonebas_ray.ops.similarity import embedding_near_dup_pairs
     from clonebas_ray.stages.ingest import prepare_stage
 
@@ -142,28 +142,12 @@ def model_clone_pairs(
     )
     # cos*0.5+0.5 >= t  ⇔  cos >= 2t-1 (FingerPrintGenerator.cpp:242-262)
     cos_threshold = 2.0 * threshold - 1.0
-    # unit keys are strings; embedding_near_dup_pairs wants an id col —
-    # give it dense ids and map back
-    with_ids = embedded.map_batches(
-        lambda t: t.append_column(
-            "vec_id",
-            pa.array(
-                pd.util.hash_array(np.asarray(t["unit"].to_pylist(), dtype=object)).astype("int64")
-            ),
-        ),
-        batch_format="pyarrow",
-    ).materialize()
     pairs = embedding_near_dup_pairs(
-        with_ids, threshold=cos_threshold, n_lists=n_lists,
+        embedded, threshold=cos_threshold, id_col="unit",
     )
-    id_map = {}
-    for b in with_ids.select_columns(["vec_id", "unit"]).iter_batches(
-        batch_size=65536, batch_format="pyarrow"
-    ):
-        id_map.update(zip(b["vec_id"].to_pylist(), b["unit"].to_pylist()))
-    df = pairs.to_pandas()
-    df["unit_a"] = df["vec_a"].map(id_map)
-    df["unit_b"] = df["vec_b"].map(id_map)
+    df = pairs.to_pandas().rename(
+        columns={"vec_a": "unit_a", "vec_b": "unit_b"}
+    )
     return pa.Table.from_pandas(
         df[["unit_a", "unit_b", "cosine"]], preserve_index=False
     )

@@ -65,6 +65,84 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
     )
 
 
+def _blob_checksum(buf: bytes) -> int:
+    """64-bit payload checksum: low half of md5 little-endian, folded
+    into int63 — matches DuckDB ``md5_number_lower(x) % 2^63`` so
+    media kernels stay SQL-oracle-checkable."""
+    return int.from_bytes(hashlib.md5(buf).digest()[8:], "little") % (1 << 63)
+
+
+def docs_as_media(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """documents → media-shaped table (deterministic stand-in corpus).
+
+    Real media bytes don't exist in the test tables, so the document
+    text bytes become the opaque payload (the text is ASCII, so byte
+    offsets equal char offsets and every downstream kernel can be
+    mirrored in DuckDB over the same parquet).  Kind cycles
+    image/audio/video by ``doc_id % 3``.
+    """
+    kinds = ["image", "audio", "video"]
+    mimes = {"image": "image/png", "audio": "audio/wav",
+             "video": "video/mp4"}
+
+    def adapt(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        kind = [kinds[i % 3] for i in ids]
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(kind, pa.string()),
+                "payload": pa.array(
+                    [t.encode("utf-8") for t in texts], pa.binary()
+                ),
+                "mime": pa.array([mimes[k] for k in kind], pa.string()),
+                "meta_width": pa.array([-1] * len(ids), pa.int32()),
+                "meta_height": pa.array([-1] * len(ids), pa.int32()),
+                "meta_duration_ms": pa.array([-1] * len(ids), pa.int32()),
+            }
+        )
+
+    return docs.map_batches(adapt, batch_format="pyarrow")
+
+
+class MediaStatFeatures:
+    """Actor-pool stage: payload → scalar decode-stats row.
+
+    Real path would be a decoder probe (PIL ``Image.open`` header read
+    / ffprobe) on the binary payload; deterministic fake derives
+    pseudo-dimensions from the payload checksum.  Unlike the
+    histogram features, every output is integer arithmetic on the
+    checksum, so a DuckDB oracle verifies the actor-pool path
+    bit-for-bit."""
+
+    def __init__(self, strict: bool = False):
+        if strict:
+            raise NotImplementedError(
+                "media stat probing requires Pillow/ffprobe, not present "
+                "in this environment; run with strict=False for the "
+                "deterministic fake"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_bytes, checksum, w, h = [], [], [], []
+        for buf in batch["payload"].to_pylist():
+            c = _blob_checksum(buf)
+            n_bytes.append(len(buf))
+            checksum.append(c)
+            w.append(16 + c % 1008)
+            h.append(16 + (c // 1008) % 1008)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "n_bytes": pa.array(n_bytes, pa.int64()),
+                "checksum": pa.array(checksum, pa.int64()),
+                "pseudo_width": pa.array(w, pa.int64()),
+                "pseudo_height": pa.array(h, pa.int64()),
+            }
+        )
+
+
 class ImageDecodeFeatures:
     """Actor-pool stage: payload → fixed-dim feature vector.
 
@@ -133,15 +211,13 @@ class AudioFrameSampler:
                 chunk = buf[f * step : (f + 1) * step]
                 ids.append(mid)
                 frame_idx.append(f)
-                digests.append(
-                    int.from_bytes(hashlib.sha1(chunk).digest()[:8], "big")
-                )
+                digests.append(_blob_checksum(chunk))
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
-                "frame": pa.array(frame_idx, pa.int32()),
+                "frame": pa.array(frame_idx, pa.int64()),
                 "digest": pa.array(
-                    np.array(digests, dtype=np.uint64), pa.uint64()
+                    np.array(digests, dtype=np.int64), pa.int64()
                 ),
             }
         )
@@ -173,6 +249,22 @@ def media_frame_pipeline(
     return av.map_batches(
         AudioFrameSampler,
         fn_constructor_kwargs={"n_frames": n_frames},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def media_stat_pipeline(
+    media: ray.data.Dataset,
+    concurrency: int | tuple[int, int] = (1, 4),
+    batch_size: int = 32,
+) -> ray.data.Dataset:
+    """'image' payloads → scalar decode stats via the actor pool —
+    the SQL-checkable twin of ``media_feature_pipeline``."""
+    images = media.filter(expr="kind == 'image'")
+    return images.map_batches(
+        MediaStatFeatures,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

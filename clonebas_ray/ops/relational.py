@@ -209,6 +209,10 @@ def hash_join(
     left_key: str,
     right_key: str,
     num_buckets: int = 32,
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    left_dtypes: dict[str, str] | None = None,
+    right_dtypes: dict[str, str] | None = None,
 ) -> ray.data.Dataset:
     """Explicit partitioned hash join for two LARGE sides: both sides
     gain a ``__bucket`` = hash(key) % B column, are grouped by it, and
@@ -229,17 +233,31 @@ def hash_join(
 
     # capture each side's schema up front — after the union both sides'
     # columns exist on every row (null-padded), so selecting by known
-    # names is the only correct way to split them back apart
-    left_cols = left.schema().names
-    right_cols = right.schema().names
+    # names is the only correct way to split them back apart.  Callers
+    # with a derived (lazy) side pass the names explicitly so schema
+    # inference doesn't execute part of the upstream graph.
+    if left_cols is None:
+        left_cols = left.schema().names
+    if right_cols is None:
+        right_cols = right.schema().names
 
     lb = bucketed(left, left_key, "l")
     rb = bucketed(right, right_key, "r")
     both = lb.union(rb)
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == "l"][left_cols]
-        rg = g[g["__side"] == "r"][right_cols]
+        # reindex: a shuffle partition whose blocks all came from ONE
+        # side yields a group frame without the other side's columns.
+        # dtype restore: the union null-pads the other side's columns,
+        # which coerces int64 keys to float64 — the caller-supplied
+        # dtype maps undo that so merge keys (and downstream key
+        # hashing in a chained join) stay type-stable.
+        lg = g[g["__side"] == "l"].reindex(columns=left_cols)
+        rg = g[g["__side"] == "r"].reindex(columns=right_cols)
+        if left_dtypes:
+            lg = lg.astype(left_dtypes)
+        if right_dtypes:
+            rg = rg.astype(right_dtypes)
         return lg.merge(rg, left_on=left_key, right_on=right_key)
 
     return both.groupby("__bucket").map_groups(

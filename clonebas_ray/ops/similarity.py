@@ -43,6 +43,20 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _topk_with_ties(cos: np.ndarray, k: int) -> np.ndarray:
+    """Indices of every row whose 6-decimal-rounded cosine reaches the
+    local k-th rounded value — a variable-size combiner.  The global
+    merge breaks rounding ties by vec_id, so a fixed slack could cut a
+    row the oracle ranks inside top-k; keeping the whole tie class
+    cannot (ties are rare, so the emitted set stays ~k)."""
+    n = len(cos)
+    if n <= k:
+        return np.arange(n)
+    r = np.round(cos, 6)
+    kth = np.partition(r, n - k)[n - k]  # k-th largest rounded value
+    return np.flatnonzero(r >= kth)
+
+
 def knn_brute(
     vectors: ray.data.Dataset,
     queries: np.ndarray,
@@ -58,20 +72,22 @@ def knn_brute(
         query_ids = np.arange(len(qn), dtype=np.int64)
 
     def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
         q = ray.get(q_ref)
         emb = _normalize(_batch_embeddings(batch, emb_col))
         ids = batch[id_col].to_numpy()
         cos = emb @ q.T  # (n, Q)
-        # local top-k with slack: the global ranking breaks rounding
-        # ties by vec_id, so a batch must not cut candidates that tie
-        # at 6 decimals with its k-th best
-        kk = min(k + 16, len(ids))
-        # local top-k per query (combiner): argpartition then sort
-        top = np.argpartition(-cos, kk - 1, axis=0)[:kk]  # (kk, Q)
         out_q, out_i, out_c = [], [], []
         for qi in range(q.shape[0]):
-            sel = top[:, qi]
-            out_q.append(np.full(kk, qi, dtype=np.int64))
+            sel = _topk_with_ties(cos[:, qi], k)
+            out_q.append(np.full(len(sel), qi, dtype=np.int64))
             out_i.append(ids[sel])
             out_c.append(cos[sel, qi].astype(np.float64))
         return pa.table(
@@ -149,6 +165,14 @@ def ivf_knn(
     q_ref = ray.put((qn, probe_sets))
 
     def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
         cents = ray.get(c_ref)
         q, psets = ray.get(q_ref)
         emb = _normalize(_batch_embeddings(batch, emb_col))
@@ -162,9 +186,8 @@ def ivf_knn(
                 continue
             c = cos[mask, qi]
             vid = ids[mask]
-            kk = min(k + 16, len(vid))
-            sel = np.argpartition(-c, kk - 1)[:kk]
-            out_q.append(np.full(kk, qi, dtype=np.int64))
+            sel = _topk_with_ties(c, k)
+            out_q.append(np.full(len(sel), qi, dtype=np.int64))
             out_i.append(vid[sel])
             out_c.append(c[sel].astype(np.float64))
         if not out_q:
@@ -203,19 +226,133 @@ def ivf_knn(
     )
 
 
+_EMPTY_PAIRS = pa.table(
+    {
+        "vec_a": pa.array([], pa.int64()),
+        "vec_b": pa.array([], pa.int64()),
+        "cosine": pa.array([], pa.float64()),
+    }
+)
+
+#: matmul tile edge for block-pair tasks — bounds the (tile, tile)
+#: cosine matrix a task holds at once (~32 MB of float64 at 2048)
+_COS_TILE = 2048
+
+
+def _empty_pairs(id_type: pa.DataType) -> pa.Table:
+    return pa.table(
+        {
+            "vec_a": pa.array([], id_type),
+            "vec_b": pa.array([], id_type),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
+
+
+@ray.remote
+def _pair_block_task(
+    ta: pa.Table, tb: pa.Table, same: bool, threshold: float,
+    id_col: str, emb_col: str,
+) -> pa.Table:
+    """Exact cosine-threshold join between two vector blocks, tiled so
+    per-task memory stays bounded regardless of block size.  The id
+    column may be any orderable Arrow type (ints for doc tables,
+    strings for clone units)."""
+    id_type = ta.schema.field(id_col).type
+    ia = ta[id_col].to_numpy(zero_copy_only=False)
+    ib = tb[id_col].to_numpy(zero_copy_only=False)
+    ea = _normalize(_batch_embeddings(ta, emb_col))
+    eb = ea if same else _normalize(_batch_embeddings(tb, emb_col))
+    if same:
+        ib = ia
+    out_a, out_b, out_c = [], [], []
+    for i0 in range(0, len(ia), _COS_TILE):
+        i1 = min(i0 + _COS_TILE, len(ia))
+        j_start = i0 if same else 0
+        for j0 in range(j_start, len(ib), _COS_TILE):
+            j1 = min(j0 + _COS_TILE, len(ib))
+            cos = ea[i0:i1] @ eb[j0:j1].T
+            ii, jj = np.nonzero(cos >= threshold)
+            if same:
+                keep = (ii + i0) < (jj + j0)  # strict upper triangle
+                ii, jj = ii[keep], jj[keep]
+            if not len(ii):
+                continue
+            a, b = ia[ii + i0], ib[jj + j0]
+            swap = a > b
+            out_a.append(np.where(swap, b, a))
+            out_b.append(np.where(swap, a, b))
+            out_c.append(np.round(cos[ii, jj].astype(np.float64), 6))
+    if not out_a:
+        return _empty_pairs(id_type)
+    return pa.table(
+        {
+            "vec_a": pa.array(np.concatenate(out_a), id_type),
+            "vec_b": pa.array(np.concatenate(out_b), id_type),
+            "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+        }
+    )
+
+
 def embedding_near_dup_pairs(
     vectors: ray.data.Dataset,
     threshold: float = 0.95,
-    n_lists: int = 16,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    block_rows: int = 8192,
+) -> ray.data.Dataset:
+    """EXACT embedding-cosine near-duplicate pairs as a distributed
+    block-pair cross join: the vector table is split into fixed-size
+    blocks and one Ray task per block pair (i <= j) computes the tiled
+    cosine-threshold join — complete (no LSH recall loss), per-task
+    memory bounded by the tile size, parallelism (B choose 2).
+
+    A cosine-threshold join is inherently all-pairs in the worst case;
+    total flops are O(N^2 * dim / cluster) no matter the framework.
+    For corpora where that is too hot, `embedding_near_dup_pairs_lsh`
+    trades recall for near-linear cost.  Raw Ray tasks are used
+    because Ray Data has no cross-join primitive (the documented
+    escape hatch); results come back as a Dataset via
+    ``from_arrow_refs`` so pair volume never lands on the driver.
+    """
+    mat = vectors.select_columns([id_col, emb_col]).materialize()
+    n = mat.count()
+    n_blocks = max(1, -(-n // block_rows))
+    refs = mat.repartition(n_blocks).materialize().to_arrow_refs()
+    tasks = []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            tasks.append(
+                _pair_block_task.remote(
+                    refs[i], refs[j], i == j, threshold, id_col, emb_col
+                )
+            )
+    if not tasks:
+        return ray.data.from_arrow(
+            _empty_pairs(mat.schema().field(id_col).type)
+        )
+    return ray.data.from_arrow_refs(tasks)
+
+
+def embedding_near_dup_pairs_lsh(
+    vectors: ray.data.Dataset,
+    threshold: float = 0.95,
+    n_lists: int | None = None,
+    max_group: int = 8192,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seed: int = 23,
 ) -> pa.Table:
-    """Embedding-cosine near-duplicate pairs: vectors are bucketed by
-    their nearest centroid (IVF lists) and all-pairs cosine runs only
-    within each list — the embedding analogue of the LSH candidate
-    join.  Boundary pairs split across lists are missed (documented
-    approximation; raise n_probe-style multi-assignment to trade cost
-    for recall)."""
+    """Approximate near-dup pairs — the 100-TB path: vectors are
+    bucketed by nearest IVF centroid (``n_lists`` scales ~sqrt(N) so
+    mean list size stays ~sqrt(N)), and any list still larger than
+    ``max_group`` is sub-bucketed by deterministic random-hyperplane
+    signs before the within-bucket all-pairs cosine.  Pairs split
+    across bucket boundaries are missed (recall < 1 by design —
+    that is the cost knob vs `embedding_near_dup_pairs`)."""
+    n = vectors.count()
+    if n_lists is None:
+        n_lists = int(np.clip(np.sqrt(max(n, 1)), 16, 65536))
     centroids = train_codebook(vectors, n_lists=n_lists, emb_col=emb_col)
     c_ref = ray.put(centroids)
 
@@ -238,14 +375,34 @@ def embedding_near_dup_pairs(
     def pair_list(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].to_numpy()
         emb = _normalize(np.vstack(g[emb_col].to_numpy()))
-        cos = emb @ emb.T
-        a, b = np.nonzero(np.triu(cos >= threshold, k=1))
-        return pd.DataFrame(
-            {
-                "vec_a": ids[a],
-                "vec_b": ids[b],
-                "cosine": np.round(cos[a, b].astype(np.float64), 6),
-            }
+        # oversize cap: split by random-hyperplane sign bits until each
+        # sub-bucket fits; one (cap, cap) matrix is the memory ceiling
+        n_sub_bits = max(0, int(np.ceil(np.log2(max(len(ids), 1) / max_group))))
+        if n_sub_bits:
+            rng = np.random.default_rng(seed)
+            planes = rng.standard_normal((emb.shape[1], n_sub_bits))
+            sub = ((emb @ planes) >= 0) @ (1 << np.arange(n_sub_bits))
+        else:
+            sub = np.zeros(len(ids), dtype=np.int64)
+        frames = []
+        for key in np.unique(sub):
+            m = sub == key
+            e, i = emb[m], ids[m]
+            cos = e @ e.T
+            a, b = np.nonzero(np.triu(cos >= threshold, k=1))
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "vec_a": i[a],
+                        "vec_b": i[b],
+                        "cosine": np.round(cos[a, b].astype(np.float64), 6),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            {"vec_a": pd.Series(dtype="int64"),
+             "vec_b": pd.Series(dtype="int64"),
+             "cosine": pd.Series(dtype="float64")}
         )
 
     pairs = assigned.groupby("list_id").map_groups(
@@ -253,13 +410,7 @@ def embedding_near_dup_pairs(
     )
     df = pairs.to_pandas()
     if df.empty:
-        return pa.table(
-            {
-                "vec_a": pa.array([], pa.int64()),
-                "vec_b": pa.array([], pa.int64()),
-                "cosine": pa.array([], pa.float64()),
-            }
-        )
+        return _EMPTY_PAIRS
     a = df["vec_a"].to_numpy().copy()
     b = df["vec_b"].to_numpy().copy()
     swap = a > b

@@ -53,7 +53,10 @@ class LanguageId:
                 if hit > best:
                     best_lang, best = lang, hit
             langs.append(best_lang)
-            scores.append(round(best, 6))
+            # raw (un-rounded) ratio: int/int division is bit-identical
+            # to the DuckDB oracle's, so the driver's 9-decimal value
+            # hash matches without a rounding convention
+            scores.append(best)
         return batch.append_column(
             "lang_pred", pa.array(langs, pa.string())
         ).append_column("lang_score", pa.array(scores, pa.float64()))
@@ -86,6 +89,9 @@ class QualityScore:
             pr = len(self.punct_re.findall(t)) / max(1, n)
             dr = len(self.digit_re.findall(t)) / max(1, n)
             rep = 1.0 - (len(set(toks)) / nt) if nt else 0.0
+            # q is a left-associated product; the DuckDB oracle mirrors
+            # the exact operation order so doubles are bit-identical
+            # (no rounding convention needed)
             q = 1.0
             if nt < 10 or nt > 100_000:
                 q *= 0.2
@@ -95,12 +101,12 @@ class QualityScore:
             q *= 1.0 - min(0.8, rep)     # heavy repetition = boilerplate
             cols["n_chars_q"].append(n)
             cols["n_tokens"].append(nt)
-            cols["mean_word_len"].append(round(mwl, 6))
-            cols["stop_ratio"].append(round(sr, 6))
-            cols["punct_ratio"].append(round(pr, 6))
-            cols["digit_ratio"].append(round(dr, 6))
-            cols["rep_ratio"].append(round(rep, 6))
-            cols["quality"].append(round(q, 6))
+            cols["mean_word_len"].append(mwl)
+            cols["stop_ratio"].append(sr)
+            cols["punct_ratio"].append(pr)
+            cols["digit_ratio"].append(dr)
+            cols["rep_ratio"].append(rep)
+            cols["quality"].append(q)
         out = batch
         for name in cols:
             typ = pa.int64() if name in ("n_chars_q", "n_tokens") else pa.float64()
@@ -134,32 +140,47 @@ def token_counts(
 
 
 class DocFingerprint:
-    """64-bit rolling-hash document fingerprint: polynomial rolling
-    hash over token murmur hashes (Rabin-Karp style), order-sensitive
-    — a cheap content identity robust to whitespace normalization."""
+    """Rolling-hash document fingerprint: polynomial rolling hash over
+    per-token md5 hashes (Rabin-Karp style), order-sensitive — a cheap
+    content identity robust to whitespace normalization.
+
+    Token hash = the low 64 bits of md5 interpreted little-endian
+    (DuckDB's ``md5_number_lower`` convention) and the accumulator
+    lives mod the Mersenne prime 2^61-1, so the whole fingerprint is
+    expressible in ANSI SQL (``list_reduce`` over HUGEINT) and the
+    driver's DuckDB oracle verifies it bit-for-bit."""
+
+    #: FNV-64 prime as the polynomial base
+    BASE = 0x100000001B3
+    #: accumulator modulus (2^61-1) — keeps the value inside int64
+    MOD = (1 << 61) - 1
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
         self._cache: dict[str, int] = {}
-        self.base = 0x100000001B3
 
     def _tok_hash(self, w: str) -> int:
         h = self._cache.get(w)
         if h is None:
-            h = hash128(w, 0xBEEF)[0]
+            import hashlib
+
+            h = int.from_bytes(
+                hashlib.md5(w.encode("utf-8", "surrogatepass")).digest()[8:],
+                "little",
+            )
             self._cache[w] = h
         return h
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mask = (1 << 64) - 1
+        base, mod = self.BASE, self.MOD
         out = []
         for t in batch[self.text_col].to_pylist():
             acc = 0
             for w in t.split():
-                acc = (acc * self.base + self._tok_hash(w)) & mask
+                acc = (acc * base + self._tok_hash(w)) % mod
             out.append(acc)
         return batch.append_column(
-            "fingerprint", pa.array(np.array(out, dtype=np.uint64), pa.uint64())
+            "fingerprint", pa.array(np.array(out, dtype=np.int64), pa.int64())
         )
 
 

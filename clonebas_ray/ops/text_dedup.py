@@ -207,12 +207,12 @@ def minhash_lsh_pairs(
 
     Shuffle layout mirrors the flagship: banded keys → groupby → bucket
     candidate pairs; verification (exact Jaccard on shingle sets)
-    re-reads only candidate docs via a broadcast text lookup — at
-    sf-test scale the doc table is broadcast; at 100 TB swap in a
-    hash-partitioned text join keyed by doc_id (documented seam).
+    re-reads only candidate docs via two bucketed hash joins of the
+    candidate-pair table against the doc table keyed by doc_id — the
+    doc table is never materialized on the driver or broadcast, so the
+    path holds at 100 TB (candidate volume, not corpus volume, is what
+    moves).
     """
-    import ray as ray_api
-
     P = 64  # pairing partitions (amortizes tiny-bucket scheduling)
 
     keyed = docs.select_columns(["doc_id", "text"]).map_batches(
@@ -258,56 +258,89 @@ def minhash_lsh_pairs(
         partition_pairs, batch_format="pandas"
     )
 
-    text_df = docs.select_columns(["doc_id", "text"]).to_pandas()
-    text_map = dict(zip(text_df["doc_id"], text_df["text"]))
-    text_ref = ray_api.put(text_map)
+    # global pair dedup: the same pair can surface from bands living in
+    # different partitions; co-locate by doc_a so one pass drops dups
+    def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["doc_a", "doc_b"]].drop_duplicates()
+
+    def add_dedup_part(batch: pa.Table) -> pa.Table:
+        h = (
+            batch["doc_a"].to_numpy().astype(np.uint64)
+            * np.uint64(0x9E3779B97F4A7C15)
+        ) >> np.uint64(52)
+        return batch.append_column(
+            "dd_part", pa.array((h % np.uint64(P)).astype(np.int32), pa.int32())
+        )
+
+    cand = (
+        candidates.map_batches(add_dedup_part, batch_format="pyarrow")
+        .groupby("dd_part")
+        .map_groups(dedup_part, batch_format="pandas")
+    )
+
+    # attach both texts via bucketed hash joins against the doc table —
+    # no driver-side doc materialization, no broadcast (SURVEY §4)
+    from clonebas_ray.ops.relational import hash_join
+
+    doc_text = docs.select_columns(["doc_id", "text"])
+    with_a = hash_join(
+        cand, doc_text, "doc_a", "doc_id",
+        left_cols=["doc_a", "doc_b"], right_cols=["doc_id", "text"],
+        left_dtypes={"doc_a": "int64", "doc_b": "int64"},
+        right_dtypes={"doc_id": "int64"},
+    ).map_batches(
+        lambda t: t.drop_columns(["doc_id"]).rename_columns(
+            ["doc_a", "doc_b", "text_a"]
+        ),
+        batch_format="pyarrow",
+    )
+    with_b = hash_join(
+        with_a, doc_text, "doc_b", "doc_id",
+        left_cols=["doc_a", "doc_b", "text_a"],
+        right_cols=["doc_id", "text"],
+        left_dtypes={"doc_a": "int64", "doc_b": "int64"},
+        right_dtypes={"doc_id": "int64"},
+    ).map_batches(
+        lambda t: t.drop_columns(["doc_id"]).rename_columns(
+            ["doc_a", "doc_b", "text_a", "text_b"]
+        ),
+        batch_format="pyarrow",
+    )
+
     k = shingle_k
     thr = threshold
 
-    class Verifier:
-        def __init__(self):
-            self.texts = ray_api.get(text_ref)
-            self._cache: dict[int, set] = {}
+    def verify(batch: pa.Table) -> pa.Table:
+        oa, ob, oj = [], [], []
+        for x, y, ta, tb in zip(
+            batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist(),
+            batch["text_a"].to_pylist(), batch["text_b"].to_pylist(),
+        ):
+            j = jaccard(shingle_set(ta, k), shingle_set(tb, k))
+            if j >= thr:
+                oa.append(x)
+                ob.append(y)
+                # raw (un-rounded) int/int ratio — bit-identical to the
+                # DuckDB oracle's division
+                oj.append(j)
+        return pa.table(
+            {
+                "doc_a": pa.array(oa, pa.int64()),
+                "doc_b": pa.array(ob, pa.int64()),
+                "jaccard": pa.array(oj, pa.float64()),
+            }
+        )
 
-        def _sh(self, d: int) -> set:
-            s = self._cache.get(d)
-            if s is None:
-                s = shingle_set(self.texts[d], k)
-                self._cache[d] = s
-            return s
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            da = batch["doc_a"].to_pylist()
-            db = batch["doc_b"].to_pylist()
-            seen = set()
-            oa, ob, oj = [], [], []
-            for x, y in zip(da, db):
-                if (x, y) in seen:
-                    continue
-                seen.add((x, y))
-                j = jaccard(self._sh(x), self._sh(y))
-                if j >= thr:
-                    oa.append(x)
-                    ob.append(y)
-                    oj.append(round(j, 6))
-            return pa.table(
-                {
-                    "doc_a": pa.array(oa, pa.int64()),
-                    "doc_b": pa.array(ob, pa.int64()),
-                    "jaccard": pa.array(oj, pa.float64()),
-                }
-            )
-
-    return candidates.map_batches(
-        Verifier, batch_format="pyarrow", concurrency=concurrency
-    )
+    return with_b.map_batches(verify, batch_format="pyarrow")
 
 
 def minhash_dedup_clusters(
     docs: ray.data.Dataset, **kwargs
 ) -> pa.Table:
     """Full MinHash-LSH dedup: pairs → driver union-find →
-    (doc_id, cluster_id) assignments."""
+    (doc_id, cluster_id) assignments.  ``cluster_id`` is the smallest
+    member doc_id — a canonical label a SQL connected-components
+    oracle (recursive CTE min-label closure) reproduces exactly."""
     from clonebas_ray.stages.cluster import union_find_clusters
 
     pairs = minhash_lsh_pairs(docs, **kwargs)
@@ -319,11 +352,18 @@ def minhash_dedup_clusters(
         }
     )
     assignment = union_find_clusters(edge_t)
+    min_id: dict[int, int] = {}
+    for s, c in assignment.items():
+        i = int(s)
+        if c not in min_id or i < min_id[c]:
+            min_id[c] = i
     ids = sorted(assignment, key=int)
     return pa.table(
         {
             "doc_id": pa.array([int(i) for i in ids], pa.int64()),
-            "cluster_id": pa.array([assignment[i] for i in ids], pa.int64()),
+            "cluster_id": pa.array(
+                [min_id[assignment[i]] for i in ids], pa.int64()
+            ),
         }
     )
 

@@ -132,9 +132,18 @@ def test_embedding_near_dup(ray_session):
         }
     )
     out = embedding_near_dup_pairs(
-        ray.data.from_arrow(t), threshold=0.99, n_lists=2
+        ray.data.from_arrow(t), threshold=0.99, block_rows=8
     ).to_pandas()
-    assert {(0, 20)} <= {(a, b) for a, b in zip(out.vec_a, out.vec_b)}
+    assert {(0, 20)} == {(a, b) for a, b in zip(out.vec_a, out.vec_b)}
+
+    from clonebas_ray.ops.similarity import embedding_near_dup_pairs_lsh
+
+    lsh = embedding_near_dup_pairs_lsh(
+        ray.data.from_arrow(t), threshold=0.99, n_lists=2, max_group=8
+    ).to_pandas()
+    # approximate path: no false positives; the near-identical pair is
+    # found unless the bucket boundary splits it (n_lists=2 keeps it)
+    assert {(a, b) for a, b in zip(lsh.vec_a, lsh.vec_b)} <= {(0, 20)}
 
 
 def test_language_id_and_quality(ray_session):
