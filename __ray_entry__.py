@@ -152,11 +152,19 @@ def _q_knn(sf_dir: str):
 
 
 def _q_simhash_text_clusters(sf_dir: str):
+    """Flagship SimHash pipeline in text mode with word_hash='md5':
+    identical stage graph and semantics (weights, fold rule, gates,
+    pigeonhole LSH, membership edges, union-find) but a word hash the
+    DuckDB oracle can recompute, so the whole pipeline is
+    hash-verified end-to-end.  Code-clone runs keep the reference's
+    murmur hash (`entry()` / clone_corpus_clusters)."""
     _quiet()
+    from clonebas_ray.config import PipelineConfig
     from clonebas_ray.ops.text_dedup import simhash_text_dedup
 
     return simhash_text_dedup(
-        _docs(sf_dir, ["doc_id", "text", "source"])
+        _docs(sf_dir, ["doc_id", "text", "source"]),
+        config=PipelineConfig(word_hash="md5"),
     ).to_pandas()
 
 
@@ -321,7 +329,28 @@ def _q_model_clusters(sf_dir: str):
 
 
 def _q_code_metrics(sf_dir: str):
-    """M12 per-file metrics on the synthetic corpus (rows-only)."""
+    """M12 per-file metrics + A4 8-unit file score over the documents
+    table (text as content).  The document vocabulary has no
+    braces/quotes/member ops, so the brace/param/chain metrics are
+    structurally zero on this corpus and the DuckDB oracle mirrors
+    the remaining live formulas (tokeniser count, branch-keyword
+    complexity, TooLong char thresholds, integer score roll-up)
+    exactly; the structural metrics are exercised on real code by
+    tests/test_model_metrics.py and `code_metrics_corpus`."""
+    _quiet()
+    from clonebas_ray.ops.code_metrics import code_metrics
+    from clonebas_ray.ops.text_dedup import docs_as_files
+    from clonebas_ray.stages.ingest import prepare_stage
+
+    files = prepare_stage(
+        docs_as_files(_docs(sf_dir, ["doc_id", "text", "source"]))
+    )
+    return code_metrics(files).to_pandas()
+
+
+def _q_code_metrics_corpus(sf_dir: str):
+    """M12 metrics on the synthetic source-code corpus (rows-only;
+    golden values pinned in tests/test_model_metrics.py)."""
     _quiet()
     import tempfile
 
@@ -394,6 +423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clone_block_clusters": _q_block_clusters,
         "model_clone_clusters": _q_model_clusters,
         "code_metrics": _q_code_metrics,
+        "code_metrics_corpus": _q_code_metrics_corpus,
     }
 
 
@@ -517,6 +547,68 @@ SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
   count(*) AS n_events
 FROM s GROUP BY user_id, session
 ORDER BY user_id, session_start
+""",
+        "simhash_text_clusters": """
+WITH RECURSIVE d0 AS (
+  SELECT sha256(text) AS sha, text, length(text) AS tn FROM documents
+), d AS (
+  SELECT sha, min(text) AS text, min(tn) AS tn FROM d0 GROUP BY sha
+), gated AS (
+  SELECT * FROM d WHERE tn > 200
+), wc AS (
+  SELECT sha, w, count(*) AS c FROM (
+    SELECT sha,
+      unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+    FROM gated) GROUP BY sha, w
+), vocab AS (
+  SELECT DISTINCT w FROM wc
+), bits AS (
+  SELECT w, j,
+    CASE WHEN
+      ((strpos('0123456789abcdef', substr(md5(w), CAST(j // 4 AS INTEGER) + 1, 1)) - 1)
+       & (1 << (3 - CAST(j % 4 AS INTEGER)))) <> 0
+    THEN 9 ELSE -9 END AS v
+  FROM vocab CROSS JOIN (SELECT unnest(range(128)) AS j)
+), sums AS (
+  SELECT wc.sha, b.j, sum(wc.c * b.v) AS s
+  FROM wc JOIN bits b USING (w) GROUP BY wc.sha, b.j
+), sig AS (
+  SELECT sha,
+    sum(CASE WHEN j < 64 AND s > 1
+        THEN CAST(1 AS HUGEINT) << CAST(63 - j AS INTEGER) ELSE 0 END) AS hi,
+    sum(CASE WHEN j >= 64 AND s > 1
+        THEN CAST(1 AS HUGEINT) << CAST(127 - j AS INTEGER) ELSE 0 END) AS lo
+  FROM sums GROUP BY sha
+), grp AS (
+  SELECT s.hi, s.lo, min(s.sha) AS rep, count(*) AS nm,
+    min(g.tn) AS tmin, max(g.tn) AS tmax
+  FROM sig s JOIN gated g USING (sha)
+  GROUP BY s.hi, s.lo
+), gedge AS (
+  SELECT a.rep AS ra, b.rep AS rb
+  FROM grp a JOIN grp b ON a.rep < b.rep
+  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 1
+    AND b.tmin <= 1.3 * a.tmax AND a.tmin <= 1.3 * b.tmax
+), nodes AS (
+  SELECT rep FROM grp WHERE nm >= 2
+  UNION SELECT ra FROM gedge UNION SELECT rb FROM gedge
+), edges AS (
+  SELECT ra AS a, rb AS b FROM gedge
+  UNION ALL SELECT rb, ra FROM gedge
+), reach AS (
+  SELECT rep AS id, rep AS lbl FROM nodes
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.id = e.a
+), comp AS (
+  SELECT id AS rep, min(lbl) AS root FROM reach GROUP BY id
+), members AS (
+  SELECT g.rep, s.sha FROM grp g JOIN sig s ON g.hi = s.hi AND g.lo = s.lo
+)
+SELECT m.sha,
+  CAST(dense_rank() OVER (ORDER BY c.root) - 1 AS BIGINT) AS cluster_id,
+  CAST(1 AS TINYINT) AS tier
+FROM comp c JOIN members m USING (rep)
+ORDER BY m.sha
 """,
         "media_features": """
 SELECT doc_id AS media_id,
@@ -696,6 +788,49 @@ SELECT doc_id,
     (a, b) -> (a * 1099511628211 + b) % 2305843009213693951
   ) AS BIGINT) AS fingerprint
 FROM documents
+""",
+        "code_metrics": """
+WITH t AS (
+  SELECT doc_id, source, text, sha256(text) AS sha, length(text) AS n_chars,
+    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), m AS (
+  SELECT source || '|doc/' || CAST(doc_id AS VARCHAR) || '|' AS file_key,
+    sha, n_chars, len(toks) AS n_tokens,
+    1 + len(list_filter(toks, w ->
+      w IN ('if','for','while','do','case','default'))) AS complexity
+  FROM t
+), u AS (
+  SELECT *,
+    CAST(trunc(100 - (CASE WHEN complexity > 5 THEN 2000.0 ELSE 0.0 END)
+               / CAST(n_chars AS DOUBLE)) AS BIGINT) AS u_warn,
+    CASE WHEN complexity > 30
+           THEN CAST(trunc(50 - (complexity - 30) * 500.0 / n_chars) AS BIGINT)
+         WHEN complexity > 20
+           THEN CAST(trunc(70 - (complexity - 20) * 400.0 / n_chars) AS BIGINT)
+         WHEN complexity > 10
+           THEN CAST(trunc(90 - (complexity - 10) * 300.0 / n_chars) AS BIGINT)
+         WHEN complexity > 5
+           THEN CAST(trunc(100 - (complexity - 5) * 200.0 / n_chars) AS BIGINT)
+         ELSE 100 END AS u_cx,
+    CASE WHEN n_chars < 400 THEN 100 WHEN n_chars < 1000 THEN 80
+         ELSE CAST(trunc(60 - (n_chars - 1000) / 50.0) AS BIGINT)
+    END AS u_long
+  FROM m
+)
+SELECT sha, file_key, complexity,
+  CAST(0 AS BIGINT) AS max_depth, CAST(0 AS BIGINT) AS max_params,
+  CAST(0 AS BIGINT) AS max_call_chain,
+  CAST(0 AS BIGINT) AS unbalanced_braces,
+  n_tokens, n_chars,
+  (1000 + greatest(0, least(100, u_warn)) * 10
+        + greatest(0, least(100, u_cx)) * 10 + 1000
+        + greatest(0, least(100, u_long)) * 10 + 1000 + 1000 + 1000)
+    // 80 AS file_score,
+  complexity > 5 AS warn_complexity,
+  FALSE AS warn_depth, FALSE AS warn_params, FALSE AS warn_call_chain
+FROM u
+ORDER BY file_key
 """,
         "knn_cosine": """
 WITH q AS (

@@ -97,6 +97,12 @@ class PipelineConfig:
     #: SimHash fold rule: output bit = 1 iff column sum > fold_threshold.
     #: The reference uses ``sum > 1`` — NOT ``> 0`` (``EigenWord.cpp:58``).
     fold_threshold: int = 1
+    #: per-word 128-bit hash function: "murmur" = the reference's
+    #: MurmurHash3_x64_128 (required for code-clone parity); "md5" =
+    #: md5 digest bits — identical pipeline semantics, but computable
+    #: inside DuckDB, so text-mode runs can be verified by the
+    #: driver's SQL oracle end-to-end.
+    word_hash: str = "murmur"
 
     # --- pairing config ---
     #: "high" tier max Hamming distance (``dif_config.txt`` line 2).
@@ -176,6 +182,7 @@ class PipelineConfig:
         payload = json.dumps(
             {
                 "seed": self.seed,
+                "word_hash": self.word_hash,
                 "vec_len": self.vec_len,
                 "weights": list(self.weights),
                 "fold_threshold": self.fold_threshold,

@@ -32,12 +32,28 @@ from clonebas_ray.functions.murmur3 import hash128
 _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
-def word_bits(word: str, seed: int = SEED) -> np.ndarray:
-    """±1 int32 vector of length 128 in the reference's MSB-first order."""
-    h1, h2 = hash128(word, seed)
-    bs = np.frombuffer(
-        np.array([h1, h2], dtype=">u8").tobytes(), dtype=np.uint8
-    )
+def word_bits(
+    word: str, seed: int = SEED, word_hash: str = "murmur"
+) -> np.ndarray:
+    """±1 int32 vector of length 128 in the reference's MSB-first order.
+
+    ``word_hash="md5"`` swaps the murmur 128-bit hash for the md5
+    digest (bytes in digest order, MSB-first per byte — exactly the
+    hex-nibble bit order a DuckDB oracle reads), keeping every other
+    pipeline semantic identical while making text-mode runs
+    SQL-verifiable."""
+    if word_hash == "md5":
+        import hashlib
+
+        bs = np.frombuffer(
+            hashlib.md5(word.encode("utf-8", "surrogatepass")).digest(),
+            dtype=np.uint8,
+        )
+    else:
+        h1, h2 = hash128(word, seed)
+        bs = np.frombuffer(
+            np.array([h1, h2], dtype=">u8").tobytes(), dtype=np.uint8
+        )
     bits = np.unpackbits(bs).astype(np.int32)  # 128 entries, j=0 first
     return bits * 2 - 1
 
@@ -51,10 +67,12 @@ class WordVectorCache:
     (``EigenWord.cpp:28-37``; DEFAULT=9 per ``node_weight_config.txt:104``).
     """
 
-    def __init__(self, weights: dict[str, int] | None = None, seed: int = SEED):
+    def __init__(self, weights: dict[str, int] | None = None, seed: int = SEED,
+                 word_hash: str = "murmur"):
         self.weights = weights if weights is not None else REFERENCE_WEIGHTS
         self.default = self.weights.get("DEFAULT", 0)
         self.seed = seed
+        self.word_hash = word_hash
         self.vocab: dict[str, int] = {}
         self._rows: list[np.ndarray] = []
         self._matrix: np.ndarray | None = None
@@ -73,7 +91,9 @@ class WordVectorCache:
                 # EigenWordGenerate.cpp:150-164)
                 kind = w.split(" ", 1)[0]
                 wgt = self.weights.get(kind, self.default)
-                self._rows.append(word_bits(w, self.seed) * wgt)
+                self._rows.append(
+                    word_bits(w, self.seed, self.word_hash) * wgt
+                )
                 self._matrix = None
             out[i] = idx
         return out

@@ -8,14 +8,24 @@ Mirrors the reference's checks over our token stream:
   ``FixedChecker.cpp:482-508``);
 * parameter count of the widest signature (warn > 3 —
   ``FixedChecker.cpp:540-564``);
+* chained-member-call depth (``a.b().c().d()``): longest ``./->``
+  chain inside one postfix expression (``FixedChecker.cpp:459-523``,
+  MemberExpr nesting; warn > 3 — event 100003), plus the per-depth
+  occurrence histogram the score units consume;
+* block-depth occurrence histogram: one event per ``{`` opening at
+  depth d (``EventName::BlockDepth``);
 * parse health: unbalanced-brace count (our stand-in for the Clang
-  diagnostics the reference buffers — M14; tree-sitter/Clang error
-  nodes are out of scope in this container);
+  diagnostics the reference buffers — M14).
 
-and the four-axis quality roll-up (``ScoreController.cpp:136-184``):
-per-file scores in [0,100] per axis (complexity, nesting, interface,
-duplication placeholder), char-count-weighted global average, clamped
-to 0-100 like the reference.
+``quality_rollup`` implements the reference's EIGHT pluggable score
+units with the shipped ``score_config.json`` weights/values
+(``ScoreUnit.cpp:107-456``): CompileError, CompileWarning,
+CycleComplexity, CloneCode, TooLong, TooManyParam, TooLongCall,
+TooDepthCall.  Each unit scores 0-100 (``GetScore`` clamp), a file's
+score is the weight-averaged unit score with C++ integer division
+(``ScoreController.cpp:160-181``), and the global score is the
+char-weighted integer mean over files — the distributed analogue of
+the reference's recursive score tree.
 """
 
 from __future__ import annotations
@@ -24,7 +34,7 @@ import numpy as np
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Sum
+from ray.data.aggregate import Sum
 
 from clonebas_ray.functions.words import tokenize, IDENT, OP
 
@@ -32,26 +42,67 @@ _BRANCH_KEYWORDS = frozenset(
     ["if", "for", "while", "do", "case", "default"]
 )
 
+#: tokens that keep a postfix member-access chain alive between the
+#: ``.``/``->`` links (identifiers, call/index parens)
+_CHAIN_TOKENS = frozenset(["(", ")", "[", "]"])
 
-def _file_metrics(content: str) -> tuple[int, int, int, int, int]:
+#: score_config.json m_configValues (shipped reference config — data,
+#: not code)
+SCORE_CONFIG = {
+    "CompileErrorUnit": [1000],
+    "CompileWarningUnit": [300, 800, 2000],
+    "CycleComplexityUnit": [200, 300, 400, 500],
+    "CloneCodeUnit": [50, 100],
+    "TooLongUnit": [400, 1000, 50, 200, 500, 40],
+    "TooManyParam": [3, 5, 15, 20],
+    "TooLongCall": [],
+    "TooDepthCall": [],
+}
+#: every unit ships with m_weight = 10
+SCORE_WEIGHT = 10
+N_UNITS = 8
+
+
+def _file_metrics(content: str) -> dict:
     toks = tokenize(content)
     complexity = 1
     depth = 0
     max_depth = 0
     max_params = 0
     open_braces = 0
+    # chain: current ./-> run length; hist buckets 2..8+ (index 0 → 2)
+    chain = 0
+    max_chain = 0
+    chain_hist = [0] * 7
+    block_hist = [0] * 8  # depth 2..9+ (index 0 → 2)
+
+    def close_chain() -> None:
+        nonlocal chain, max_chain
+        if chain >= 2:
+            chain_hist[min(chain, 8) - 2] += 1
+        if chain > max_chain:
+            max_chain = chain
+        chain = 0
+
     i = 0
     n = len(toks)
     while i < n:
         kind, text = toks[i]
-        if kind == IDENT and text in _BRANCH_KEYWORDS:
-            complexity += 1
+        if kind == IDENT:
+            if text in _BRANCH_KEYWORDS:
+                complexity += 1
         elif kind == OP:
+            if text in (".", "->"):
+                chain += 1
+                i += 1
+                continue
             if text == "{":
                 depth += 1
                 open_braces += 1
                 if depth > max_depth:
                     max_depth = depth
+                if depth >= 2:
+                    block_hist[min(depth, 9) - 2] += 1
             elif text == "}":
                 depth -= 1
                 open_braces -= 1
@@ -74,37 +125,159 @@ def _file_metrics(content: str) -> tuple[int, int, int, int, int]:
                     j += 1
                 if j < n and toks[j][1] == "{" and has_tok:
                     max_params = max(max_params, commas + 1)
+            if text not in _CHAIN_TOKENS and text not in (".", "->"):
+                close_chain()
         i += 1
-    unbalanced = abs(open_braces)
-    return complexity, max_depth, max_params, unbalanced, len(toks)
+    close_chain()
+    return {
+        "complexity": complexity,
+        "max_depth": max_depth,
+        "max_params": max_params,
+        "max_call_chain": max_chain,
+        "unbalanced": abs(open_braces),
+        "n_tokens": len(toks),
+        "chain_hist": chain_hist,
+        "block_hist": block_hist,
+    }
+
+
+def _unit_scores(
+    m: dict, n_chars: int,
+    n_normal_clones: int = 0, n_worse_clones: int = 0,
+) -> list[int]:
+    """The 8 reference score units for one file, each clamped 0-100
+    (``ScoreUnit::GetScore``).  C++ arithmetic semantics: float
+    intermediates, truncating int conversion."""
+    P = SCORE_CONFIG
+    chars = max(n_chars, 1)  # charNumWeight; guard /0 for empty files
+    scores = []
+
+    # CompileErrorUnit (errors stand-in: unbalanced braces)
+    errors = m["unbalanced"]
+    scores.append(
+        100 if errors == 0 else int(60.0 - (errors / chars) * P["CompileErrorUnit"][0])
+    )
+
+    # CompileWarningUnit — analyzer warning levels; stand-in mapping:
+    # level0 = param warnings, level1 = depth warnings, level2 =
+    # complexity warnings (documented divergence: no compiler here)
+    w = [
+        1 if m["max_params"] > 3 else 0,
+        1 if m["max_depth"] > 5 else 0,
+        1 if m["complexity"] > 5 else 0,
+    ]
+    totalwarning = sum(
+        float(wi) * p for wi, p in zip(w, P["CompileWarningUnit"])
+    )
+    scores.append(int(100 - (totalwarning / chars)))
+
+    # CycleComplexityUnit
+    cx = m["complexity"]
+    pc = P["CycleComplexityUnit"]
+    if cx > 30:
+        s = int(50 - float(cx - 30) * pc[3] / chars)
+    elif cx > 20:
+        s = int(70 - float(cx - 20) * pc[2] / chars)
+    elif cx > 10:
+        s = int(90 - float(cx - 10) * pc[1] / chars)
+    elif cx > 5:
+        s = int(100 - float(cx - 5) * pc[0] / chars)
+    else:
+        s = 100
+    scores.append(s)
+
+    # CloneCodeUnit (normal/worse clone node counts; ints — C++ int div)
+    pcl = P["CloneCodeUnit"]
+    reduce_score = n_normal_clones * pcl[0] + n_worse_clones * pcl[1]
+    scores.append(100 - (reduce_score // chars))
+
+    # TooLongUnit (function thresholds — files are function-like units)
+    if chars < 400:
+        scores.append(100)
+    elif chars < 1000:
+        scores.append(80)
+    else:
+        scores.append(int(60 - float(chars - 1000) / 50.0))
+
+    # TooManyParam
+    p = m["max_params"]
+    pp = P["TooManyParam"]
+    if p <= pp[0]:
+        scores.append(100)
+    elif p <= pp[1]:
+        scores.append(100 - (p - pp[0]) * pp[2])
+    else:
+        scores.append(60 - (p - pp[1]) * pp[3])
+
+    # TooLongCall (chain-depth histogram, buckets 2..8+)
+    ch = m["chain_hist"]
+    begin = 60 if ch[8 - 2] > 0 else 100
+    reduce_score = sum(ch[i - 2] * (i - 2) * 300 for i in range(4, 9))
+    reduce_score += ch[0] * 80 + ch[1] * 160
+    scores.append(begin - reduce_score // chars)
+
+    # TooDepthCall (block-depth histogram, buckets 2..9+)
+    bh = m["block_hist"]
+    if bh[9 - 2] > 0:
+        begin = 60
+    elif bh[8 - 2] > 0:
+        begin = 80
+    elif bh[7 - 2] > 0:
+        begin = 90
+    elif bh[6 - 2] > 0:
+        begin = 95
+    else:
+        begin = 100
+    reduce_score = sum(bh[i - 2] * (i - 2) * 300 for i in range(4, 10))
+    reduce_score += bh[1] * 100
+    scores.append(begin - reduce_score // chars)
+
+    return [min(100, max(0, int(s))) for s in scores]
+
+
+def _file_score(unit_scores: list[int]) -> int:
+    """Weight-averaged unit score with C++ integer division
+    (``ScoreController.cpp:167-177``)."""
+    total = sum(s * SCORE_WEIGHT for s in unit_scores)
+    return total // (SCORE_WEIGHT * len(unit_scores))
 
 
 def code_metrics(
     files: ray.data.Dataset,
 ) -> ray.data.Dataset:
-    """files (with ``sha``/``content``) → per-file metric columns."""
+    """files (with ``sha``/``content``) → per-file metric columns +
+    the 8-unit quality score (``file_score``)."""
 
     def per_batch(batch: pa.Table) -> pa.Table:
-        rows = [
-            _file_metrics(c) for c in batch["content"].to_pylist()
+        contents = batch["content"].to_pylist()
+        ms = [_file_metrics(c) for c in contents]
+        chars = [len(c) for c in contents]
+        fscores = [
+            _file_score(_unit_scores(m, nc)) for m, nc in zip(ms, chars)
         ]
-        arr = np.array(rows, dtype=np.int64).reshape(len(rows), 5)
+        get = lambda k: [m[k] for m in ms]  # noqa: E731
         out = pa.table(
             {
                 "sha": batch["sha"],
                 "file_key": batch["file_key"],
-                "complexity": pa.array(arr[:, 0], pa.int64()),
-                "max_depth": pa.array(arr[:, 1], pa.int64()),
-                "max_params": pa.array(arr[:, 2], pa.int64()),
-                "unbalanced_braces": pa.array(arr[:, 3], pa.int64()),
-                "n_tokens": pa.array(arr[:, 4], pa.int64()),
-                "n_chars": pa.array(
-                    [len(c) for c in batch["content"].to_pylist()],
-                    pa.int64(),
+                "complexity": pa.array(get("complexity"), pa.int64()),
+                "max_depth": pa.array(get("max_depth"), pa.int64()),
+                "max_params": pa.array(get("max_params"), pa.int64()),
+                "max_call_chain": pa.array(
+                    get("max_call_chain"), pa.int64()
                 ),
-                "warn_complexity": pa.array(arr[:, 0] > 5),
-                "warn_depth": pa.array(arr[:, 1] > 5),
-                "warn_params": pa.array(arr[:, 2] > 3),
+                "unbalanced_braces": pa.array(get("unbalanced"), pa.int64()),
+                "n_tokens": pa.array(get("n_tokens"), pa.int64()),
+                "n_chars": pa.array(chars, pa.int64()),
+                "file_score": pa.array(fscores, pa.int64()),
+                "warn_complexity": pa.array(
+                    [m["complexity"] > 5 for m in ms]
+                ),
+                "warn_depth": pa.array([m["max_depth"] > 5 for m in ms]),
+                "warn_params": pa.array([m["max_params"] > 3 for m in ms]),
+                "warn_call_chain": pa.array(
+                    [m["max_call_chain"] > 3 for m in ms]
+                ),
             }
         )
         return out
@@ -113,88 +286,39 @@ def code_metrics(
 
 
 def quality_rollup(metrics: ray.data.Dataset) -> dict:
-    """Char-weighted global quality score (A4): per-file axis scores
-    0-100, weighted by file char count, clamped — the distributed
-    analogue of the reference's recursive score tree
-    (``ScoreController.cpp:136-184``)."""
+    """Char-weighted global quality score over the per-file 8-unit
+    scores (A4): global = sum(file_score * n_chars) // sum(n_chars)
+    with the reference's integer division
+    (``ScoreController.cpp:160-181``)."""
 
-    def score_batch(batch: pa.Table) -> pa.Table:
-        cx = batch["complexity"].to_numpy()
-        dp = batch["max_depth"].to_numpy()
-        pm = batch["max_params"].to_numpy()
-        chars = batch["n_chars"].to_numpy().astype(np.float64)
-        s_cx = np.clip(100 - 10.0 * np.maximum(0, cx - 5), 0, 100)
-        s_dp = np.clip(100 - 15.0 * np.maximum(0, dp - 5), 0, 100)
-        s_if = np.clip(100 - 20.0 * np.maximum(0, pm - 3), 0, 100)
-        composite = (s_cx + s_dp + s_if) / 3.0
+    def weigh(batch: pa.Table) -> pa.Table:
+        s = batch["file_score"].to_numpy().astype(np.int64)
+        c = batch["n_chars"].to_numpy().astype(np.int64)
         return pa.table(
             {
-                "w_score": pa.array(composite * chars, pa.float64()),
-                "w": pa.array(chars, pa.float64()),
-                "s_cx_w": pa.array(s_cx * chars, pa.float64()),
-                "s_dp_w": pa.array(s_dp * chars, pa.float64()),
-                "s_if_w": pa.array(s_if * chars, pa.float64()),
+                "ws": pa.array(s * c, pa.int64()),
+                "w": pa.array(c, pa.int64()),
             }
         )
 
-    agg = (
-        metrics.map_batches(score_batch, batch_format="pyarrow")
-        .aggregate(
-            Sum("w_score", alias_name="ws"),
-            Sum("w", alias_name="w"),
-            Sum("s_cx_w", alias_name="cx"),
-            Sum("s_dp_w", alias_name="dp"),
-            Sum("s_if_w", alias_name="iface"),
-        )
+    agg = metrics.map_batches(weigh, batch_format="pyarrow").aggregate(
+        Sum("ws", alias_name="ws"), Sum("w", alias_name="w")
     )
-    w = max(agg["w"], 1e-9)
-    clamp = lambda x: float(np.clip(x, 0.0, 100.0))  # noqa: E731
+    w = max(int(agg["w"] or 0), 1)
     return {
-        "quality_score": clamp(agg["ws"] / w),
-        "complexity_score": clamp(agg["cx"] / w),
-        "nesting_score": clamp(agg["dp"] / w),
-        "interface_score": clamp(agg["iface"] / w),
+        "quality_score": int(agg["ws"] or 0) // w,
+        "total_chars": int(agg["w"] or 0),
     }
 
 
-def clone_scores(cluster_stats: pa.Table, clusters: pa.Table,
-                 fingerprints: ray.data.Dataset) -> pa.Table:
+def clone_scores(cluster_stats: pa.Table) -> pa.Table:
     """A3 clone score per cluster: mean member span, doubled for
-    cross-file clusters in the high tier (``CloneSet.cpp:235-259``)."""
-    import pandas as pd
-    import ray
+    cross-file clusters (``CloneSet.cpp:235-259``).  Consumes the
+    pipeline's ``cluster_stats`` table, which already carries
+    ``n_distinct_files`` (since the stats stage computes it)."""
+    import pandas as pd  # noqa: F401
 
     cs = cluster_stats.to_pandas()
-    cmap = dict(
-        zip(clusters["sha"].to_pylist(), clusters["cluster_id"].to_pylist())
-    )
-    ref = ray.put(cmap)
-
-    def files_per_cluster(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        shas = batch["sha"].to_pylist()
-        fkeys = batch["file_key"].to_pylist()
-        cid, fk = [], []
-        for s, f in zip(shas, fkeys):
-            c = m.get(s)
-            if c is not None:
-                cid.append(c)
-                fk.append(f)
-        return pa.table(
-            {
-                "cluster_id": pa.array(cid, pa.int64()),
-                "file_key": pa.array(fk, pa.string()),
-            }
-        )
-
-    tagged = fingerprints.map_batches(
-        files_per_cluster, batch_format="pyarrow"
-    ).to_pandas()
-    nfiles = tagged.groupby("cluster_id")["file_key"].nunique()
-    cs = cs.merge(
-        nfiles.rename("n_distinct_files").reset_index(), on="cluster_id",
-        how="left",
-    )
     cross = (cs["n_distinct_files"].fillna(1) > 1).to_numpy()
     cs["clone_score"] = cs["avg_span"] * np.where(cross, 2.0, 1.0)
     return pa.Table.from_pandas(cs, preserve_index=False)

@@ -125,11 +125,22 @@ def run_dedup_pipeline(
     t0 = time.perf_counter()
     high_edges = edges.filter(expr=f"hamming <= {config.t_high}")
     edge_df = high_edges.select_columns(["sha_a", "sha_b"]).to_pandas()
+    file_filtered = config.only_same_file or config.only_diff_file
     if config.block_mode:
         edge_df = _apply_block_edge_filters(edge_df, fingerprints, config)
+    elif file_filtered:
+        edge_df = _apply_file_mode_filters(edge_df, fingerprints, config)
     edge_table = pa.Table.from_pandas(edge_df, preserve_index=False)
     assignment = union_find_clusters(edge_table)
-    if config.refine_clusters and not config.block_mode and assignment:
+    # J5 filters gate every compare inside the reference's greedy loop;
+    # the sha-level replay has no per-instance file identity, so with a
+    # filter active the refinement would replay the WRONG gate — keep
+    # the (recall-safe) connected components instead
+    refine_ok = (
+        config.refine_clusters and not config.block_mode
+        and not file_filtered
+    )
+    if refine_ok and assignment:
         assignment = _refine_assignment(
             assignment, fingerprints, config, sigma=config.t_high
         )
@@ -139,10 +150,12 @@ def run_dedup_pipeline(
         ndf = normal_edges.select_columns(["sha_a", "sha_b"]).to_pandas()
         if config.block_mode:
             ndf = _apply_block_edge_filters(ndf, fingerprints, config)
+        elif file_filtered:
+            ndf = _apply_file_mode_filters(ndf, fingerprints, config)
         n_assign = union_find_clusters(
             pa.Table.from_pandas(ndf, preserve_index=False)
         )
-        if config.refine_clusters and not config.block_mode and n_assign:
+        if refine_ok and n_assign:
             n_assign = _refine_assignment(
                 n_assign, fingerprints, config, sigma=config.t_normal
             )
@@ -159,6 +172,10 @@ def run_dedup_pipeline(
     cluster_stats = _cluster_stats(fingerprints, clusters)
     metrics["stats_s"] = round(time.perf_counter() - t0, 3)
 
+    # global clone roll-up + cluster-size histogram (the reference's
+    # m_allCSetInfo totals — CloneSet.cpp:261-328)
+    metrics.update(_global_clone_stats(cluster_stats))
+
     if checkpoint:
         import os
 
@@ -171,8 +188,11 @@ def run_dedup_pipeline(
 
     metrics["n_edges"] = edge_table.num_rows
     metrics["n_clustered_shas"] = clusters.num_rows
+    # derive from the FINAL clusters table so multi-tier runs report
+    # every cluster, not just tier 1
     metrics["n_clusters"] = (
-        len(set(assignment.values())) if assignment else 0
+        len(set(clusters["cluster_id"].to_pylist()))
+        if clusters.num_rows else 0
     )
     metrics["total_s"] = round(time.perf_counter() - t_start, 3)
     if checkpoint:
@@ -374,6 +394,77 @@ def _apply_block_edge_filters(edge_df, fingerprints, config: PipelineConfig):
             )
         edge_df = edge_df[np.array(keep2, dtype=bool)]
     return edge_df.reset_index(drop=True)
+
+
+def _apply_file_mode_filters(edge_df, fingerprints, config: PipelineConfig):
+    """J5 same/diff-file pair filters in FILE mode
+    (``SimHasher.cpp:111-122``).  File-mode units are content shas and
+    a sha can span many file instances, so the filters apply at the
+    instance level: an edge survives iff SOME pair of file instances
+    (one from each sha) satisfies the filter —
+    ``only_diff_file``: a pair with differing file keys exists (true
+    unless both shas live in exactly the same single file key);
+    ``only_same_file``: a shared file key exists (two shas can only
+    share a key when the same repo/path/commit appears with different
+    content — degenerate by construction, like the reference's check
+    in filebased mode).  Refinement is skipped under these flags (the
+    greedy replay has no per-instance identity)."""
+    import numpy as np
+    import ray
+
+    if edge_df.empty:
+        return edge_df
+    wanted = set(edge_df["sha_a"]) | set(edge_df["sha_b"])
+    wanted_ref = ray.put(wanted)
+
+    def pull(batch: pa.Table) -> pa.Table:
+        w = ray.get(wanted_ref)
+        df = batch.to_pandas()
+        df = df[df["sha"].isin(w)]
+        return pa.Table.from_pandas(
+            df[["sha", "file_key"]].drop_duplicates(), preserve_index=False
+        )
+
+    meta = fingerprints.map_batches(pull, batch_format="pyarrow").to_pandas()
+    fk: dict[str, set] = {}
+    for r in meta.itertuples():
+        fk.setdefault(r.sha, set()).add(r.file_key)
+
+    def ok(a: str, b: str) -> bool:
+        fa, fb = fk.get(a, set()), fk.get(b, set())
+        if config.only_same_file:
+            return bool(fa & fb)
+        # only_diff_file: some instance pair with differing keys
+        return bool(fa and fb and (len(fa | fb) > 1))
+
+    keep = np.array(
+        [ok(a, b) for a, b in zip(edge_df["sha_a"], edge_df["sha_b"])],
+        dtype=bool,
+    )
+    return edge_df[keep].reset_index(drop=True)
+
+
+def _global_clone_stats(cluster_stats: pa.Table) -> dict:
+    """Corpus-wide clone summary (``CloneSet.cpp:261-328``
+    m_allCSetInfo): span extremes/totals over every cluster member,
+    plus the cluster-size histogram {n_members: n_clusters}."""
+    if cluster_stats.num_rows == 0:
+        return {
+            "clone_max_span": 0, "clone_min_span": 0,
+            "clone_total_span": 0, "clone_total_members": 0,
+            "cluster_size_hist": {},
+        }
+    df = cluster_stats.to_pandas()
+    hist = df["n_files"].value_counts().sort_index()
+    return {
+        "clone_max_span": int(df["max_span"].max()),
+        "clone_min_span": int(df["min_span"].min()),
+        "clone_total_span": int(df["total_span"].sum()),
+        "clone_total_members": int(df["n_files"].sum()),
+        "cluster_size_hist": {
+            int(k): int(v) for k, v in hist.items()
+        },
+    }
 
 
 def _cluster_stats(

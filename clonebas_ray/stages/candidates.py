@@ -239,9 +239,14 @@ def _pair_bucket(
             if not len(gi):
                 continue
             # first-matching-band dedup: emit only from the lowest band
-            # index on which the two signatures agree
+            # index on which the two signatures agree.  The any() guard
+            # keeps the exactly-once invariant even for a pair that
+            # landed in this bucket purely via a salted-key collision
+            # (argmax of an all-False row is 0, which would double-emit
+            # from band 0); pigeonhole makes such rows impossible for
+            # hamming <= t_max, so this is belt-and-braces
             eq = all_bands[gi] == all_bands[gj]
-            keep2 = eq.argmax(axis=1) == band_idx
+            keep2 = eq.any(axis=1) & (eq.argmax(axis=1) == band_idx)
             gi, gj = gi[keep2], gj[keep2]
             if not len(gi):
                 continue

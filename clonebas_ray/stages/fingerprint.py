@@ -59,7 +59,9 @@ class FingerprintActor:
     def __init__(self, config: PipelineConfig = DEFAULT_CONFIG):
         self.config = config
         self.registry = ExtractorRegistry(ast_opt=config.ast_opt)
-        self.cache = WordVectorCache(config.weight_table(), config.seed)
+        self.cache = WordVectorCache(
+            config.weight_table(), config.seed, config.word_hash
+        )
         #: per-actor exact-dup fast path: sha → word-id array.  Real
         #: corpora are duplicate-heavy; identical content parses once
         #: per actor.  Bounded FIFO so a pathological all-distinct
@@ -89,7 +91,8 @@ class FingerprintActor:
     def _maybe_reset_cache(self) -> None:
         if len(self.cache.vocab) > self._VOCAB_RESET_LIMIT:
             self.cache = WordVectorCache(
-                self.config.weight_table(), self.config.seed
+                self.config.weight_table(), self.config.seed,
+                self.config.word_hash,
             )
             self._sha_memo.clear()
 

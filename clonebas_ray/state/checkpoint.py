@@ -168,14 +168,26 @@ class ShardedCheckpoint:
     def _shard_key(self, shard_path: str) -> str:
         return lineage_key(
             input_identity(shard_path), self.config_hash,
-            os.path.basename(shard_path),
+            os.path.abspath(shard_path),
         )
+
+    @staticmethod
+    def _shard_id(shard_path: str) -> str:
+        """Manifest/dir identity for one shard: basename for
+        readability + a hash of the FULL path so two shards named
+        ``part.parquet`` in different directories never collide."""
+        import hashlib
+
+        h = hashlib.sha256(
+            os.path.abspath(shard_path).encode()
+        ).hexdigest()[:10]
+        name = os.path.basename(shard_path).replace(".parquet", "")
+        return f"{name}-{h}"
 
     def _out_path(self, shard_path: str) -> str:
         # one DIRECTORY per shard (a shard's output may be many part
         # files); written to .tmp then atomically renamed
-        name = os.path.basename(shard_path).replace(".parquet", "")
-        return os.path.join(self.data_dir, name)
+        return os.path.join(self.data_dir, self._shard_id(shard_path))
 
     def plan(self, shards: list[str], resume: bool = True
              ) -> tuple[list[str], list[str]]:
@@ -183,7 +195,7 @@ class ShardedCheckpoint:
         manifest = self._load_manifest() if resume else {"shards": {}}
         cached, todo = [], []
         for s in shards:
-            entry = manifest["shards"].get(os.path.basename(s))
+            entry = manifest["shards"].get(self._shard_id(s))
             out = self._out_path(s)
             if (
                 resume
@@ -200,7 +212,7 @@ class ShardedCheckpoint:
         """Atomically add/refresh one shard's manifest entry (called
         after its output file is fully written)."""
         manifest = self._load_manifest()
-        manifest["shards"][os.path.basename(shard_path)] = {
+        manifest["shards"][self._shard_id(shard_path)] = {
             "lineage_key": self._shard_key(shard_path),
             "output": os.path.basename(self._out_path(shard_path)),
             "rows": rows,

@@ -88,12 +88,73 @@ int deep(int a, int b, int c, int d, int e) {
     assert m["unbalanced_braces"] == 0
 
 
+def test_call_chain_depth(ray_session):
+    """Chained-member-call depth (FixedChecker.cpp:509-538): warn
+    fires strictly above 3 links."""
+    import ray.data
+
+    from clonebas_ray.ops.code_metrics import code_metrics
+    from clonebas_ray.stages.ingest import prepare_stage
+
+    srcs = [
+        "int f() { return a.b().c().d().e(); }",   # 4 links -> warn
+        "int g() { return a.b().c().d(); }",       # 3 links -> no warn
+        "int h() { return x + y; }",               # no chain
+    ]
+    t = pa.table(
+        {
+            "repo": ["r"] * 3, "path": ["p0", "p1", "p2"],
+            "commit": ["c"] * 3, "lang": ["c"] * 3, "content": srcs,
+        }
+    )
+    m = (
+        code_metrics(prepare_stage(ray.data.from_arrow(t)))
+        .to_pandas()
+        .set_index("file_key")
+    )
+    assert m.loc["r|p0|c", "max_call_chain"] == 4
+    assert bool(m.loc["r|p0|c", "warn_call_chain"])
+    assert m.loc["r|p1|c", "max_call_chain"] == 3
+    assert not bool(m.loc["r|p1|c", "warn_call_chain"])
+    assert m.loc["r|p2|c", "max_call_chain"] == 0
+
+
+def test_file_score_units(ray_session):
+    """8-unit score roll-up (ScoreUnit.cpp / score_config.json): a
+    clean tiny file scores exactly 100; a warning-laden one drops."""
+    import ray.data
+
+    from clonebas_ray.ops.code_metrics import code_metrics
+    from clonebas_ray.stages.ingest import prepare_stage
+
+    clean = "int f() { return 1; }"
+    messy = (
+        "int deep(int a, int b, int c, int d, int e) {"
+        " if (a) { if (b) { if (c) { while (d) { for (;;) { e = 1; } } } } }"
+        " return e; }"
+    )
+    t = pa.table(
+        {
+            "repo": ["r", "r"], "path": ["clean", "messy"],
+            "commit": ["c", "c"], "lang": ["c", "c"],
+            "content": [clean, messy],
+        }
+    )
+    m = (
+        code_metrics(prepare_stage(ray.data.from_arrow(t)))
+        .to_pandas()
+        .set_index("file_key")
+    )
+    assert m.loc["r|clean|c", "file_score"] == 100
+    assert m.loc["r|messy|c", "file_score"] < 100
+
+
 def test_quality_rollup_bounds(ray_session, corpus_files):
     from clonebas_ray.ops.code_metrics import code_metrics, quality_rollup
 
     scores = quality_rollup(code_metrics(corpus_files))
-    for k, v in scores.items():
-        assert 0.0 <= v <= 100.0, (k, v)
+    assert 0 <= scores["quality_score"] <= 100
+    assert scores["total_chars"] > 0
 
 
 def test_file_table_and_word_corpus(ray_session, corpus_files, corpus_dir):

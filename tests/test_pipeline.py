@@ -154,3 +154,18 @@ def test_cluster_stats_consistent(pipeline_result):
     assert (stats["max_span"] >= stats["min_span"]).all()
     assert (stats["n_files"] >= stats["n_shas"]).all()
     assert stats["n_shas"].sum() == res.clusters.num_rows
+
+
+def test_global_clone_stats_in_report(pipeline_result):
+    """CloneSet.cpp:261-328 m_allCSetInfo analogue: run metrics carry
+    the corpus-wide clone roll-up + cluster-size histogram."""
+    res, _ = pipeline_result
+    m = res.metrics
+    stats = res.cluster_stats.to_pandas()
+    assert m["clone_total_members"] == int(stats["n_files"].sum())
+    assert m["clone_max_span"] == int(stats["max_span"].max())
+    assert m["clone_min_span"] == int(stats["min_span"].min())
+    hist = m["cluster_size_hist"]
+    assert sum(k * v for k, v in hist.items()) == m["clone_total_members"]
+    assert sum(hist.values()) == len(stats)
+    assert m["n_clusters"] == len(stats)

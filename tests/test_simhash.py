@@ -120,3 +120,46 @@ def test_pigeonhole_k2_for_t1(sig, flip):
     ka = band_keys(a, al, 2)[0]
     kb = band_keys(b, bl, 2)[0]
     assert any(ka[i] == kb[i] for i in range(2))
+
+
+def test_candidate_edges_exactly_once(ray_session):
+    """Every verified pair is emitted from exactly ONE band — no
+    duplicate (sha_a, sha_b) rows even for Hamming-0 pairs that match
+    on every band (candidates.py first-matching-band dedup)."""
+    import pyarrow as pa
+    import ray.data
+
+    from clonebas_ray.config import PipelineConfig
+    from clonebas_ray.stages.candidates import candidate_edges
+
+    cfg = PipelineConfig(t_high=3)  # auto-bumps to n_bands=4
+    base = 0x0123456789ABCDEF_FEDCBA9876543210
+    sigs = [base, base, base ^ 1, base ^ (1 << 70), base ^ 3]
+    t = pa.table(
+        {
+            "sig_hi": pa.array(
+                [np.uint64(s >> 64) for s in sigs], pa.uint64()
+            ),
+            "sig_lo": pa.array(
+                [np.uint64(s & ((1 << 64) - 1)) for s in sigs], pa.uint64()
+            ),
+            "rep_sha": [f"s{i}" for i in range(len(sigs))],
+            "n_members": pa.array([1] * len(sigs), pa.int64()),
+            "token_min": pa.array([300] * len(sigs), pa.int64()),
+            "token_max": pa.array([300] * len(sigs), pa.int64()),
+            "member_shas": pa.array(
+                [[f"s{i}"] for i in range(len(sigs))],
+                pa.list_(pa.string()),
+            ),
+        }
+    )
+    edges = candidate_edges(
+        ray.data.from_arrow(t), cfg
+    ).to_pandas()
+    pairs = list(zip(edges.sha_a, edges.sha_b))
+    assert len(pairs) == len(set(pairs))
+    # Hamming-0 duplicate signatures pair once despite matching all 4
+    # bands; every <=3-distance pair is present
+    assert ("s0", "s1") in set(pairs)
+    assert ("s0", "s2") in set(pairs)
+    assert ("s0", "s4") in set(pairs)
