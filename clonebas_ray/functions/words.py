@@ -267,7 +267,10 @@ class WordExtractor:
         blocks: list[dict] = []
         self._walk_clike(src, out, blocks)
         for b in blocks:
-            b["words"] = out[b.pop("w0"):b.pop("w1")]
+            # keep w0/w1 (word-stream offsets): consumers that need the
+            # block TREE (e.g. true post-order serialization, M9) can
+            # subtract child spans from a parent's words
+            b["words"] = out[b["w0"]:b["w1"]]
         return blocks
 
     def extract(self, src: str) -> list[str]:
@@ -302,10 +305,54 @@ class WordExtractor:
         stmt_start = 0  # first token index of the current statement
         stmt_is_decl = False
         expr_buf_start = 0
+        # for-inc append state (FixedChecker.cpp:249-256): inc tokens
+        # attach to the body compound and emit at its close
+        brace_depth = 0
+        brace_inc_stack: list[list | None] = []   # one entry per '{'
+        pending_for_inc: list | None = None        # set right after ')'
+        unbraced_incs: list[tuple[int, list]] = []  # (depth, inc toks)
 
         def flush_expr(end: int) -> None:
             if end > expr_buf_start:
                 self._expr_words(toks[expr_buf_start:end], out)
+
+        def emit_init(seg: list) -> None:
+            """for-init hoist (FixedChecker.cpp:259-260, 41-53): the
+            init statement's words surface BEFORE the loop word, as if
+            written in the enclosing compound."""
+            if not seg:
+                return
+            if seg[0][0] == IDENT and seg[0][1] in self.types:
+                out.append("DeclStmt")
+                k = 0
+                while k < len(seg):
+                    out.append("VarDecl")
+                    # skip type/pointer tokens and the declarator name
+                    while k < len(seg) and (
+                        seg[k][1] in ("*", "&")
+                        or (seg[k][0] == IDENT and seg[k][1] in self.types)
+                    ):
+                        k += 1
+                    if k < len(seg) and seg[k][0] == IDENT:
+                        k += 1
+                    # expression until the next top-level comma
+                    e0, pd = k, 0
+                    while k < len(seg) and not (
+                        seg[k][1] == "," and pd == 0
+                    ):
+                        if seg[k][1] in ("(", "["):
+                            pd += 1
+                        elif seg[k][1] in (")", "]"):
+                            pd -= 1
+                        k += 1
+                    self._expr_words(seg[e0:k], out)
+                    k += 1  # past ','
+            else:
+                self._expr_words(seg, out)
+
+        def emit_inc(seg: list) -> None:
+            if seg:
+                self._expr_words(seg, out)
 
         while i < n:
             kind, text = toks[i]
@@ -335,8 +382,65 @@ class WordExtractor:
                     out.append("DefaultStmt" if not self.ast_opt else
                                "UnaryOperator UO_!")
                 elif text in ("for", "while"):
-                    out.append(WORD_LOOP if self.ast_opt else
-                               ("ForStmt" if text == "for" else "WhileStmt"))
+                    loop_word = (WORD_LOOP if self.ast_opt else
+                                 ("ForStmt" if text == "for" else
+                                  "WhileStmt"))
+                    # M2 loop simplification (FixedChecker.cpp:240-263
+                    # + 30-53): parse the header; for-init words hoist
+                    # BEFORE the loop word, for-inc words append at
+                    # body end, unbraced bodies get a synthesized
+                    # compound — so for-loops and their while-form
+                    # desugaring emit identical word sequences
+                    header = None
+                    if self.ast_opt and i + 1 < n and toks[i + 1][1] == "(":
+                        j = i + 2
+                        pdepth = 1
+                        segs: list[list] = [[]]
+                        while j < n and pdepth:
+                            t2 = toks[j][1]
+                            if t2 == "(":
+                                pdepth += 1
+                            elif t2 == ")":
+                                pdepth -= 1
+                                if not pdepth:
+                                    break
+                            if t2 == ";" and pdepth == 1:
+                                segs.append([])
+                            else:
+                                segs[-1].append(toks[j])
+                            j += 1
+                        if j < n:
+                            header = (segs, j)
+                    if header is None:
+                        out.append(loop_word)
+                    else:
+                        segs, close = header
+                        if text == "for" and len(segs) == 3:
+                            init_seg, cond_seg, inc_seg = segs
+                        else:
+                            # while / range-for: whole header is the
+                            # condition
+                            init_seg, inc_seg = [], []
+                            cond_seg = [
+                                t for seg in segs for t in seg
+                            ]
+                        emit_init(init_seg)
+                        out.append(loop_word)
+                        self._expr_words(cond_seg, out)
+                        i = close  # consumed through ')'
+                        expr_buf_start = i + 1
+                        stmt_start = i + 1
+                        stmt_is_decl = False
+                        if i + 1 < n and toks[i + 1][1] == "{":
+                            pending_for_inc = inc_seg
+                        else:
+                            # unbraced body: synthesized compound
+                            # (CheckStmtLoopPreInitForward); inc emits
+                            # when the single statement closes
+                            out.append(self.comp_word)
+                            unbraced_incs.append((brace_depth, inc_seg))
+                        i += 1
+                        continue
                 elif text == "do":
                     out.append(WORD_LOOP if self.ast_opt else "DoStmt")
                 elif text == "return":
@@ -409,16 +513,33 @@ class WordExtractor:
                         next_block_id += 1
                     pending_kind = 8
                     out.append(self.comp_word)
+                    brace_depth += 1
+                    brace_inc_stack.append(pending_for_inc)
+                    pending_for_inc = None
                     expr_buf_start = i + 1
                     stmt_start = i + 1
                     stmt_is_decl = False
                 elif text in ("}", ";", ":"):
                     flush_expr(i)
+                    if text == "}":
+                        # for-inc words append INSIDE the closing body
+                        # compound (FixedChecker.cpp:249-256)
+                        if brace_inc_stack:
+                            emit_inc(brace_inc_stack.pop() or [])
+                        brace_depth = max(0, brace_depth - 1)
                     if text == "}" and blocks is not None and open_blocks:
                         b = open_blocks.pop()
                         b["end"] = spans[i][1]
                         b["w1"] = len(out)
                         blocks.append(b)
+                    if text in (";", "}"):
+                        # unbraced loop bodies close with this
+                        # statement — emit their pending inc words
+                        while (
+                            unbraced_incs
+                            and unbraced_incs[-1][0] >= brace_depth
+                        ):
+                            emit_inc(unbraced_incs.pop()[1])
                     expr_buf_start = i + 1
                     stmt_start = i + 1
                     if text == ";" and stmt_is_decl:

@@ -5,11 +5,15 @@ Mirrors the reference's model path:
 
 * **M9 sequence serialization** (``NodeTravesal.cpp:11-239``):
   per-block pre-order (type 0) and post-order (type 2) node-name
-  strings.  Our pseudo-AST walker is pre-order; the post-order string
-  is derived per block by reversing the pre-order word sequence — a
-  documented approximation (the real reference needs Clang's tree
-  shape; parity for the model path is defined at the pipeline level,
-  not per-string).
+  strings.  Pre-order = the walker's emission order.  Post-order is
+  computed over the BLOCK tree exactly as the reference's type-2
+  traversal orders it (``NodeTravesal.cpp:210-213``: children's
+  subtrees first, then the node) — each block contributes its child
+  blocks' post-order sequences, then its own expression words, then
+  its block word last.  Expression words inside one block stay in
+  emission order (the walker keeps no expression tree — documented
+  flat-leaf approximation); for any branching block tree the result
+  is a genuine post-order, NOT reversed pre-order.
 * **S4/T3 remote model** (``FingerPrintGenerator.cpp:48-100``): the
   reference ships sequences to a TCP model server returning 512-float
   embeddings.  No model exists in this container, so ``EmbedActor``
@@ -38,6 +42,48 @@ from clonebas_ray.functions.words import ExtractorRegistry
 SEQ_DIM = 512  # SEQ_FG_LEN — FingerPrintGenerator.h:4
 
 
+def _postorder_per_block(blocks: list[dict]) -> dict[int, list[str]]:
+    """block list (one file) → {block_id: post-order word list}.
+
+    Reference type-2 traversal (``NodeTravesal.cpp:210-213``): emit
+    every child subtree first, then the node itself.  A block's own
+    contribution = its expression words (emission order — flat-leaf
+    approximation) followed by its block word (the first word of its
+    span) last."""
+    by_id = {b["block_id"]: b for b in blocks}
+    children: dict[int, list[int]] = {}
+    for b in blocks:
+        children.setdefault(b["parent_id"], []).append(b["block_id"])
+
+    memo: dict[int, list[str]] = {}
+
+    def post(bid: int) -> list[str]:
+        if bid in memo:
+            return memo[bid]
+        b = by_id[bid]
+        kids = sorted(
+            children.get(bid, []), key=lambda c: by_id[c]["w0"]
+        )
+        seq: list[str] = []
+        for k in kids:
+            seq.extend(post(k))
+        # own words = span minus child spans (relative to w0)
+        own: list[str] = []
+        pos = b["w0"]
+        for k in kids:
+            c = by_id[k]
+            own.extend(b["words"][pos - b["w0"]:c["w0"] - b["w0"]])
+            pos = c["w1"]
+        own.extend(b["words"][pos - b["w0"]:])
+        if own:
+            seq.extend(own[1:])
+            seq.append(own[0])  # the block's node word goes LAST
+        memo[bid] = seq
+        return seq
+
+    return {b["block_id"]: post(b["block_id"]) for b in blocks}
+
+
 class SequenceActor:
     """files → one row per span-gated block with pre/post-order
     sequence strings (M9)."""
@@ -54,7 +100,9 @@ class SequenceActor:
                 "token_num": []}
         boundary = self.config.char_boundary
         for i, content in enumerate(contents):
-            for b in self.registry.get(langs[i]).extract_blocks(content):
+            blocks = self.registry.get(langs[i]).extract_blocks(content)
+            post_map = _postorder_per_block(blocks)
+            for b in blocks:
                 span = b["end"] - b["begin"]
                 if span <= boundary:
                     continue
@@ -62,7 +110,7 @@ class SequenceActor:
                 cols["unit"].append(f"{shas[i]}:{b['block_id']}")
                 cols["sha"].append(shas[i])
                 cols["preseq"].append(" ".join(words))
-                cols["postseq"].append(" ".join(reversed(words)))
+                cols["postseq"].append(" ".join(post_map[b["block_id"]]))
                 cols["token_num"].append(span)
         return pa.table(
             {

@@ -215,13 +215,19 @@ def _sharded_fingerprints(
     """Per-partition fingerprint checkpointing: every input shard's
     output is written and manifested independently, so a killed run
     resumes computing ONLY the missing shards (north rule:
-    per-partition lineage).  Shards compute sequentially with full
-    intra-shard parallelism — at corpus scale a shard is GBs, so the
-    per-shard pipeline startup amortizes; tiny-shard inputs pay a few
-    hundred ms each (documented tradeoff vs one fused pipeline).
+    per-partition lineage).  Up to ``GRAFT_SHARD_PARALLEL`` (default
+    4) shard pipelines run CONCURRENTLY from worker threads — each is
+    an independent Ray Data job sharing the cluster, with the
+    fingerprint actor pool divided between them — so many-small-shard
+    corpora don't pay a serial per-shard pipeline-startup tax.  Each
+    shard still commits (atomic dir rename + manifest entry, guarded
+    by a lock) the moment IT finishes, preserving per-shard resume
+    granularity.
     """
     import os
     import shutil
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
 
     import ray
 
@@ -236,11 +242,25 @@ def _sharded_fingerprints(
     cached, todo = ckpt.plan(shards, resume)
     n_blocks = max(16, int(ray.cluster_resources().get("CPU", 4)) * 2)
     out_dirs = list(cached)
-    for shard in todo:
+
+    # cap concurrent shard jobs so each still gets a >=2-actor pool
+    # (oversubscribing a small cluster just stalls every pipeline)
+    total = int(ray.cluster_resources().get("CPU", 4))
+    workers = max(1, min(
+        int(os.environ.get("GRAFT_SHARD_PARALLEL", "4")),
+        len(todo) or 1,
+        max(1, (total - 2) // 2),
+    ))
+    shard_conc = concurrency
+    if shard_conc is None and workers > 1:
+        shard_conc = max(2, (total - 2) // workers)
+    record_lock = threading.Lock()
+
+    def compute(shard: str) -> str:
         t0 = time.perf_counter()
         ds = read_files(shard, override_num_blocks=n_blocks)
         fp = fingerprint_stage(prepare_stage(ds), config,
-                               concurrency=concurrency)
+                               concurrency=shard_conc)
         out = ckpt.out_path(shard)
         tmp = out + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
@@ -248,8 +268,14 @@ def _sharded_fingerprints(
         shutil.rmtree(out, ignore_errors=True)
         os.replace(tmp, out)
         rows = ray.data.read_parquet(out).count()
-        ckpt.record(shard, rows, time.perf_counter() - t0)
-        out_dirs.append(out)
+        with record_lock:
+            ckpt.record(shard, rows, time.perf_counter() - t0)
+        return out
+
+    if todo:
+        _defuse_fsspec_http_import_race()
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            out_dirs.extend(ex.map(compute, todo))
     # read_parquet accepts a list of FILES (not of directories) —
     # expand each shard dir
     files = [
@@ -394,6 +420,36 @@ def _apply_block_edge_filters(edge_df, fingerprints, config: PipelineConfig):
             )
         edge_df = edge_df[np.array(keep2, dtype=bool)]
     return edge_df.reset_index(drop=True)
+
+
+def _defuse_fsspec_http_import_race() -> None:
+    """Ray's read/write path resolution lazily does
+    ``from fsspec.implementations.http import HTTPFileSystem`` and
+    catches only ModuleNotFoundError.  When aiohttp is absent that
+    import always fails — and two shard THREADS hitting it
+    concurrently can race through sys.modules mid-teardown, turning
+    the error into a plain ImportError that escapes Ray's handler.
+    If (and only if) the import fails for a missing dependency,
+    install an inert stub module so every later import succeeds
+    deterministically; the stub class is never instantiated, so
+    Ray's ``isinstance`` check correctly stays False."""
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+        return
+    except ModuleNotFoundError:
+        pass
+    except Exception:  # noqa: BLE001 — fsspec itself absent/odd: nothing to patch
+        return
+    import sys
+    import types
+
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # noqa: N801 — sentinel, never constructed
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
 
 
 def _apply_file_mode_filters(edge_df, fingerprints, config: PipelineConfig):

@@ -27,12 +27,49 @@ def test_sequences_and_embeddings(ray_session, corpus_files):
     assert len(row["embedding"]) == SEQ_DIM
     v = np.asarray(row["embedding"])
     assert abs(np.linalg.norm(v) - 1.0) < 1e-5
-    # postseq is the word-level reverse of preseq; words may contain
-    # internal spaces (operator suffixes), so compare token multisets
-    # and endpoints rather than naive split-reversal
+    # post-order contains the same multiset of words as pre-order
+    # (same tree, different visit order)
     s = seqs.take(1)[0]
     assert sorted(s["preseq"].split()) == sorted(s["postseq"].split())
     assert s["preseq"] != s["postseq"] or len(s["preseq"].split()) <= 1
+
+
+def test_true_postorder_branching(ray_session):
+    """M9 (NodeTravesal.cpp:210-213): for a BRANCHING block tree the
+    post-order sequence is children-first-then-node — not a reversal
+    of the pre-order sequence."""
+    import ray.data
+
+    from clonebas_ray.config import PipelineConfig
+    from clonebas_ray.ops.model_path import SequenceActor
+    from clonebas_ray.stages.ingest import prepare_stage
+
+    pad = "x = " + " + ".join(["y"] * 40) + ";"  # pass the 200-char gate
+    src = (
+        "void f() { " + pad + " if (a) { " + pad + " } "
+        "if (b) { " + pad + " } }"
+    )
+    t = pa.table(
+        {
+            "repo": ["r"], "path": ["p"], "commit": ["c"],
+            "lang": ["c"], "content": [src],
+        }
+    )
+    files = prepare_stage(ray.data.from_arrow(t))
+    seqs = files.map_batches(
+        SequenceActor,
+        fn_constructor_kwargs={"config": PipelineConfig(char_boundary=100)},
+        batch_format="pyarrow", concurrency=1,
+    ).to_pandas()
+    root = seqs.loc[seqs["token_num"].idxmax()]
+    pre = root["preseq"].split()
+    post = root["postseq"].split()
+    assert sorted(pre) == sorted(post)
+    assert post != list(reversed(pre))
+    # the root block's own node word is visited LAST in post-order
+    assert post[-1] == pre[0]
+    # pre-order starts at the root; post-order starts inside a child
+    assert post[0] != pre[0]
 
 
 def test_model_clone_clusters_groups_identical_blocks(ray_session,

@@ -1,12 +1,15 @@
 """Two-tier clustering when the normal tier is enabled."""
 
+import itertools
+
 from clonebas_ray.config import PipelineConfig
 
 
 def test_two_tier_output(ray_session, corpus_dir, tmp_path_factory):
+    from clonebas_ray.oracle import run_oracle
     from clonebas_ray.pipelines.dedup import run_dedup_pipeline
 
-    d, _ = corpus_dir
+    d, tables = corpus_dir
     cfg = PipelineConfig(t_high=1, t_normal=3, n_bands=4)
     res = run_dedup_pipeline(
         f"{d}/files.parquet", str(tmp_path_factory.mktemp("tiers")),
@@ -15,10 +18,20 @@ def test_two_tier_output(ray_session, corpus_dir, tmp_path_factory):
     df = res.clusters.to_pandas()
     tiers = set(df["tier"])
     assert tiers == {1, 2}
-    # normal tier (looser threshold) covers at least the high tier shas
-    high = set(df[df.tier == 1]["sha"])
-    normal = set(df[df.tier == 2]["sha"])
-    assert high <= normal
+    # exact pair-level parity per tier against the sequential oracle.
+    # NOTE: greedy complete-linkage is NOT monotone in sigma — a sha
+    # clustered at the strict threshold can legitimately fall out of
+    # the looser tier when its would-be partners are absorbed
+    # elsewhere (the reference's loop behaves identically), so the
+    # check is oracle parity, not tier-subset containment.
+    orc = run_oracle(tables.files.to_pylist(), cfg)
+    for tier_name, tier_id in (("high", 1), ("normal", 2)):
+        opairs = orc.pairs.get(tier_name, set())
+        ppairs = set()
+        for _, g in df[df.tier == tier_id].groupby("cluster_id"):
+            for a, b in itertools.combinations(sorted(g["sha"]), 2):
+                ppairs.add(frozenset((a, b)))
+        assert ppairs == opairs, tier_name
     # cluster ids unique across tiers
     assert not (
         set(df[df.tier == 1]["cluster_id"]) & set(df[df.tier == 2]["cluster_id"])

@@ -94,3 +94,38 @@ int f(int x) {
     w = extract_words(src)
     assert "FixedSelectionStmtClass" in w
     assert w.count("BinaryOperator BO_==") >= 2  # synthesized per case
+
+
+def test_for_while_equivalence():
+    """M2 loop simplification (FixedChecker.cpp:240-263, 30-53): a
+    for-loop and its manual while-desugaring emit the SAME word
+    sequence — init hoisted before the loop word, inc appended at
+    body end, unbraced bodies wrapped in a synthesized compound."""
+    from clonebas_ray.functions.words import extract_words
+
+    for_src = "void f() { for (i = 0; i < n; i++) { g(i); } }"
+    while_src = "void f() { i = 0; while (i < n) { g(i); i++; } }"
+    assert extract_words(for_src) == extract_words(while_src)
+
+    # declaration init hoists as DeclStmt/VarDecl
+    for_decl = "void f() { for (int i = 0; i < n; ++i) { g(i); } }"
+    while_decl = "void f() { int i = 0; while (i < n) { g(i); ++i; } }"
+    assert extract_words(for_decl) == extract_words(while_decl)
+
+    # unbraced bodies synthesize the compound on both forms
+    for_nb = "void f() { for (i = 0; i < n; i++) g(i); }"
+    while_nb = "void f() { i = 0; while (i < n) { g(i); i++; } }"
+    assert extract_words(for_nb) == extract_words(while_nb)
+
+
+def test_for_inc_words_inside_block():
+    """Block mode: the inc expression's words belong to the loop-body
+    compound (appended before its close)."""
+    from clonebas_ray.functions.words import WordExtractor
+
+    src = "void f() { for (i = 0; i < 3; i++) { g(); } }"
+    blocks = WordExtractor("cpp").extract_blocks(src)
+    body = [b for b in blocks if b["parent_id"] != -1]
+    inner = min(body, key=lambda b: b["end"] - b["begin"])
+    # the ++ unary word is inside the innermost (loop body) block
+    assert any("UO_++" in w for w in inner["words"])
