@@ -23,6 +23,12 @@ if _REPO not in sys.path:
 os.environ["PYTHONPATH"] = (
     _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 )
+# quiet worker-side ray.data console noise (ERROR+ only; full log
+# still lands in ray-data.log) — must be set before workers spawn
+os.environ.setdefault(
+    "RAY_DATA_LOGGING_CONFIG",
+    os.path.join(_REPO, "tools", "ray_data_logging.yaml"),
+)
 
 
 def _quiet() -> None:
@@ -188,6 +194,32 @@ def _q_minhash_clusters(sf_dir: str):
     return minhash_dedup_clusters(
         _docs(sf_dir, ["doc_id", "text"]), threshold=0.5
     ).to_pandas()
+
+
+def _q_substring_dups(sf_dir: str):
+    """Winnowing-based substring duplicate pairs (the suffix-array
+    common-substring modality, sampled): any pair sharing a substring
+    of >= k + w - 1 = 37 chars is guaranteed caught."""
+    _quiet()
+    from clonebas_ray.ops.text_dedup import substring_dup_pairs
+
+    return substring_dup_pairs(
+        _docs(sf_dir, ["doc_id", "text"])
+    ).to_pandas()
+
+
+def _q_minhash_dedup_filter(sf_dir: str):
+    """End-to-end dedup ACTION: minhash clusters → keep unclustered
+    docs + the min-id representative per cluster."""
+    _quiet()
+    from clonebas_ray.ops.text_dedup import (
+        dedup_filter, minhash_dedup_clusters,
+    )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    clusters = minhash_dedup_clusters(docs, threshold=0.5)
+    kept = dedup_filter(_docs(sf_dir, ["doc_id"]), clusters)
+    return kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_langid(sf_dir: str):
@@ -411,6 +443,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family / similarity / analysis (rows-only checks)
         "simhash_text_clusters": _q_simhash_text_clusters,
         "minhash_pairs": _q_minhash_pairs,
+        "substring_dups": _q_substring_dups,
+        "minhash_dedup_filter": _q_minhash_dedup_filter,
         "minhash_clusters": _q_minhash_clusters,
         "language_id": _q_langid,
         "quality_score": _q_quality,
@@ -688,6 +722,73 @@ JOIN sz sa ON sa.doc_id = doc_a
 JOIN sz sb ON sb.doc_id = doc_b
 WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
 ORDER BY doc_a, doc_b
+""",
+        "substring_dups": """
+WITH t AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+  WHERE length(text) >= 30
+), g AS (
+  SELECT doc_id, p,
+    CAST(md5_number_lower(substr(text, CAST(p AS INTEGER), 30))
+         AS HUGEINT) AS h,
+    n - 29 AS n_grams
+  FROM (SELECT doc_id, text, n, unnest(range(1, n - 28)) AS p FROM t)
+), wmin AS (
+  SELECT doc_id, p, n_grams,
+    min(h) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wh
+  FROM g
+), fp AS (
+  SELECT DISTINCT doc_id, wh FROM wmin
+  WHERE p <= greatest(1, n_grams - 7)
+), keep AS (
+  SELECT wh FROM fp GROUP BY wh HAVING count(*) BETWEEN 2 AND 64
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM fp a JOIN keep USING (wh) JOIN fp b USING (wh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
+FROM pairs ORDER BY doc_a, doc_b
+""",
+        "minhash_dedup_filter": """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+         WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(t) - 3),
+                i -> array_to_string(t[i:i+4], ' ')))
+    END AS s
+  FROM toks
+), e AS (SELECT doc_id, unnest(s) AS sng FROM sh),
+sz AS (SELECT doc_id, len(s) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM e a JOIN e b ON a.sng = b.sng AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+  WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  SELECT a AS id, a AS lbl FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.id = e.a
+), cc AS (
+  SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
+ORDER BY d.doc_id
 """,
         "minhash_clusters": """
 WITH RECURSIVE toks AS (

@@ -32,6 +32,13 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+# worker-side ray.data console noise (e.g. the cosmetic schema-hash
+# warning in reduce tasks) drops to ERROR+; full log still goes to
+# ray-data.log.  Must be set before ray.init so workers inherit it.
+os.environ.setdefault(
+    "RAY_DATA_LOGGING_CONFIG",
+    os.path.join(REPO, "tools", "ray_data_logging.yaml"),
+)
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))

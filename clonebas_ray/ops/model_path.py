@@ -30,7 +30,6 @@ Mirrors the reference's model path:
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray.data

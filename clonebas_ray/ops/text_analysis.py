@@ -17,8 +17,6 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from clonebas_ray.functions.murmur3 import hash128
-
 #: tiny per-language stopword lists for the n-gram/stopword heuristic
 #: language identifier (public common-word lists)
 STOPWORDS = {

@@ -222,6 +222,7 @@ def minhash_lsh_pairs(
         },
         batch_format="pyarrow",
         concurrency=concurrency,
+        max_restarts=0,  # pool replaces failed actors (see fingerprint_stage)
     )
 
     def add_part(batch: pa.Table) -> pa.Table:
@@ -366,6 +367,194 @@ def minhash_dedup_clusters(
             ),
         }
     )
+
+
+class WinnowFingerprints:
+    """Stateful winnowing worker (Schleimer et al., SIGMOD 2003 — the
+    public MOSS fingerprinting scheme): per doc, hash every K-char
+    gram (md5 low-64, DuckDB ``md5_number_lower`` convention) and keep
+    the MINIMUM hash of each W-gram window.  Guarantee: two documents
+    sharing any substring of length >= K + W - 1 share at least one
+    selected fingerprint — the sampled stand-in for a suffix-array
+    common-substring scan, at O(n) per doc instead of global sort.
+    """
+
+    def __init__(self, k: int = 30, w: int = 8):
+        self.k = k
+        self.w = w
+
+    def _fingerprints(self, text: str) -> np.ndarray:
+        import hashlib
+
+        k, w = self.k, self.w
+        n_grams = len(text) - k + 1
+        if n_grams <= 0:
+            return np.empty(0, dtype=np.uint64)
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(
+                        text[p:p + k].encode("utf-8", "surrogatepass")
+                    ).digest()[8:],
+                    "little",
+                )
+                for p in range(n_grams)
+            ),
+            dtype=np.uint64,
+            count=n_grams,
+        )
+        if n_grams <= w:
+            return np.unique(h.min(keepdims=True))
+        wins = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+        return np.unique(wins)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        out_h: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        for d, t in zip(ids, batch["text"].to_pylist()):
+            fps = self._fingerprints(t)
+            out_h.append(fps)
+            out_d.append(np.full(len(fps), d, dtype=np.int64))
+        if not out_h:
+            return pa.table(
+                {"h": pa.array([], pa.uint64()),
+                 "doc_id": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "h": pa.array(np.concatenate(out_h), pa.uint64()),
+                "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+            }
+        )
+
+
+def substring_dup_pairs(
+    docs: ray.data.Dataset,
+    k: int = 30,
+    w: int = 8,
+    max_df: int = 64,
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> pa.Table:
+    """Substring-duplicate pairs: documents sharing >= 1 winnowed
+    K-gram fingerprint (⇒ any common substring of length
+    >= K + W - 1 is caught) → (doc_a, doc_b, n_shared) with
+    n_shared = count of distinct shared fingerprints.
+
+    Shuffle layout: fingerprints hash-partition by hash value, pairs
+    form within each partition (a fingerprint's doc list is co-located
+    by construction), then a second small shuffle sums per-pair
+    counts.  ``max_df`` drops boilerplate fingerprints present in more
+    than that many docs — the skew guard that keeps a corpus-wide
+    common header from exploding quadratically (mirrored by the SQL
+    oracle's HAVING clause)."""
+    P = 64
+
+    fps = docs.select_columns(["doc_id", "text"]).map_batches(
+        WinnowFingerprints,
+        fn_constructor_kwargs={"k": k, "w": w},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        max_restarts=0,
+    )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        hv = batch["h"].to_numpy().astype(np.uint64)
+        part = (
+            (hv * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(52)
+        ) % np.uint64(P)
+        return batch.append_column(
+            "hp", pa.array(part.astype(np.int32), pa.int32())
+        )
+
+    def pair_partition(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in g.groupby("h", sort=False):
+            ids = np.unique(grp["doc_id"].to_numpy())
+            if len(ids) < 2 or len(ids) > max_df:
+                continue
+            a, b = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[a])
+            out_b.append(ids[b])
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_a": pd.Series(dtype="int64"),
+                 "doc_b": pd.Series(dtype="int64"),
+                 "n_shared": pd.Series(dtype="int64")}
+            )
+        df = pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        )
+        # partial count: one row per (pair, h) collapsed within the
+        # partition; distinct hashes never split across partitions
+        return (
+            df.groupby(["doc_a", "doc_b"], sort=False)
+            .size()
+            .rename("n_shared")
+            .reset_index()
+        )
+
+    partial = (
+        fps.map_batches(add_part, batch_format="pyarrow")
+        .groupby("hp")
+        .map_groups(pair_partition, batch_format="pandas")
+    )
+
+    def add_pp(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy().astype(np.uint64)
+        part = ((a * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(52)) % np.uint64(P)
+        return batch.append_column(
+            "pp", pa.array(part.astype(np.int32), pa.int32())
+        )
+
+    def merge_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(["doc_a", "doc_b"], sort=False)["n_shared"]
+            .sum()
+            .reset_index()
+            .astype({"doc_a": "int64", "doc_b": "int64",
+                     "n_shared": "int64"})
+        )
+
+    out = (
+        partial.map_batches(add_pp, batch_format="pyarrow")
+        .groupby("pp")
+        .map_groups(merge_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def dedup_filter(
+    docs: ray.data.Dataset, clusters: pa.Table,
+    id_col: str = "doc_id", cluster_col: str = "cluster_id",
+) -> ray.data.Dataset:
+    """The dedup ACTION: given (doc_id, cluster_id) near-dup
+    assignments, keep every unclustered doc plus one representative
+    (the min doc_id = the canonical cluster label) per cluster.
+
+    The drop-set (clustered non-representatives) is near-dup-sized —
+    tiny relative to the corpus — so it broadcasts via ``ray.put`` and
+    the filter is a stateless ``map_batches`` scan; the corpus itself
+    never shuffles."""
+    import ray as ray_api
+
+    cdf = clusters.to_pandas()
+    drop = set(
+        cdf.loc[cdf[id_col] != cdf[cluster_col], id_col].tolist()
+    )
+    drop_ref = ray_api.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = ray_api.get(drop_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        mask = np.fromiter(
+            (i not in d for i in ids), dtype=bool, count=len(ids)
+        )
+        return batch.filter(pa.array(mask))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
 
 
 def docs_as_files(docs: ray.data.Dataset) -> ray.data.Dataset:

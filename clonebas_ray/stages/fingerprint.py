@@ -248,4 +248,8 @@ def fingerprint_stage(
         batch_size=batch_size,
         num_cpus=1,
         concurrency=concurrency,
+        # the pool replaces failed actors itself; in-place actor
+        # restart would need the ctor args kept alive in the object
+        # store (core-worker warns about exactly that), so disable it
+        max_restarts=0,
     )

@@ -236,3 +236,51 @@ def test_hash_join(ray_session):
     out = hash_join(left, right, "k", "rk", num_buckets=4).to_pandas()
     got = sorted(zip(out.k, out.lv, out.rv))
     assert got == [(2, "b", "x"), (3, "c", "y"), (3, "c", "z")]
+
+
+def test_substring_dup_pairs(ray_session):
+    """Winnowing guarantee (Schleimer et al. 2003): any pair sharing a
+    substring of length >= k + w - 1 shares a selected fingerprint."""
+    import ray.data
+
+    from clonebas_ray.ops.text_dedup import substring_dup_pairs
+
+    rng = np.random.default_rng(3)
+
+    def rand_text(n):
+        return "".join(
+            rng.choice(list("abcdefghijklmnopqrstuvwxyz "), size=n)
+        )
+
+    shared = rand_text(40)  # >= k + w - 1 = 37 with defaults
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": [
+                rand_text(80) + shared + rand_text(60),
+                rand_text(50) + shared + rand_text(90),
+                rand_text(200),   # unrelated
+                rand_text(200),   # unrelated
+            ],
+        }
+    )
+    out = substring_dup_pairs(ray.data.from_arrow(docs)).to_pandas()
+    got = set(zip(out.doc_a, out.doc_b))
+    assert (0, 1) in got
+    # random 26-letter text cannot share a 30-gram with anything
+    assert all(p == (0, 1) for p in got)
+    assert out.loc[
+        (out.doc_a == 0) & (out.doc_b == 1), "n_shared"
+    ].iloc[0] >= 1
+
+
+def test_winnow_fingerprint_determinism():
+    from clonebas_ray.ops.text_dedup import WinnowFingerprints
+
+    wf = WinnowFingerprints(k=5, w=3)
+    a = wf._fingerprints("the quick brown fox jumps over the lazy dog")
+    b = wf._fingerprints("the quick brown fox jumps over the lazy dog")
+    assert (a == b).all()
+    # short doc (< k chars) -> no fingerprints; k..k+w-1 -> exactly one
+    assert len(wf._fingerprints("abc")) == 0
+    assert len(wf._fingerprints("abcdef")) == 1

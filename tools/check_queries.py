@@ -12,7 +12,13 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+# quiet worker-side ray.data console noise; must precede ray.init
+os.environ.setdefault(
+    "RAY_DATA_LOGGING_CONFIG",
+    os.path.join(_REPO, "tools", "ray_data_logging.yaml"),
+)
 
 import duckdb
 import pandas as pd
