@@ -45,8 +45,12 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 #: bench corpus size (files); content reuse keeps generation cheap
 BENCH_FILES = int(os.environ.get("GRAFT_BENCH_FILES", "200000"))
 #: scaling runs use a larger corpus so per-core compute dominates the
-#: fixed orchestration cost (actor start + shuffle barriers ~5s)
-SCALING_FILES = int(os.environ.get("GRAFT_SCALING_FILES", "500000"))
+#: fixed orchestration cost (read planning + actor start + shuffle
+#: barriers + driver cluster assembly ≈ 10-14 s regardless of level).
+#: 1M files ≈ 90 s at the high level — the short-job regime would
+#: otherwise charge the whole fixed cost against the high level's
+#: throughput, which no long-running 100 TB job would experience.
+SCALING_FILES = int(os.environ.get("GRAFT_SCALING_FILES", "1000000"))
 BENCH_DIR = os.environ.get("GRAFT_BENCH_DIR", "/tmp/clonebas_bench")
 
 

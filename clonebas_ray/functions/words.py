@@ -354,8 +354,19 @@ class WordExtractor:
             if seg:
                 self._expr_words(seg, out)
 
+        # switch desugar state (FixedChecker.cpp:114-238): per nested
+        # switch, the captured cond tokens (replayed inside every
+        # case's synthesized ==), the word ranges of each case-unit
+        # condition (replayed by default's !(c1 & c2 & ...) chain),
+        # and stacked-label bookkeeping for the | chains
+        switch_stack: list[dict] = []
+
         while i < n:
             kind, text = toks[i]
+            # a case run ends unless the very next token is `case`
+            if switch_stack and switch_stack[-1]["await_stack"]:
+                if not (kind == IDENT and text == "case"):
+                    switch_stack[-1]["await_stack"] = False
             if kind == IDENT and text in self.keywords:
                 flush_expr(i)
                 if text in ("if", "else", "switch"):
@@ -375,12 +386,69 @@ class WordExtractor:
                     out.append("UnaryOperator UO_!")
                 elif text == "switch":
                     out.append(WORD_SELECT if self.ast_opt else "SwitchStmt")
+                    if self.ast_opt and i + 1 < n and toks[i + 1][1] == "(":
+                        # capture the cond tokens: the reference never
+                        # emits them standalone — they surface inside
+                        # every case's synthesized `cond == value`
+                        j = i + 2
+                        pdepth = 1
+                        cond: list = []
+                        while j < n and pdepth:
+                            t2 = toks[j][1]
+                            if t2 == "(":
+                                pdepth += 1
+                            elif t2 == ")":
+                                pdepth -= 1
+                                if not pdepth:
+                                    break
+                            cond.append(toks[j])
+                            j += 1
+                        if j < n:
+                            switch_stack.append(
+                                {
+                                    "cond": cond,
+                                    "ranges": [],
+                                    "depth": brace_depth,
+                                    "in_case": False,
+                                    "await_stack": False,
+                                    "cur_start": None,
+                                }
+                            )
+                            i = j  # consumed through ')'
+                            expr_buf_start = i + 1
+                            stmt_start = i + 1
+                            stmt_is_decl = False
+                            i += 1
+                            continue
                 elif text == "case":
-                    # synthesized `cond == value` (FixedChecker.cpp:114-238)
-                    out.append("BinaryOperator BO_==")
+                    # synthesized `cond == value` (FixedChecker.cpp:130-170);
+                    # stacked labels chain via BO_Or (opcode `|`)
+                    fr = switch_stack[-1] if switch_stack else None
+                    if self.ast_opt and fr is not None:
+                        if fr["await_stack"]:
+                            out.append("BinaryOperator BO_|")
+                            fr["await_stack"] = False
+                        else:
+                            fr["cur_start"] = len(out)
+                        out.append("BinaryOperator BO_==")
+                        self._expr_words(fr["cond"], out)
+                        fr["in_case"] = True
+                    else:
+                        out.append("BinaryOperator BO_==")
                 elif text == "default":
-                    out.append("DefaultStmt" if not self.ast_opt else
-                               "UnaryOperator UO_!")
+                    # default branch = !(c1 & c2 & ...) over every case
+                    # condition so far (FixedChecker.cpp:190-216)
+                    fr = switch_stack[-1] if switch_stack else None
+                    if self.ast_opt and fr is not None and fr["ranges"]:
+                        out.append("UnaryOperator UO_!")
+                        out.extend(
+                            ["BinaryOperator BO_&"] * (len(fr["ranges"]) - 1)
+                        )
+                        for s0, s1 in fr["ranges"]:
+                            out.extend(out[s0:s1])
+                    else:
+                        out.append("DefaultStmt" if not self.ast_opt else
+                                   "UnaryOperator UO_!")
                 elif text in ("for", "while"):
                     loop_word = (WORD_LOOP if self.ast_opt else
                                  ("ForStmt" if text == "for" else
@@ -521,12 +589,31 @@ class WordExtractor:
                     stmt_is_decl = False
                 elif text in ("}", ";", ":"):
                     flush_expr(i)
+                    if (
+                        text == ":" and switch_stack
+                        and switch_stack[-1]["in_case"]
+                    ):
+                        # close the case-label: record (or extend, for
+                        # stacked labels) this unit's cond word range
+                        fr = switch_stack[-1]
+                        if fr["cur_start"] is not None:
+                            fr["ranges"].append([fr["cur_start"], len(out)])
+                            fr["cur_start"] = None
+                        elif fr["ranges"]:
+                            fr["ranges"][-1][1] = len(out)
+                        fr["in_case"] = False
+                        fr["await_stack"] = True
                     if text == "}":
                         # for-inc words append INSIDE the closing body
                         # compound (FixedChecker.cpp:249-256)
                         if brace_inc_stack:
                             emit_inc(brace_inc_stack.pop() or [])
                         brace_depth = max(0, brace_depth - 1)
+                        while (
+                            switch_stack
+                            and brace_depth <= switch_stack[-1]["depth"]
+                        ):
+                            switch_stack.pop()
                     if text == "}" and blocks is not None and open_blocks:
                         b = open_blocks.pop()
                         b["end"] = spans[i][1]

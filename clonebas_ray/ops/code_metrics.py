@@ -242,18 +242,64 @@ def _file_score(unit_scores: list[int]) -> int:
     return total // (SCORE_WEIGHT * len(unit_scores))
 
 
+def clone_counts_from_clusters(clusters: pa.Table) -> pa.Table:
+    """clone-cluster assignments → per-file-sha clone-unit inputs
+    (``CloneCodeUnit::CatchClone`` — clone level 1 = normal, else
+    worse; our tier 2 / loose threshold maps to normal, tier 1 /
+    strict to worse).  Block-mode unit keys ``filesha:block`` roll up
+    to their file sha."""
+    import pandas as pd
+
+    if clusters.num_rows == 0:
+        return pa.table(
+            {
+                "sha": pa.array([], pa.string()),
+                "n_normal_clones": pa.array([], pa.int64()),
+                "n_worse_clones": pa.array([], pa.int64()),
+            }
+        )
+    df = clusters.to_pandas()
+    df["file_sha"] = df["sha"].str.rsplit(":", n=1).str[0]
+    normal = df[df.tier == 2].groupby("file_sha").size()
+    worse = df[df.tier != 2].groupby("file_sha").size()
+    out = pd.DataFrame({"n_normal_clones": normal, "n_worse_clones": worse})
+    out = out.fillna(0).astype("int64").reset_index(names="sha")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def code_metrics(
     files: ray.data.Dataset,
+    clone_counts: pa.Table | None = None,
 ) -> ray.data.Dataset:
     """files (with ``sha``/``content``) → per-file metric columns +
-    the 8-unit quality score (``file_score``)."""
+    the 8-unit quality score (``file_score``).
+
+    ``clone_counts`` (from :func:`clone_counts_from_clusters`) feeds
+    the CloneCodeUnit; it is near-dup-sized, so it broadcasts via
+    ``ray.put`` — no join shuffle."""
+    import ray as ray_api
+
+    cmap: dict[str, tuple[int, int]] = {}
+    if clone_counts is not None:
+        cmap = {
+            s: (int(n), int(w))
+            for s, n, w in zip(
+                clone_counts["sha"].to_pylist(),
+                clone_counts["n_normal_clones"].to_pylist(),
+                clone_counts["n_worse_clones"].to_pylist(),
+            )
+        }
+    cmap_ref = ray_api.put(cmap)
 
     def per_batch(batch: pa.Table) -> pa.Table:
+        cm = ray_api.get(cmap_ref)
         contents = batch["content"].to_pylist()
+        shas = batch["sha"].to_pylist()
         ms = [_file_metrics(c) for c in contents]
         chars = [len(c) for c in contents]
         fscores = [
-            _file_score(_unit_scores(m, nc)) for m, nc in zip(ms, chars)
+            _file_score(_unit_scores(m, nc, *cm.get(s, (0, 0))))
+            for m, nc, s in zip(ms, chars, shas)
         ]
         get = lambda k: [m[k] for m in ms]  # noqa: E731
         out = pa.table(

@@ -211,6 +211,83 @@ def _labels_checksum(labels: ray.data.Dataset) -> int:
     return acc
 
 
+def _refine_component(
+    shas: list[str],
+    meta: dict[str, tuple[int, int, int, str]],
+    sigma: int,
+    span_gate: float,
+    max_component: int,
+) -> list[tuple[str, list[str]]]:
+    """Exact greedy complete-linkage replay for ONE connected
+    component (see ``refine_complete_linkage``); pure function so big
+    components can run as Ray tasks in parallel."""
+    import collections
+
+    from clonebas_ray.functions.simhash import hamming_pairs
+
+    out: list[tuple[str, list[str]]] = []
+    # collapse identical (sig, token) twins
+    nodes: dict[tuple[int, int, int], list[str]] = collections.defaultdict(list)
+    for s in shas:
+        hi, lo, tok, _ = meta[s]
+        nodes[(hi, lo, tok)].append(s)
+    keys = list(nodes)
+    K = len(keys)
+    if K > max_component or K == 1:
+        # pathological / all-twins: keep CC grouping for this component
+        out.append((min(shas), list(shas)))
+        return out
+    # order: descending max order-key over the node's twins
+    order_key = [max(meta[s][3] for s in nodes[k]) for k in keys]
+    order = sorted(range(K), key=lambda i: order_key[i], reverse=True)
+    hi = np.array([k[0] for k in keys], dtype=np.uint64)
+    lo = np.array([k[1] for k in keys], dtype=np.uint64)
+    tok = np.array([k[2] for k in keys], dtype=np.float64)
+    d = hamming_pairs(hi[:, None], lo[:, None], hi[None, :], lo[None, :])
+    gate = (
+        np.abs(tok[:, None] - tok[None, :])
+        <= np.minimum(tok[:, None], tok[None, :]) * span_gate
+    )
+    # reference semantics: the span gate applies only between j and
+    # the set ANCHOR i (checkToCompare(i,j) — SimHasher.cpp:171),
+    # while Hamming <= sigma applies to EVERY member
+    # (checkCanAddToSet — SimHasher.cpp:177)
+    ok_sigma = d <= sigma
+    ok = ok_sigma & gate  # anchor-row condition
+    pos = np.empty(K, dtype=np.int64)
+    for p_, n_ in enumerate(order):
+        pos[n_] = p_
+    in_set = np.zeros(K, dtype=bool)
+    for p_i, i in enumerate(order):
+        if in_set[i]:
+            continue
+        feasible = ok[i].copy()
+        members = [i]
+        joined = False
+        # scan only i's sigma-neighborhood, in walk order after i
+        cand = np.flatnonzero(ok[i] & ~in_set)
+        cand = cand[pos[cand] > p_i]
+        cand = cand[np.argsort(pos[cand])]
+        for j in cand:
+            if in_set[j] or not feasible[j]:
+                continue
+            members.append(int(j))
+            in_set[j] = True
+            joined = True
+            feasible &= ok_sigma[j]  # members constrain sigma only
+        if joined:
+            in_set[i] = True
+            flat = [s for n_ in members for s in nodes[keys[n_]]]
+            out.append((min(flat), flat))
+    return out
+
+
+#: collapsed-node count above which a component's replay is dispatched
+#: as a Ray task instead of running on the driver (the replay is the
+#: pipeline's only serial-by-default step; big components dominate it)
+_REFINE_REMOTE_NODES = 256
+
+
 def refine_complete_linkage(
     assignment: dict[str, int],
     meta: dict[str, tuple[int, int, int, str]],
@@ -243,75 +320,45 @@ def refine_complete_linkage(
     ``meta``: sha → (sig_hi, sig_lo, token_num, order_key).
     Returns the refined assignment (singleton shas are dropped, like
     the reference, which only reports joined sets).
+
+    Components are independent replay problems, so components with
+    many collapsed nodes (>= ``_REFINE_REMOTE_NODES``) dispatch as
+    parallel Ray tasks — Amdahl's law otherwise makes this the
+    pipeline's dominant serial step on clone-heavy corpora — while
+    the long tail of tiny components runs inline (task overhead would
+    dwarf them).  Output ids are assigned by sorted min-member sha,
+    so the result is independent of execution order.
     """
     import collections
 
-    from clonebas_ray.functions.simhash import hamming_pairs
+    import ray
 
     comps: dict[int, list[str]] = collections.defaultdict(list)
     for sha, cid in assignment.items():
         comps[cid].append(sha)
 
+    refine_remote = ray.remote(_refine_component)
+
     sets_by_min_sha: list[tuple[str, list[str]]] = []
+    pending = []
     for cid, shas in comps.items():
         if len(shas) < 2:
             continue
-        # collapse identical (sig, token) twins
-        nodes: dict[tuple[int, int, int], list[str]] = collections.defaultdict(list)
-        for s in shas:
-            hi, lo, tok, _ = meta[s]
-            nodes[(hi, lo, tok)].append(s)
-        keys = list(nodes)
-        K = len(keys)
-        if K > max_component:
-            # pathological: keep CC grouping for this component
-            sets_by_min_sha.append((min(shas), list(shas)))
-            continue
-        if K == 1:
-            sets_by_min_sha.append((min(shas), list(shas)))
-            continue
-        # order: descending max order-key over the node's twins
-        order_key = [max(meta[s][3] for s in nodes[k]) for k in keys]
-        order = sorted(range(K), key=lambda i: order_key[i], reverse=True)
-        hi = np.array([k[0] for k in keys], dtype=np.uint64)
-        lo = np.array([k[1] for k in keys], dtype=np.uint64)
-        tok = np.array([k[2] for k in keys], dtype=np.float64)
-        d = hamming_pairs(hi[:, None], lo[:, None], hi[None, :], lo[None, :])
-        gate = (
-            np.abs(tok[:, None] - tok[None, :])
-            <= np.minimum(tok[:, None], tok[None, :]) * span_gate
-        )
-        # reference semantics: the span gate applies only between j and
-        # the set ANCHOR i (checkToCompare(i,j) — SimHasher.cpp:171),
-        # while Hamming <= sigma applies to EVERY member
-        # (checkCanAddToSet — SimHasher.cpp:177)
-        ok_sigma = d <= sigma
-        ok = ok_sigma & gate  # anchor-row condition
-        pos = np.empty(K, dtype=np.int64)
-        for p_, n_ in enumerate(order):
-            pos[n_] = p_
-        in_set = np.zeros(K, dtype=bool)
-        for p_i, i in enumerate(order):
-            if in_set[i]:
-                continue
-            feasible = ok[i].copy()
-            members = [i]
-            joined = False
-            # scan only i's sigma-neighborhood, in walk order after i
-            cand = np.flatnonzero(ok[i] & ~in_set)
-            cand = cand[pos[cand] > p_i]
-            cand = cand[np.argsort(pos[cand])]
-            for j in cand:
-                if in_set[j] or not feasible[j]:
-                    continue
-                members.append(int(j))
-                in_set[j] = True
-                joined = True
-                feasible &= ok_sigma[j]  # members constrain sigma only
-            if joined:
-                in_set[i] = True
-                flat = [s for n_ in members for s in nodes[keys[n_]]]
-                sets_by_min_sha.append((min(flat), flat))
+        n_nodes = len({meta[s][:3] for s in shas})
+        if n_nodes >= _REFINE_REMOTE_NODES:
+            comp_meta = {s: meta[s] for s in shas}
+            pending.append(
+                refine_remote.remote(
+                    shas, comp_meta, sigma, span_gate, max_component
+                )
+            )
+        else:
+            sets_by_min_sha.extend(
+                _refine_component(shas, meta, sigma, span_gate,
+                                  max_component)
+            )
+    for res in ray.get(pending):
+        sets_by_min_sha.extend(res)
 
     refined: dict[str, int] = {}
     for new_id, (_, members) in enumerate(sorted(sets_by_min_sha)):

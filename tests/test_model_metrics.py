@@ -251,3 +251,41 @@ def test_label_propagation_matches_union_find(ray_session):
     assert sorted(map(sorted, uf_groups.values())) == sorted(
         map(sorted, lp_groups.values())
     )
+
+
+def test_clone_code_unit_lowers_score(ray_session):
+    """CloneCodeUnit (ScoreUnit.cpp:330-346): feeding real clone
+    counts into the metrics drops the cloned file's 8-unit score."""
+    import ray.data
+
+    from clonebas_ray.ops.code_metrics import (
+        clone_counts_from_clusters, code_metrics,
+    )
+    from clonebas_ray.stages.ingest import prepare_stage
+
+    src = "int f() { return 1; }"
+    t = pa.table(
+        {
+            "repo": ["r"], "path": ["p"], "commit": ["c"],
+            "lang": ["c"], "content": [src],
+        }
+    )
+    files = prepare_stage(ray.data.from_arrow(t)).materialize()
+    sha = files.take(1)[0]["sha"]
+    clean = code_metrics(files).to_pandas().iloc[0]
+    clusters = pa.table(
+        {
+            "sha": pa.array([sha, f"{sha}:3"], pa.string()),
+            "cluster_id": pa.array([0, 1], pa.int64()),
+            "tier": pa.array([1, 2], pa.int8()),
+        }
+    )
+    counts = clone_counts_from_clusters(clusters)
+    assert counts.num_rows == 1  # block unit rolled up to its file sha
+    row = counts.to_pandas().iloc[0]
+    assert (row.n_normal_clones, row.n_worse_clones) == (1, 1)
+    scored = code_metrics(files, clone_counts=counts).to_pandas().iloc[0]
+    assert clean["file_score"] == 100
+    # reduce = 1*50 + 1*100 = 150 over 21 chars -> clone unit 93;
+    # file score (7*100 + 93)*10 // 80 = 99
+    assert scored["file_score"] == 99

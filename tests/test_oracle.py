@@ -79,3 +79,39 @@ def test_only_diff_file_filter():
     fps[1].file_key = fps[0].file_key  # same file
     uf, cnt = greedy_cluster(fps, sigma=1, config=cfg)
     assert cnt == 0
+
+
+def test_file_mode_j5_filters_in_pipeline(ray_session, tmp_path_factory):
+    """File-mode J5 filters (SimHasher.cpp:111-122) apply at the
+    instance level: with only_same_file, two different-content shas
+    living in different files never cluster; with only_diff_file they
+    still do (ADVICE round-1: the flags were silently ignored)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clonebas_ray.pipelines.dedup import run_dedup_pipeline
+
+    body = " x = x + 1;" * 40
+    a = "int f(int x) {" + body + " return x; }"
+    b = "int f(int y) {" + body + " return y; }"  # near dup of a
+    t = pa.table(
+        {
+            "repo": ["r", "r"], "path": ["a.c", "b.c"],
+            "commit": ["c", "c"], "lang": ["c", "c"],
+            "content": [a, b],
+        }
+    )
+    d = tmp_path_factory.mktemp("j5")
+    pq.write_table(t, str(d / "files.parquet"))
+
+    diff = run_dedup_pipeline(
+        str(d / "files.parquet"), str(d / "run_diff"),
+        config=PipelineConfig(only_diff_file=True), checkpoint=False,
+    )
+    assert diff.clusters.num_rows == 2  # cross-file pair allowed
+
+    same = run_dedup_pipeline(
+        str(d / "files.parquet"), str(d / "run_same"),
+        config=PipelineConfig(only_same_file=True), checkpoint=False,
+    )
+    assert same.clusters.num_rows == 0  # no shared file key -> filtered

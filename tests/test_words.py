@@ -129,3 +129,42 @@ def test_for_inc_words_inside_block():
     inner = min(body, key=lambda b: b["end"] - b["begin"])
     # the ++ unary word is inside the innermost (loop body) block
     assert any("UO_++" in w for w in inner["words"])
+
+
+def test_switch_condition_chains():
+    """FixedChecker.cpp:114-238: stacked case labels chain via BO_Or
+    (`|`), the switch cond is replayed inside every case's synthesized
+    ==, and default desugars to !(c1 & c2 & ...) over all case
+    conditions."""
+    from clonebas_ray.functions.words import extract_words
+
+    src = """
+int f(int x) {
+    switch (x) {
+    case 1: case 2: a(); break;
+    case 3: b(); break;
+    default: c();
+    }
+}
+"""
+    w = extract_words(src)
+    # three == (one per label), one | for the stacked pair
+    # ... plus the default replay copies: 2 units -> 1 &, plus copies
+    # of all three == and the one |
+    assert w.count("BinaryOperator BO_|") == 2   # original + default copy
+    assert w.count("BinaryOperator BO_&") == 1   # 2 case units - 1
+    assert w.count("BinaryOperator BO_==") == 6  # 3 labels x 2 (replay)
+    assert w.count("UnaryOperator UO_!") == 1
+    # nested switches keep separate cond/unit state
+    nested = """
+int g(int x, int y) {
+    switch (x) {
+    case 1:
+        switch (y) { case 5: h(); break; default: k(); }
+        break;
+    default: m();
+    }
+}
+"""
+    wn = extract_words(nested)
+    assert wn.count("UnaryOperator UO_!") == 2  # one default per switch
