@@ -143,16 +143,20 @@ class PipelineConfig:
     #: ``sha:block_id``.
     block_mode: bool = False
     #: refine connected components with the exact greedy
-    #: complete-linkage loop per component (driver-side; components are
-    #: tiny) in canonical walk order — reproduces the reference's
-    #: order-dependent clustering from a shuffled distributed run.
-    #: File mode only (block mode's cross-component child-suppression
-    #: marks resist per-component replay).
+    #: complete-linkage loop in canonical walk order — reproduces the
+    #: reference's order-dependent clustering from a shuffled
+    #: distributed run.  File mode replays per component (components
+    #: are independent there; big ones run as parallel Ray tasks);
+    #: block mode replays globally over the clustered-unit union
+    #: because J6 child-suppression marks cross components — the
+    #: union is near-dup-sized, so the sequential replay stays tiny
+    #: relative to the corpus.  Disabled automatically under the J5
+    #: file filters (no per-instance identity at sha level).
     refine_clusters: bool = True
     #: J6 child suppression as an order-independent edge post-filter
-    #: (drop a child pair when the parents' pair exists); the
-    #: reference's sequential marking is order-dependent — documented
-    #: approximation, oracle measures the gap.  Only used in block mode.
+    #: (drop a child pair when the parents' pair exists) — the
+    #: NON-refined block path's approximation; with refine_clusters
+    #: the exact sequential marking replays instead.
     child_suppression: bool = False
 
     def __post_init__(self) -> None:

@@ -126,39 +126,57 @@ def run_dedup_pipeline(
     high_edges = edges.filter(expr=f"hamming <= {config.t_high}")
     edge_df = high_edges.select_columns(["sha_a", "sha_b"]).to_pandas()
     file_filtered = config.only_same_file or config.only_diff_file
-    if config.block_mode:
-        edge_df = _apply_block_edge_filters(edge_df, fingerprints, config)
-    elif file_filtered:
-        edge_df = _apply_file_mode_filters(edge_df, fingerprints, config)
-    edge_table = pa.Table.from_pandas(edge_df, preserve_index=False)
-    assignment = union_find_clusters(edge_table)
     # J5 filters gate every compare inside the reference's greedy loop;
     # the sha-level replay has no per-instance file identity, so with a
     # filter active the refinement would replay the WRONG gate — keep
     # the (recall-safe) connected components instead
-    refine_ok = (
+    refine_file = (
         config.refine_clusters and not config.block_mode
         and not file_filtered
     )
-    if refine_ok and assignment:
+    refine_block = (
+        config.refine_clusters and config.block_mode and not file_filtered
+    )
+    if config.block_mode:
+        edge_df = _apply_block_edge_filters(
+            edge_df, fingerprints, config,
+            # the exact replay applies J6 itself; the approximate
+            # post-filter REMOVES edges, which could shrink the replay
+            # population below what the reference joins
+            skip_child_suppression=refine_block,
+        )
+    elif file_filtered:
+        edge_df = _apply_file_mode_filters(edge_df, fingerprints, config)
+    edge_table = pa.Table.from_pandas(edge_df, preserve_index=False)
+    assignment = union_find_clusters(edge_table)
+    if refine_file and assignment:
         assignment = _refine_assignment(
             assignment, fingerprints, config, sigma=config.t_high
         )
-    clusters = clusters_table(assignment, tier=1)
+    n_assign = None
     if config.t_normal >= 0:
         normal_edges = edges.filter(expr=f"hamming <= {config.t_normal}")
         ndf = normal_edges.select_columns(["sha_a", "sha_b"]).to_pandas()
         if config.block_mode:
-            ndf = _apply_block_edge_filters(ndf, fingerprints, config)
+            ndf = _apply_block_edge_filters(
+                ndf, fingerprints, config,
+                skip_child_suppression=refine_block,
+            )
         elif file_filtered:
             ndf = _apply_file_mode_filters(ndf, fingerprints, config)
         n_assign = union_find_clusters(
             pa.Table.from_pandas(ndf, preserve_index=False)
         )
-        if refine_ok and n_assign:
+        if refine_file and n_assign:
             n_assign = _refine_assignment(
                 n_assign, fingerprints, config, sigma=config.t_normal
             )
+    if refine_block and (assignment or n_assign):
+        assignment, n_assign = _refine_block_assignments(
+            assignment, n_assign, fingerprints, config
+        )
+    clusters = clusters_table(assignment, tier=1)
+    if n_assign is not None:
         # keep cluster ids globally unique across tiers
         offset = (max(assignment.values()) + 1) if assignment else 0
         n_assign = {k: v + offset for k, v in n_assign.items()}
@@ -333,7 +351,121 @@ def _refine_assignment(
     )
 
 
-def _apply_block_edge_filters(edge_df, fingerprints, config: PipelineConfig):
+def _refine_block_assignments(
+    high_assignment: dict,
+    normal_assignment: dict | None,
+    fingerprints,
+    config: PipelineConfig,
+) -> tuple[dict, dict | None]:
+    """Exact block-mode complete-linkage replay (both tiers).
+
+    Connected components over-merge, so the union of clustered units
+    is a superset of everything the reference's greedy loop joins
+    (pairs need Hamming <= sigma → a candidate edge).  Replaying the
+    EXACT sequential loop — ``oracle.greedy_cluster``, including J4
+    ancestor exclusion and J6 child suppression — over just that
+    union, in the canonical walk order (ascending anchor file key,
+    then the per-file gated-block emission order ``walk_pos``),
+    reproduces the reference clustering:
+
+    * suppression is sound on the subset: marks flow from a JOINED
+      parent pair to its immediate gated children; joined parents are
+      clustered, and an affected child matters only if it could pair,
+      i.e. is clustered too;
+    * content-identical file instances collapse to one unit — the
+      (sig, span, structure) twin collapse the file-mode refinement
+      already uses (twins share every pairwise decision);
+    * both tiers replay over the SAME fingerprint objects so the
+      ``to_be_cmp`` flags carry from the high to the normal pass, as
+      the reference shares them (``SimHasher.cpp:21-22``).
+    """
+    import ray
+
+    from clonebas_ray.oracle import OracleFingerprint, greedy_cluster
+
+    wanted = set(high_assignment) | set(normal_assignment or {})
+    if not wanted:
+        return {}, ({} if normal_assignment is not None else None)
+    file_shas = {u.rsplit(":", 1)[0] for u in wanted}
+    shas_ref = ray.put(file_shas)
+
+    def pull(batch: pa.Table) -> pa.Table:
+        w = ray.get(shas_ref)
+        df = batch.to_pandas()
+        df = df[df["file_sha"].isin(w)]
+        return pa.Table.from_pandas(
+            df[["sha", "file_sha", "file_key", "block_id", "ancestors",
+                "token_num", "sig_hi", "sig_lo", "walk_pos"]],
+            preserve_index=False,
+        )
+
+    rows = fingerprints.map_batches(pull, batch_format="pyarrow").to_pandas()
+    # collapse file instances: one record per unit, anchored at its
+    # max file key (the greedy descending pass hits a unit at its
+    # highest walk position)
+    rows = (
+        rows.sort_values("file_key")
+        .groupby("sha", sort=False)
+        .last()
+        .reset_index()
+    )
+    # nearest GATED ancestor per unit (gated = any emitted unit of the
+    # file, clustered or not)
+    gated_by_file: dict[str, set] = {}
+    for r in rows.itertuples():
+        gated_by_file.setdefault(r.file_sha, set()).add(r.block_id)
+
+    units = rows[rows["sha"].isin(wanted)].copy()
+    units = units.sort_values(["file_key", "walk_pos"]).reset_index(drop=True)
+    idx_of = {u: i for i, u in enumerate(units["sha"])}
+
+    fps: list[OracleFingerprint] = []
+    for i, r in enumerate(units.itertuples()):
+        fps.append(
+            OracleFingerprint(
+                index=i, sha=r.sha, sig_hi=int(r.sig_hi),
+                sig_lo=int(r.sig_lo), token_num=int(r.token_num),
+                file_key=r.file_key, block_id=int(r.block_id),
+            )
+        )
+    # ancestor/child links among replay units
+    children: dict[int, list[int]] = {}
+    for i, r in enumerate(units.itertuples()):
+        gated = gated_by_file.get(r.file_sha, set())
+        fathers = [
+            idx_of[f"{r.file_sha}:{a}"]
+            for a in r.ancestors
+            if f"{r.file_sha}:{a}" in idx_of
+        ]
+        fps[i].father_idx = tuple(fathers)
+        nearest = next((a for a in r.ancestors if a in gated), None)
+        if nearest is not None:
+            parent_unit = f"{r.file_sha}:{nearest}"
+            p = idx_of.get(parent_unit)
+            if p is not None:
+                children.setdefault(p, []).append(i)
+    for i in range(len(fps)):
+        fps[i].child_idx = tuple(children.get(i, ()))
+
+    def to_assignment(uf) -> dict:
+        sets = [sorted(fps[m].sha for m in v) for v in uf.sets().values()]
+        out: dict[str, int] = {}
+        for cid, members in enumerate(sorted(sets)):
+            for s in members:
+                out[s] = cid
+        return out
+
+    uf_high, _ = greedy_cluster(fps, config.t_high, config)
+    refined_high = to_assignment(uf_high)
+    refined_normal = None
+    if normal_assignment is not None:
+        uf_norm, _ = greedy_cluster(fps, config.t_normal, config)
+        refined_normal = to_assignment(uf_norm)
+    return refined_high, refined_normal
+
+
+def _apply_block_edge_filters(edge_df, fingerprints, config: PipelineConfig,
+                              skip_child_suppression: bool = False):
     """Block-mode edge post-filters (driver-side; the verified edge
     list is small by construction):
 
@@ -396,7 +528,10 @@ def _apply_block_edge_filters(edge_df, fingerprints, config: PipelineConfig):
     ]
     edge_df = edge_df[np.array(keep, dtype=bool)]
 
-    if config.child_suppression and not edge_df.empty:
+    if (
+        config.child_suppression and not skip_child_suppression
+        and not edge_df.empty
+    ):
         def parent_unit(u: str) -> str | None:
             ia = anc.get(u)
             if not ia:

@@ -181,11 +181,13 @@ class FingerprintActor:
         cols: dict[str, list] = {
             "sha": [], "file_sha": [], "file_key": [], "lang": [],
             "block_id": [], "fp_type": [], "token_num": [], "ancestors": [],
+            "walk_pos": [],
         }
         boundary = self.config.char_boundary
         for i, content in enumerate(contents):
             blocks = self.registry.get(langs[i]).extract_blocks(content)
             parent_of = {b["block_id"]: b["parent_id"] for b in blocks}
+            walk_pos = 0
             for b in blocks:
                 span = b["end"] - b["begin"]
                 if span <= boundary:
@@ -204,6 +206,11 @@ class FingerprintActor:
                 cols["fp_type"].append(b["fp_type"])
                 cols["token_num"].append(span)
                 cols["ancestors"].append(ancestors)
+                # emission order among this file's GATED blocks — the
+                # reference's append order (post-order), which the
+                # block-mode complete-linkage replay must reproduce
+                cols["walk_pos"].append(walk_pos)
+                walk_pos += 1
         hi, lo = self._fold(id_arrays)
         self._maybe_reset_cache()
         n = len(id_arrays)
@@ -219,6 +226,7 @@ class FingerprintActor:
                 "sig_hi": pa.array(hi, pa.uint64()),
                 "sig_lo": pa.array(lo, pa.uint64()),
                 "ancestors": pa.array(cols["ancestors"], pa.list_(pa.int32())),
+                "walk_pos": pa.array(cols["walk_pos"], pa.int32()),
                 "gen_fp": pa.array([True] * n, pa.bool_()),
             }
         )

@@ -87,8 +87,13 @@ def block_corpus(corpus_dir):
     return d, tables
 
 
-def test_block_pipeline_recall_vs_oracle(ray_session, block_corpus,
-                                         tmp_path_factory):
+def test_block_pipeline_exact_vs_oracle(ray_session, block_corpus,
+                                        tmp_path_factory):
+    """Block mode reproduces the reference clustering EXACTLY: the
+    global complete-linkage replay over the clustered-unit union
+    (dedup._refine_block_assignments) applies J4/J6 and the greedy
+    order sequentially, so the pair set equals the sequential block
+    oracle's — not just recall >= 0.99."""
     from clonebas_ray.oracle import run_block_oracle
     from clonebas_ray.pipelines.dedup import run_dedup_pipeline
 
@@ -102,14 +107,7 @@ def test_block_pipeline_recall_vs_oracle(ray_session, block_corpus,
     ours = _pair_set(res.clusters)
     op = oracle.pairs["high"]
     assert op, "block oracle found nothing — corpus/extractor broken"
-    inter = ours & op
-    recall = len(inter) / len(op)
-    precision = len(inter) / max(1, len(ours))
-    assert recall >= 0.99, f"block-mode recall {recall:.4f}"
-    # measured 1.0 on this corpus; bound left slightly loose because
-    # block mode clusters by connected components (the oracle's
-    # cross-component child-suppression marks resist exact replay)
-    assert precision >= 0.9, f"block-mode precision {precision:.4f}"
+    assert ours == op
 
 
 def test_block_pipeline_excludes_ancestor_edges(ray_session, block_corpus,
