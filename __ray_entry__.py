@@ -273,6 +273,16 @@ def _q_embed_near_dup(sf_dir: str):
     )
 
 
+def _q_embed_near_dup_clusters(sf_dir: str):
+    _quiet()
+    import ray.data
+
+    from clonebas_ray.ops.similarity import embedding_near_dup_clusters
+
+    vecs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_clusters(vecs, threshold=0.3).to_pandas()
+
+
 def _q_ivf_knn(sf_dir: str):
     _quiet()
     import numpy as np
@@ -450,6 +460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality,
         "doc_fingerprint": _q_doc_fingerprint,
         "embed_near_dup": _q_embed_near_dup,
+        "embed_near_dup_clusters": _q_embed_near_dup_clusters,
         "ivf_knn": _q_ivf_knn,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
@@ -669,6 +680,22 @@ SELECT media_id, frame,
   CAST(md5_number_lower(substr(text, frame * step + 1, step))
        % 9223372036854775808 AS BIGINT) AS digest
 FROM f ORDER BY media_id, frame
+""",
+        "embed_near_dup_clusters": """
+WITH RECURSIVE p AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.3
+), edges AS (
+  SELECT va AS a, vb AS b FROM p UNION ALL SELECT vb, va FROM p
+), reach AS (
+  SELECT a AS id, a AS lbl FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.id = e.a
+)
+SELECT id AS vec_id, min(lbl) AS cluster_id
+FROM reach GROUP BY id ORDER BY vec_id
 """,
         "embed_near_dup": """
 WITH p AS (

@@ -334,6 +334,45 @@ def embedding_near_dup_pairs(
     return ray.data.from_arrow_refs(tasks)
 
 
+def embedding_near_dup_clusters(
+    vectors: ray.data.Dataset,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    **kwargs,
+) -> pa.Table:
+    """Exact near-dup pairs → connected components →
+    (vec_id, cluster_id) with the min member id as the canonical
+    cluster label (matches a SQL recursive-CTE closure oracle)."""
+    from clonebas_ray.stages.cluster import union_find_clusters
+
+    pairs = embedding_near_dup_pairs(
+        vectors, threshold=threshold, id_col=id_col, emb_col=emb_col,
+        **kwargs,
+    ).to_pandas()
+    edge_t = pa.table(
+        {
+            "sha_a": pa.array(pairs["vec_a"].astype(str), pa.string()),
+            "sha_b": pa.array(pairs["vec_b"].astype(str), pa.string()),
+        }
+    )
+    assignment = union_find_clusters(edge_t)
+    min_id: dict[int, int] = {}
+    for s, c in assignment.items():
+        i = int(s)
+        if c not in min_id or i < min_id[c]:
+            min_id[c] = i
+    ids = sorted(assignment, key=int)
+    return pa.table(
+        {
+            id_col: pa.array([int(i) for i in ids], pa.int64()),
+            "cluster_id": pa.array(
+                [min_id[assignment[i]] for i in ids], pa.int64()
+            ),
+        }
+    )
+
+
 def embedding_near_dup_pairs_lsh(
     vectors: ray.data.Dataset,
     threshold: float = 0.95,

@@ -30,8 +30,17 @@ def main(argv: list[str] | None = None) -> int:
                    help="local mode only; omit inside a cluster")
     args = p.parse_args(argv)
 
+    import os
+
     import ray
 
+    # quiet worker-side ray.data console noise (ERROR+ only); must be
+    # set before workers spawn
+    os.environ.setdefault(
+        "RAY_DATA_LOGGING_CONFIG",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools", "ray_data_logging.yaml"),
+    )
     if not ray.is_initialized():
         kwargs = dict(include_dashboard=False, ignore_reinit_error=True,
                       logging_level="ERROR")
