@@ -213,6 +213,7 @@ def hash_join(
     right_cols: list[str] | None = None,
     left_dtypes: dict[str, str] | None = None,
     right_dtypes: dict[str, str] | None = None,
+    left_prep=None,
 ) -> ray.data.Dataset:
     """Explicit partitioned hash join for two LARGE sides: both sides
     gain a ``__bucket`` = hash(key) % B column, are grouped by it, and
@@ -258,6 +259,11 @@ def hash_join(
             lg = lg.astype(left_dtypes)
         if right_dtypes:
             rg = rg.astype(right_dtypes)
+        if left_prep is not None:
+            # e.g. a bucket-local dedup: rows sharing the join key land
+            # in the same bucket, so per-bucket prep can be globally
+            # exact without its own shuffle
+            lg = left_prep(lg)
         return lg.merge(rg, left_on=left_key, right_on=right_key)
 
     return both.groupby("__bucket").map_groups(

@@ -6,14 +6,16 @@ Five operators, each streaming Ray Data pipelines:
 * SimHash near-dup   — the flagship clone pipeline in ``text`` word
                        mode (tokens as eigen words), reusing the LSH
                        candidate join + Hamming verify + union-find;
-* MinHash + LSH      — shingle → 128-perm minhash → banded buckets →
-                       groupby → candidate pairs → exact Jaccard
-                       verify → union-find clusters;
+* MinHash + LSH      — shingle → one-permutation 128-slot minhash →
+                       banded buckets → groupby → candidate pairs →
+                       exact Jaccard verify → union-find clusters;
+* winnowing substring — K-gram window-min fingerprints (suffix-array
+                       common-substring modality, sampled);
 * n-gram Jaccard     — the verify kernel, exposed standalone;
 * embedding cosine   — see ``clonebas_ray.ops.similarity``.
 
-All per-batch kernels are vectorized numpy; per-actor state (hash
-coefficients, token-id caches) is built once in ``__init__``.
+All per-batch kernels are vectorized numpy; per-actor state
+(token-id caches) is built once in ``__init__``.
 """
 
 from __future__ import annotations
@@ -27,8 +29,6 @@ import pyarrow as pa
 import ray.data
 
 from clonebas_ray.functions.murmur3 import hash128
-
-_MERSENNE_P = (1 << 61) - 1
 
 
 def add_content_hash(
@@ -101,15 +101,14 @@ def _shingle_hashes(tokens: list[int], k: int) -> np.ndarray:
 
 
 class MinHasher:
-    """Stateful minhash worker: hash coefficients + token-id cache live
-    per actor; emits one signature row per doc plus banded bucket keys.
+    """Stateful minhash worker (token-id cache lives per actor):
+    emits banded bucket keys per doc via one-permutation hashing.
+    ``seed`` is kept for API stability; OPH derives everything from
+    the shingle hashes themselves.
     """
 
     def __init__(self, num_perm: int = 128, shingle_k: int = 5,
                  n_bands: int = 32, seed: int = 7):
-        rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE_P, size=num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE_P, size=num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.k = shingle_k
         self.n_bands = n_bands
@@ -127,33 +126,50 @@ class MinHasher:
             out.append(h)
         return out
 
+    #: rotation-densification step offset (any odd constant; keeps a
+    #: value borrowed across k empty bins distinct from the same value
+    #: borrowed across a different distance)
+    _DENSE_C = np.uint64(0x9E3779B97F4A7C15)
+
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(self._token_ids(text), self.k)
-        # h_i(x) = (a_i * x + b_i) mod p, folded to uint64
-        x = sh.astype(np.uint64)[:, None]
-        vals = (x * self.a[None, :] + self.b[None, :]) % np.uint64(_MERSENNE_P)
-        return vals.min(axis=0)
+        return self._signatures_batch([text])[0]
 
     def _signatures_batch(self, texts: list[str]) -> np.ndarray:
-        """All docs' signatures in ONE (total_shingles, num_perm)
-        matrix + segment-min via ``np.minimum.reduceat`` — the per-doc
-        loop only tokenizes."""
-        shingle_arrs = [
-            _shingle_hashes(self._token_ids(t), self.k) for t in texts
-        ]
-        lens = np.fromiter((len(a) for a in shingle_arrs), dtype=np.int64,
-                           count=len(shingle_arrs))
-        flat = (
-            np.concatenate(shingle_arrs)
-            if lens.sum()
-            else np.zeros(1, dtype=np.uint64)
-        )
-        vals = (
-            flat[:, None] * self.a[None, :] + self.b[None, :]
-        ) % np.uint64(_MERSENNE_P)
-        starts = np.zeros(len(lens), dtype=np.int64)
-        np.cumsum(lens[:-1], out=starts[1:])
-        return np.minimum.reduceat(vals, starts, axis=0)
+        """One-permutation hashing (Li et al., NIPS 2012) with rotation
+        densification (Shrivastava & Li, ICML 2014): each shingle is
+        hashed ONCE; its top bits pick one of ``num_perm`` bins and
+        the per-bin minimum is the signature slot; empty bins borrow
+        cyclically from the next filled bin with a per-step offset.
+        O(shingles) per doc instead of O(shingles * num_perm) — the
+        classic k-permutation scheme spent ~100x more CPU in the
+        (shingles, 128) multiply-mod matrix for the same LSH quality
+        (pairs are still verified by EXACT Jaccard downstream)."""
+        P = self.num_perm
+        shift = np.uint64(64 - int(P).bit_length() + 1)  # top log2(P) bits
+        n = len(texts)
+        MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+        sigs = np.full((n, P), MAX, dtype=np.uint64)
+        for i, t in enumerate(texts):
+            sh = _shingle_hashes(self._token_ids(t), self.k)
+            bins = (sh >> shift).astype(np.int64)
+            np.minimum.at(sigs[i], bins, sh)
+        # densify empty bins (vectorized per doc; P is tiny)
+        for i in range(n):
+            row = sigs[i]
+            empty = row == MAX
+            if not empty.any():
+                continue
+            filled = np.flatnonzero(~empty)
+            if len(filled) == 0:
+                row[:] = 0
+                continue
+            ej = np.flatnonzero(empty)
+            # next filled bin to the right, cyclic
+            pos = np.searchsorted(filled, ej)
+            src = filled[pos % len(filled)]
+            steps = (src - ej) % P
+            row[ej] = row[src] + steps.astype(np.uint64) * self._DENSE_C
+        return sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
@@ -259,36 +275,21 @@ def minhash_lsh_pairs(
         partition_pairs, batch_format="pandas"
     )
 
-    # global pair dedup: the same pair can surface from bands living in
-    # different partitions; co-locate by doc_a so one pass drops dups
-    def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
-        return g[["doc_a", "doc_b"]].drop_duplicates()
-
-    def add_dedup_part(batch: pa.Table) -> pa.Table:
-        h = (
-            batch["doc_a"].to_numpy().astype(np.uint64)
-            * np.uint64(0x9E3779B97F4A7C15)
-        ) >> np.uint64(52)
-        return batch.append_column(
-            "dd_part", pa.array((h % np.uint64(P)).astype(np.int32), pa.int32())
-        )
-
-    cand = (
-        candidates.map_batches(add_dedup_part, batch_format="pyarrow")
-        .groupby("dd_part")
-        .map_groups(dedup_part, batch_format="pandas")
-    )
-
     # attach both texts via bucketed hash joins against the doc table —
-    # no driver-side doc materialization, no broadcast (SURVEY §4)
+    # no driver-side doc materialization, no broadcast (SURVEY §4).
+    # The same pair can surface from bands living in different
+    # partitions; the first join buckets by doc_a, which co-locates
+    # every copy of a pair, so a bucket-local drop_duplicates IS the
+    # exact global dedup — no dedicated dedup shuffle
     from clonebas_ray.ops.relational import hash_join
 
     doc_text = docs.select_columns(["doc_id", "text"])
     with_a = hash_join(
-        cand, doc_text, "doc_a", "doc_id",
+        candidates, doc_text, "doc_a", "doc_id",
         left_cols=["doc_a", "doc_b"], right_cols=["doc_id", "text"],
         left_dtypes={"doc_a": "int64", "doc_b": "int64"},
         right_dtypes={"doc_id": "int64"},
+        left_prep=lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
     ).map_batches(
         lambda t: t.drop_columns(["doc_id"]).rename_columns(
             ["doc_a", "doc_b", "text_a"]
