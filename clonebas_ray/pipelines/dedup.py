@@ -77,7 +77,10 @@ def run_dedup_pipeline(
         import ray
 
         # split the read so sha256+parse parallelize even off a single
-        # parquet file (a lone file otherwise yields one read task)
+        # parquet file (a lone file otherwise yields one read task).
+        # 2 blocks/core measured best at 32 cpus (finer splits pay
+        # more dispatch than they recover from stragglers: 64/128/256
+        # blocks -> 8.6/10.0/15.9 s on the 200k bench corpus)
         n_blocks = max(64, int(ray.cluster_resources().get("CPU", 4)) * 2)
         ds = read_files(input_path, override_num_blocks=n_blocks)
         ds = prepare_stage(ds)
