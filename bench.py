@@ -130,6 +130,7 @@ def run_bench() -> dict:
         for name in (
             "tpch_q1", "events_hourly", "word_census", "exact_dedup",
             "knn_cosine", "minhash_pairs", "simhash_text_clusters",
+            "substring_dups", "embed_near_dup", "code_metrics",
         ):
             t0 = time.perf_counter()
             q[name](SF_DIR)
