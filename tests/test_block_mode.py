@@ -140,3 +140,59 @@ def test_block_pipeline_excludes_ancestor_edges(ray_session, block_corpus,
         ia, ib = anc.get(a), anc.get(b)
         if ia and ib and ia[0] == ib[0]:
             assert ib[1] not in ia[2] and ia[1] not in ib[2]
+
+
+def test_block_two_tier_exact_vs_oracle(ray_session, block_corpus,
+                                        tmp_path_factory):
+    """Two-tier block mode: the replay shares to_be_cmp flags between
+    the high and normal passes (SimHasher.cpp:21-22), so BOTH tiers'
+    pair sets equal the sequential oracle's."""
+    from clonebas_ray.oracle import run_block_oracle
+    from clonebas_ray.pipelines.dedup import run_dedup_pipeline
+
+    d, tables = block_corpus
+    cfg = PipelineConfig(block_mode=True, t_high=1, t_normal=3, n_bands=4)
+    res = run_dedup_pipeline(
+        f"{d}/files.parquet", str(tmp_path_factory.mktemp("block2t")),
+        config=cfg, checkpoint=False,
+    )
+    import pyarrow.compute as pc
+
+    oracle = run_block_oracle(tables.files.to_pylist(), cfg)
+    for tier_name, tier_id in (("high", 1), ("normal", 2)):
+        sub = res.clusters.filter(pc.equal(res.clusters["tier"], tier_id))
+        assert _pair_set(sub) == oracle.pairs[tier_name], tier_name
+
+
+def test_block_boilerplate_skew_smoke(ray_session, tmp_path_factory):
+    """Hot-bucket discipline: thousands of identical files collapse to
+    ONE distinct signature (the membership fast path) — the pipeline
+    completes without quadratic pairing and clusters them together."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clonebas_ray.pipelines.dedup import run_dedup_pipeline
+
+    body = "x = x + 1; " * 30
+    boiler = "int f(int x) { %s return x; }" % body
+    other = "int g(int y) { %s return y + 2; }" % ("y = y * 3; " * 30)
+    n = 5000
+    t = pa.table(
+        {
+            "repo": ["r"] * (n + 1),
+            "path": [f"p{i}.c" for i in range(n)] + ["q.c"],
+            "commit": ["c"] * (n + 1),
+            "lang": ["c"] * (n + 1),
+            "content": [boiler] * n + [other],
+        }
+    )
+    d = tmp_path_factory.mktemp("skew")
+    pq.write_table(t, str(d / "files.parquet"), row_group_size=512)
+    res = run_dedup_pipeline(
+        str(d / "files.parquet"), str(d / "run"), checkpoint=False,
+    )
+    # identical content = ONE sha = one unit; nothing to cluster
+    # against, and the signature table holds a single row for it
+    assert res.metrics["n_edges"] == 0
+    sigs = res.fingerprints.to_pandas()
+    assert sigs["sha"].nunique() == 2
