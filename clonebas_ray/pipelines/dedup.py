@@ -66,7 +66,12 @@ def run_dedup_pipeline(
     resume: bool = True,
     concurrency: int | tuple[int, int] | None = None,
     checkpoint: bool = True,
+    score_report: bool = False,
 ) -> DedupResult:
+    """``score_report=True`` adds the reference's per-run corpus
+    quality score (A4, ``ScoreController``) to the run metrics: a
+    second content pass computes the 8-unit per-file scores with the
+    run's own clone counts feeding the CloneCodeUnit."""
     t_start = time.perf_counter()
     metrics: dict = {"config_hash": config.config_hash()}
     input_id = input_identity(input_path)
@@ -196,6 +201,19 @@ def run_dedup_pipeline(
     # global clone roll-up + cluster-size histogram (the reference's
     # m_allCSetInfo totals — CloneSet.cpp:261-328)
     metrics.update(_global_clone_stats(cluster_stats))
+
+    if score_report:
+        t0 = time.perf_counter()
+        from clonebas_ray.ops.code_metrics import (
+            clone_counts_from_clusters, code_metrics, quality_rollup,
+        )
+
+        counts = clone_counts_from_clusters(clusters)
+        files_again = prepare_stage(read_files(input_path))
+        metrics.update(
+            quality_rollup(code_metrics(files_again, clone_counts=counts))
+        )
+        metrics["score_s"] = round(time.perf_counter() - t0, 3)
 
     if checkpoint:
         import os

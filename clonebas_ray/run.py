@@ -26,6 +26,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--t-high", type=int, default=1)
     p.add_argument("--t-normal", type=int, default=-1)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--score", action="store_true",
+                   help="add the A4 corpus quality score to the report "
+                        "(second content pass)")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="local mode only; omit inside a cluster")
     args = p.parse_args(argv)
@@ -65,7 +68,7 @@ def main(argv: list[str] | None = None) -> int:
     try:
         res = run_dedup_pipeline(
             args.input, args.run_dir, config=config,
-            resume=not args.no_resume,
+            resume=not args.no_resume, score_report=args.score,
         )
     finally:
         ray.shutdown()

@@ -169,3 +169,17 @@ def test_global_clone_stats_in_report(pipeline_result):
     assert sum(k * v for k, v in hist.items()) == m["clone_total_members"]
     assert sum(hist.values()) == len(stats)
     assert m["n_clusters"] == len(stats)
+
+
+def test_score_report_in_metrics(ray_session, corpus_dir, tmp_path_factory):
+    """score_report=True adds the A4 corpus quality score to the run
+    metrics, with the run's own clone counts feeding CloneCodeUnit."""
+    from clonebas_ray.pipelines.dedup import run_dedup_pipeline
+
+    d, _ = corpus_dir
+    res = run_dedup_pipeline(
+        f"{d}/files.parquet", str(tmp_path_factory.mktemp("scored")),
+        checkpoint=False, score_report=True,
+    )
+    assert 0 <= res.metrics["quality_score"] <= 100
+    assert res.metrics["total_chars"] > 0
