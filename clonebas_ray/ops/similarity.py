@@ -150,14 +150,24 @@ def ivf_knn(
     vectors: ray.data.Dataset,
     queries: np.ndarray,
     k: int = 10,
-    n_lists: int = 16,
+    n_lists: int | None = None,
     n_probe: int = 4,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> pa.Table:
     """Approximate top-k: probe only the ``n_probe`` nearest inverted
-    lists per query.  Same output schema as ``knn_brute``."""
-    centroids = train_codebook(vectors, n_lists=n_lists, emb_col=emb_col)
+    lists per query.  Same output schema as ``knn_brute``.
+
+    ``n_lists=None`` scales the codebook ~sqrt(N) (clamped) so mean
+    list size stays ~sqrt(N) as the corpus grows — a fixed list count
+    would make every list O(N) and probing pointless at scale."""
+    if n_lists is None:
+        n = vectors.count()
+        n_lists = int(np.clip(np.sqrt(max(n, 1)), 16, 65536))
+    centroids = train_codebook(
+        vectors, n_lists=n_lists,
+        sample_rows=max(4096, 8 * n_lists), emb_col=emb_col,
+    )
     c_ref = ray.put(centroids)
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     probes = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]  # (Q, p)
