@@ -284,3 +284,55 @@ def test_winnow_fingerprint_determinism():
     # short doc (< k chars) -> no fingerprints; k..k+w-1 -> exactly one
     assert len(wf._fingerprints("abc")) == 0
     assert len(wf._fingerprints("abcdef")) == 1
+
+
+def test_winnowing_guarantee_property():
+    """Property (Schleimer et al. 2003 theorem): ANY two strings
+    sharing a substring of length >= k + w - 1 share at least one
+    winnowed fingerprint — across random contents, positions and
+    alphabets."""
+    from hypothesis import given, settings, strategies as st
+
+    from clonebas_ray.ops.text_dedup import WinnowFingerprints
+
+    wf = WinnowFingerprints(k=8, w=4)
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        data=st.data(),
+        shared_len=st.integers(min_value=11, max_value=40),  # >= k+w-1
+    )
+    def prop(data, shared_len):
+        alpha = "ab"  # adversarial: tiny alphabet maximizes collisions
+        s = data.draw(st.text(alphabet=alpha, min_size=shared_len,
+                              max_size=shared_len))
+        pre_a = data.draw(st.text(alphabet=alpha, max_size=30))
+        suf_a = data.draw(st.text(alphabet=alpha, max_size=30))
+        pre_b = data.draw(st.text(alphabet=alpha, max_size=30))
+        suf_b = data.draw(st.text(alphabet=alpha, max_size=30))
+        fa = set(wf._fingerprints(pre_a + s + suf_a))
+        fb = set(wf._fingerprints(pre_b + s + suf_b))
+        assert fa & fb
+
+    prop()
+
+
+def test_oph_minhash_properties():
+    """One-permutation signatures: identical texts collide on every
+    band; disjoint-vocabulary texts collide on none (128 slots of
+    64-bit minima — chance collision is negligible)."""
+    import pyarrow as pa
+
+    from clonebas_ray.ops.text_dedup import MinHasher
+
+    mh = MinHasher()
+    a = "alpha beta gamma delta epsilon zeta eta theta " * 5
+    b = "one two three four five six seven eight nine ten " * 5
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": [a, a, b]})
+    out = mh(t).to_pandas()
+    bands = {
+        d: set(g["band_key"]) for d, g in out.groupby("doc_id")
+    }
+    assert bands[0] == bands[1]          # identical docs: all 32 bands
+    assert not (bands[0] & bands[2])     # disjoint vocab: no band
