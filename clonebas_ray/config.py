@@ -132,10 +132,11 @@ class PipelineConfig:
     #: the exact-duplicate-signature fast path + capped pairing.
     max_bucket: int = 2048
     #: number of hash partitions for the pairing / membership shuffles.
-    #: A physical knob (not part of config_hash): size to ~4x the
-    #: cluster's total cores so per-partition work stays small and
-    #: stragglers are cheap.
-    pair_partitions: int = 64
+    #: A physical knob (not part of config_hash): 0 = auto-size to ~4x
+    #: the cluster's total cores at stage-build time (clamped to
+    #: [64, 4096]) so per-partition work stays small and stragglers
+    #: are cheap on ANY cluster size; a fixed value pins it.
+    pair_partitions: int = 0
     #: normalization dialect applied before word extraction.
     ast_opt: bool = True
     #: per-block fingerprints (the reference's default path) instead of
@@ -178,6 +179,20 @@ class PipelineConfig:
 
     def weight_table(self) -> dict[str, int]:
         return dict(self.weights)
+
+    def resolve_pair_partitions(self) -> int:
+        """Physical partition count for the pairing shuffles: the
+        configured value, or ~4 partitions per cluster core when 0
+        (auto)."""
+        if self.pair_partitions:
+            return self.pair_partitions
+        import ray
+
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 16))
+        except Exception:  # noqa: BLE001 — no session yet: assume small
+            cpus = 16
+        return int(min(4096, max(64, cpus * 4)))
 
     def config_hash(self) -> str:
         import hashlib

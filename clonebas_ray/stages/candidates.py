@@ -90,7 +90,7 @@ def sig_groups(fingerprints: ray.data.Dataset,
     that scale split the membership path back into its own groupby
     (documented seam).
     """
-    P = config.pair_partitions
+    P = config.resolve_pair_partitions()
 
     def per_batch_distinct(batch: pa.Table) -> pa.Table:
         # vectorized partial: distinct (sig, sha) + partition key; no
@@ -167,7 +167,7 @@ def expand_bands(
     collisions across bands only add candidates that exact Hamming
     verification discards) and hash-partitioned on ``band_part``."""
     n_bands = config.n_bands
-    P = config.pair_partitions
+    P = config.resolve_pair_partitions()
     salts = (_splitmix64(
         np.arange(1, n_bands + 1, dtype=np.uint64) * np.uint64(0xA5A5A5A5A5A5A5A5)
     ))
