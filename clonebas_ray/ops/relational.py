@@ -203,12 +203,23 @@ def brand_revenue(sf_dir: str) -> pa.Table:
     )
 
 
+def auto_partitions(mult: int = 4, lo: int = 64, hi: int = 4096) -> int:
+    """~``mult`` shuffle partitions per cluster core (clamped): keeps
+    per-partition work small and stragglers cheap on any cluster size
+    without a per-pipeline knob."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 16))
+    except Exception:  # noqa: BLE001 — no session yet: assume small
+        cpus = 16
+    return int(min(hi, max(lo, cpus * mult)))
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
     left_key: str,
     right_key: str,
-    num_buckets: int = 32,
+    num_buckets: int = 0,
     left_cols: list[str] | None = None,
     right_cols: list[str] | None = None,
     left_dtypes: dict[str, str] | None = None,
@@ -217,9 +228,12 @@ def hash_join(
 ) -> ray.data.Dataset:
     """Explicit partitioned hash join for two LARGE sides: both sides
     gain a ``__bucket`` = hash(key) % B column, are grouped by it, and
-    matching buckets merge pairwise inside ``map_groups``.  Skewed hot
-    keys should be salted into sub-buckets by the caller (documented
-    seam; dimension tables here never need it)."""
+    matching buckets merge pairwise inside ``map_groups``.
+    ``num_buckets=0`` auto-sizes to the cluster.  Skewed hot keys
+    should be salted into sub-buckets by the caller (documented seam;
+    dimension tables here never need it)."""
+    if not num_buckets:
+        num_buckets = auto_partitions(mult=2, lo=32)
 
     def bucketed(ds: ray.data.Dataset, key: str, side: str) -> ray.data.Dataset:
         def add(batch: pa.Table) -> pa.Table:

@@ -229,7 +229,9 @@ def minhash_lsh_pairs(
     path holds at 100 TB (candidate volume, not corpus volume, is what
     moves).
     """
-    P = 64  # pairing partitions (amortizes tiny-bucket scheduling)
+    from clonebas_ray.ops.relational import auto_partitions
+
+    P = auto_partitions()  # pairing partitions (~4/core; amortizes tiny buckets)
 
     keyed = docs.select_columns(["doc_id", "text"]).map_batches(
         MinHasher,
@@ -449,7 +451,9 @@ def substring_dup_pairs(
     than that many docs — the skew guard that keeps a corpus-wide
     common header from exploding quadratically (mirrored by the SQL
     oracle's HAVING clause)."""
-    P = 64
+    from clonebas_ray.ops.relational import auto_partitions
+
+    P = auto_partitions()
 
     fps = docs.select_columns(["doc_id", "text"]).map_batches(
         WinnowFingerprints,
