@@ -228,6 +228,13 @@ def minhash_lsh_pairs(
     doc table is never materialized on the driver or broadcast, so the
     path holds at 100 TB (candidate volume, not corpus volume, is what
     moves).
+
+    Scale note: PAIR enumeration is inherently quadratic within a
+    duplicate family (a 10^4-copy boilerplate doc defines ~10^8 valid
+    pairs — the SQL definition emits them too).  For corpus-scale
+    dedup consume ``minhash_dedup_clusters`` / ``dedup_filter``
+    instead, which stay linear in members; run ``exact_dedup_docs``
+    first when exact duplicates dominate.
     """
     from clonebas_ray.ops.relational import auto_partitions
 
