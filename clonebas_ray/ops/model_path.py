@@ -83,12 +83,58 @@ def _postorder_per_block(blocks: list[dict]) -> dict[int, list[str]]:
     return {b["block_id"]: post(b["block_id"]) for b in blocks}
 
 
+#: literal node-kind names dropped by ``-noliteral``
+#: (``NodeTravesal.cpp:23-31``)
+_LITERAL_KINDS = frozenset(
+    ["IntegerLiteral", "CharacterLiteral", "StringLiteral",
+     "FloatingLiteral"]
+)
+
+
+def _seq_word_filter(
+    words: list[str],
+    op_node_diff: bool = True,
+    no_literal: bool = False,
+    no_decl: bool = False,
+    no_decl_stmt: bool = False,
+    no_array_expr: bool = False,
+) -> list[str]:
+    """The reference's sequence-dump name options
+    (``NodeTravesal.cpp:3-58``, CLI flags ``-opnodediff -noliteral
+    -nodecl -nodeclstmt -noarrayexpr``) applied to a word list:
+
+    * ``op_node_diff=False`` strips the BO_/UO_ opcode suffix so
+      operator nodes dump as their bare class name (the reference's
+      default; ``g_opNodeDiff`` turns suffixes ON);
+    * the ``no_*`` switches drop literal / declaration / DeclStmt /
+      array-subscript nodes entirely.
+    """
+    out: list[str] = []
+    for w in words:
+        kind = w.split(" ", 1)[0]
+        if no_literal and kind in _LITERAL_KINDS:
+            continue
+        if no_decl_stmt and kind == "DeclStmt":
+            continue
+        if no_decl and kind.endswith("Decl"):
+            continue
+        if no_array_expr and kind == "ArraySubscriptExpr":
+            continue
+        out.append(w if op_node_diff else kind)
+    return out
+
+
 class SequenceActor:
     """files → one row per span-gated block with pre/post-order
-    sequence strings (M9)."""
+    sequence strings (M9).  ``seq_opts`` maps the reference's
+    sequence-dump CLI flags (see ``_seq_word_filter``); the default
+    (opcode suffixes on, nothing dropped) matches the eigen-word
+    stream so sequences and fingerprints stay mutually consistent."""
 
-    def __init__(self, config: PipelineConfig = DEFAULT_CONFIG):
+    def __init__(self, config: PipelineConfig = DEFAULT_CONFIG,
+                 seq_opts: dict | None = None):
         self.config = config
+        self.seq_opts = seq_opts or {}
         self.registry = ExtractorRegistry(ast_opt=config.ast_opt)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -98,6 +144,7 @@ class SequenceActor:
         cols = {"unit": [], "sha": [], "preseq": [], "postseq": [],
                 "token_num": []}
         boundary = self.config.char_boundary
+        opts = self.seq_opts
         for i, content in enumerate(contents):
             blocks = self.registry.get(langs[i]).extract_blocks(content)
             post_map = _postorder_per_block(blocks)
@@ -106,10 +153,14 @@ class SequenceActor:
                 if span <= boundary:
                     continue
                 words = b["words"]
+                post = post_map[b["block_id"]]
+                if opts:
+                    words = _seq_word_filter(words, **opts)
+                    post = _seq_word_filter(post, **opts)
                 cols["unit"].append(f"{shas[i]}:{b['block_id']}")
                 cols["sha"].append(shas[i])
                 cols["preseq"].append(" ".join(words))
-                cols["postseq"].append(" ".join(post_map[b["block_id"]]))
+                cols["postseq"].append(" ".join(post))
                 cols["token_num"].append(span)
         return pa.table(
             {

@@ -289,3 +289,42 @@ def test_clone_code_unit_lowers_score(ray_session):
     # reduce = 1*50 + 1*100 = 150 over 21 chars -> clone unit 93;
     # file score (7*100 + 93)*10 // 80 = 99
     assert scored["file_score"] == 99
+
+
+def test_sequence_dump_options(ray_session):
+    """NodeTravesal.cpp:3-58 name options: -opnodediff strips/keeps
+    opcode suffixes, -noliteral/-nodecl/-nodeclstmt drop node kinds."""
+    import ray.data
+
+    from clonebas_ray.config import PipelineConfig
+    from clonebas_ray.ops.model_path import SequenceActor
+    from clonebas_ray.stages.ingest import prepare_stage
+
+    src = "int f() { int a = 1; int b = 2; " + "a = a + b; " * 30 + "return a; }"
+    t = pa.table(
+        {
+            "repo": ["r"], "path": ["p"], "commit": ["c"],
+            "lang": ["c"], "content": [src],
+        }
+    )
+    files = prepare_stage(ray.data.from_arrow(t)).materialize()
+
+    def seqs(opts):
+        return files.map_batches(
+            SequenceActor,
+            fn_constructor_kwargs={
+                "config": PipelineConfig(char_boundary=100),
+                "seq_opts": opts,
+            },
+            batch_format="pyarrow", concurrency=1,
+        ).take(1)[0]["preseq"].split()
+
+    full = seqs(None)
+    assert any(w == "BO_+" for w in " ".join(full).split())  # suffixes on
+    bare = seqs({"op_node_diff": False})
+    assert not any("BO_" in w for w in bare)
+    assert "BinaryOperator" in bare
+    nolit = seqs({"no_literal": True})
+    assert "IntegerLiteral" not in nolit
+    nodecl = seqs({"no_decl": True, "no_decl_stmt": True})
+    assert "VarDecl" not in nodecl and "DeclStmt" not in nodecl
