@@ -336,3 +336,42 @@ def test_oph_minhash_properties():
     }
     assert bands[0] == bands[1]          # identical docs: all 32 bands
     assert not (bands[0] & bands[2])     # disjoint vocab: no band
+
+
+def test_hash_join_chained_int_keys(ray_session):
+    """Regression: Ray's union null-pads the other side's columns,
+    coercing int64 keys to float64 — a CHAINED hash_join must restore
+    dtypes (left_dtypes/right_dtypes) or the second join's bucket
+    hashing diverges and silently drops matches."""
+    import pandas as pd
+    import ray.data
+
+    from clonebas_ray.ops.relational import hash_join
+
+    n = 200
+    pairs = ray.data.from_pandas(pd.DataFrame({
+        "a": np.arange(n, dtype=np.int64),
+        "b": np.arange(n, 2 * n, dtype=np.int64),
+    }))
+    dim = ray.data.from_pandas(pd.DataFrame({
+        "k": np.arange(2 * n, dtype=np.int64),
+        "v": [f"v{i}" for i in range(2 * n)],
+    }))
+    j1 = hash_join(
+        pairs, dim, "a", "k",
+        left_cols=["a", "b"], right_cols=["k", "v"],
+        left_dtypes={"a": "int64", "b": "int64"},
+        right_dtypes={"k": "int64"},
+    ).map_batches(
+        lambda t: t.drop_columns(["k"]).rename_columns(["a", "b", "va"]),
+        batch_format="pyarrow",
+    )
+    j2 = hash_join(
+        j1, dim, "b", "k",
+        left_cols=["a", "b", "va"], right_cols=["k", "v"],
+        left_dtypes={"a": "int64", "b": "int64"},
+        right_dtypes={"k": "int64"},
+    )
+    out = j2.to_pandas()
+    assert len(out) == n  # every row must survive both joins
+    assert sorted(out["a"]) == list(range(n))
