@@ -867,19 +867,31 @@ WITH t AS (
     len(list_filter(toks, w -> w IN
       ('el','la','de','que','y','en','un','es','por','los'))) AS h_es,
     len(list_filter(toks, w -> w IN
-      ('le','la','de','et','un','est','que','pour','dans'))) AS h_fr
+      ('le','la','de','et','un','est','que','pour','dans'))) AS h_fr,
+    len(list_filter(toks, w -> w IN
+      ('il','di','che','e','la','per','un','non','sono','con'))) AS h_it,
+    len(list_filter(toks, w -> w IN
+      ('o','de','que','e','do','da','em','um','para','com'))) AS h_pt,
+    len(list_filter(toks, w -> w IN
+      ('de','het','een','van','en','in','is','dat','op','niet'))) AS h_nl
   FROM t
+), m AS (
+  SELECT *, greatest(h_en, h_de, h_es, h_fr, h_it, h_pt, h_nl) AS best
+  FROM h
 )
 SELECT doc_id,
-  CASE WHEN nt = 0 OR greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
-       WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
-       WHEN h_de = greatest(h_en, h_de, h_es, h_fr) THEN 'de'
-       WHEN h_es = greatest(h_en, h_de, h_es, h_fr) THEN 'es'
-       ELSE 'fr' END AS lang_pred,
+  CASE WHEN nt = 0 OR best = 0 THEN 'und'
+       WHEN h_en = best THEN 'en'
+       WHEN h_de = best THEN 'de'
+       WHEN h_es = best THEN 'es'
+       WHEN h_fr = best THEN 'fr'
+       WHEN h_it = best THEN 'it'
+       WHEN h_pt = best THEN 'pt'
+       ELSE 'nl' END AS lang_pred,
   CASE WHEN nt = 0 THEN 0.0
-       ELSE greatest(h_en, h_de, h_es, h_fr) / CAST(nt AS DOUBLE)
+       ELSE best / CAST(nt AS DOUBLE)
   END AS lang_score
-FROM h
+FROM m
 """,
         "quality_score": """
 WITH t AS (

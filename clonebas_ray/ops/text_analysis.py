@@ -17,13 +17,18 @@ import pyarrow.compute as pc
 
 import ray.data
 
-#: tiny per-language stopword lists for the n-gram/stopword heuristic
-#: language identifier (public common-word lists)
+#: per-language stopword lists for the stopword-ratio heuristic
+#: language identifier (public common-word lists).  Dict order is the
+#: tie-break order (first language reaching the max hit count wins) —
+#: the DuckDB oracle mirrors both the lists and the order.
 STOPWORDS = {
     "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
     "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"},
     "es": {"el", "la", "de", "que", "y", "en", "un", "es", "por", "los"},
     "fr": {"le", "la", "de", "et", "un", "est", "que", "pour", "dans"},
+    "it": {"il", "di", "che", "e", "la", "per", "un", "non", "sono", "con"},
+    "pt": {"o", "de", "que", "e", "do", "da", "em", "um", "para", "com"},
+    "nl": {"de", "het", "een", "van", "en", "in", "is", "dat", "op", "niet"},
 }
 
 

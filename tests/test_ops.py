@@ -375,3 +375,29 @@ def test_hash_join_chained_int_keys(ray_session):
     out = j2.to_pandas()
     assert len(out) == n  # every row must survive both joins
     assert sorted(out["a"]) == list(range(n))
+
+
+def test_language_id_seven_languages(ray_session):
+    import ray.data
+
+    from clonebas_ray.ops.text_analysis import LanguageId
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(5)), pa.int64()),
+            "text": [
+                "il che di la per un non sono con problema",
+                "o que de em um para com do da coisa",
+                "de het een van dat op niet huis en boom",
+                "le chat est dans la maison pour le moment",
+                "0x12 0x34 0x56",  # no alpha words -> und
+            ],
+        }
+    )
+    out = (
+        ray.data.from_arrow(t)
+        .map_batches(LanguageId, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(out.lang_pred) == ["it", "pt", "nl", "fr", "und"]
