@@ -328,6 +328,15 @@ def embedding_near_dup_pairs(
     mat = vectors.select_columns([id_col, emb_col]).materialize()
     n = mat.count()
     n_blocks = max(1, -(-n // block_rows))
+    n_pairs = n_blocks * (n_blocks + 1) // 2
+    if n_pairs > 250_000:
+        raise ValueError(
+            f"exact cosine-threshold join would launch {n_pairs} block-"
+            f"pair tasks for {n} vectors — the all-pairs cost is "
+            "inherent to exactness at this size; use "
+            "embedding_near_dup_pairs_lsh (near-linear, recall<1) or "
+            "raise block_rows"
+        )
     refs = mat.repartition(n_blocks).materialize().to_arrow_refs()
     tasks = []
     for i in range(len(refs)):
