@@ -360,6 +360,28 @@ class WordExtractor:
         # condition (replayed by default's !(c1 & c2 & ...) chain),
         # and stacked-label bookkeeping for the | chains
         switch_stack: list[dict] = []
+        # if-cond capture per brace depth: the else unit's expression
+        # is !(cond) — the WHOLE cond subtree replays under the UO_!
+        # (FixedChecker.cpp:104-106)
+        last_if_cond: dict[int, list] = {}
+
+        def scan_header(start: int) -> tuple[list, int] | None:
+            """tokens of a parenthesized header starting at ``start``
+            (the '(') → (inner tokens, index of the matching ')')."""
+            j = start + 1
+            pdepth = 1
+            seg: list = []
+            while j < n and pdepth:
+                t2 = toks[j][1]
+                if t2 == "(":
+                    pdepth += 1
+                elif t2 == ")":
+                    pdepth -= 1
+                    if not pdepth:
+                        return seg, j
+                seg.append(toks[j])
+                j += 1
+            return None
 
         while i < n:
             kind, text = toks[i]
@@ -375,15 +397,42 @@ class WordExtractor:
                     pending_kind = 10  # FP_FixedLoopStmt
                 if text == "if":
                     out.append(WORD_SELECT if self.ast_opt else "IfStmt")
+                    header = (
+                        scan_header(i + 1)
+                        if self.ast_opt and i + 1 < n
+                        and toks[i + 1][1] == "("
+                        else None
+                    )
+                    if header is not None:
+                        cond, close = header
+                        last_if_cond[brace_depth] = cond
+                        self._expr_words(cond, out)
+                        i = close
+                        expr_buf_start = i + 1
+                        stmt_start = i + 1
+                        stmt_is_decl = False
+                        if i + 1 < n and toks[i + 1][1] != "{":
+                            # unbraced then-body: synthesized compound
+                            # (CheckStmtLoopPreInitForward)
+                            out.append(self.comp_word)
+                        i += 1
+                        continue
                 elif text == "else":
-                    # synthesized !cond for the else branch
-                    # (FixedChecker.cpp:89-112); the selection unit word
-                    # is emitted only for `else` alone — `else if` emits
-                    # its own via the following `if`.
-                    nxt = toks[i + 1][1] if i + 1 < n else ""
-                    if nxt != "if":
-                        out.append(WORD_SELECT if self.ast_opt else "IfStmt")
+                    # the else unit is part of the SAME selection node
+                    # (no second selection word); its expression is the
+                    # synthesized !(cond) with the if-cond subtree
+                    # replayed under the UO_! (FixedChecker.cpp:89-112)
                     out.append("UnaryOperator UO_!")
+                    if self.ast_opt:
+                        cond = last_if_cond.get(brace_depth)
+                        if cond:
+                            self._expr_words(cond, out)
+                        nxt = toks[i + 1][1] if i + 1 < n else ""
+                        if nxt != "{":
+                            # unbraced else-body (incl. `else if` —
+                            # the nested selection wraps in a
+                            # synthesized compound)
+                            out.append(self.comp_word)
                 elif text == "switch":
                     out.append(WORD_SELECT if self.ast_opt else "SwitchStmt")
                     if self.ast_opt and i + 1 < n and toks[i + 1][1] == "(":

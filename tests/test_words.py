@@ -168,3 +168,29 @@ int g(int x, int y) {
 """
     wn = extract_words(nested)
     assert wn.count("UnaryOperator UO_!") == 2  # one default per switch
+
+
+def test_if_else_unit_fidelity():
+    """SimplifyIfStatement (FixedChecker.cpp:89-112): if/else is ONE
+    selection node (one selection word); the else unit's expression is
+    !(cond) with the cond subtree replayed; unbraced branch bodies
+    (incl. `else if`) wrap in a synthesized compound."""
+    from clonebas_ray.functions.words import extract_words
+
+    w = extract_words("void f() { if (a < b) { x(); } else { y(); } }")
+    assert w.count("FixedSelectionStmtClass") == 1
+    assert w.count("UnaryOperator UO_!") == 1
+    # cond words appear twice: once for the then unit, once under !
+    assert w.count("BinaryOperator BO_<") == 2
+
+    # unbraced and braced branch bodies emit the same words
+    braced = extract_words("void f() { if (c) { x(); } }")
+    unbraced = extract_words("void f() { if (c) x(); }")
+    assert braced == unbraced
+
+    # else-if: the nested selection wraps in a synthesized compound
+    chain = extract_words(
+        "void f() { if (a) { x(); } else if (b) { y(); } }"
+    )
+    assert chain.count("FixedSelectionStmtClass") == 2
+    assert chain.count("UnaryOperator UO_!") == 1
