@@ -364,6 +364,10 @@ class WordExtractor:
         # is !(cond) — the WHOLE cond subtree replays under the UO_!
         # (FixedChecker.cpp:104-106)
         last_if_cond: dict[int, list] = {}
+        # open do-statements (brace depth at `do`): the trailing
+        # `while (cond);` belongs to the SAME FixedLoopStatement
+        # (SimplifyWhileStatement do-branch) — no second loop word
+        do_stack: list[int] = []
 
         def scan_header(start: int) -> tuple[list, int] | None:
             """tokens of a parenthesized header starting at ``start``
@@ -499,6 +503,17 @@ class WordExtractor:
                         out.append("DefaultStmt" if not self.ast_opt else
                                    "UnaryOperator UO_!")
                 elif text in ("for", "while"):
+                    # `while` closing a do-statement: the cond belongs
+                    # to the already-emitted loop node (the reference's
+                    # DoStmt is ONE FixedLoopStatement —
+                    # SimplifyWhileStatement do-branch)
+                    is_do_tail = (
+                        self.ast_opt and text == "while" and do_stack
+                        and do_stack[-1] == brace_depth
+                        and i > 0 and toks[i - 1][1] in ("}", ";")
+                    )
+                    if is_do_tail:
+                        do_stack.pop()
                     loop_word = (WORD_LOOP if self.ast_opt else
                                  ("ForStmt" if text == "for" else
                                   "WhileStmt"))
@@ -529,7 +544,8 @@ class WordExtractor:
                         if j < n:
                             header = (segs, j)
                     if header is None:
-                        out.append(loop_word)
+                        if not is_do_tail:
+                            out.append(loop_word)
                     else:
                         segs, close = header
                         if text == "for" and len(segs) == 3:
@@ -542,13 +558,16 @@ class WordExtractor:
                                 t for seg in segs for t in seg
                             ]
                         emit_init(init_seg)
-                        out.append(loop_word)
+                        if not is_do_tail:
+                            out.append(loop_word)
                         self._expr_words(cond_seg, out)
                         i = close  # consumed through ')'
                         expr_buf_start = i + 1
                         stmt_start = i + 1
                         stmt_is_decl = False
-                        if i + 1 < n and toks[i + 1][1] == "{":
+                        if is_do_tail:
+                            pass  # no body follows a do-while tail
+                        elif i + 1 < n and toks[i + 1][1] == "{":
                             pending_for_inc = inc_seg
                         else:
                             # unbraced body: synthesized compound
@@ -560,6 +579,11 @@ class WordExtractor:
                         continue
                 elif text == "do":
                     out.append(WORD_LOOP if self.ast_opt else "DoStmt")
+                    if self.ast_opt:
+                        do_stack.append(brace_depth)
+                        if i + 1 < n and toks[i + 1][1] != "{":
+                            # unbraced do-body: synthesized compound
+                            out.append(self.comp_word)
                 elif text == "return":
                     out.append("ReturnStmt")
                 elif text == "break":

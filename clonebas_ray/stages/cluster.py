@@ -275,7 +275,11 @@ def _refine_component(
             in_set[j] = True
             joined = True
             feasible &= ok_sigma[j]  # members constrain sigma only
-        if joined:
+        # a node holding >= 2 twin shas is a set even with no OTHER
+        # node to join: at instance level the anchor twin pulls in its
+        # Hamming-0 siblings (they satisfy every set constraint the
+        # anchor does), so dropping it would lose those oracle pairs
+        if joined or len(nodes[keys[i]]) > 1:
             in_set[i] = True
             flat = [s for n_ in members for s in nodes[keys[n_]]]
             out.append((min(flat), flat))

@@ -194,3 +194,20 @@ def test_if_else_unit_fidelity():
     )
     assert chain.count("FixedSelectionStmtClass") == 2
     assert chain.count("UnaryOperator UO_!") == 1
+
+
+def test_do_while_single_loop_node():
+    """SimplifyWhileStatement do-branch: `do ... while (c);` is ONE
+    FixedLoopStatement — the trailing while emits no second loop word,
+    and unbraced do-bodies wrap in a synthesized compound."""
+    from clonebas_ray.functions.words import extract_words
+
+    w = extract_words("void f() { do { g(); } while (x < 3); }")
+    assert w.count("FixedLoopStmtClass") == 1
+    u = extract_words("void f() { do g(); while (x < 3); }")
+    assert u.count("FixedLoopStmtClass") == 1
+    # a plain while after a closed do is still its own loop
+    two = extract_words(
+        "void f() { do { g(); } while (a); while (b) { h(); } }"
+    )
+    assert two.count("FixedLoopStmtClass") == 2
