@@ -183,16 +183,12 @@ class PipelineConfig:
     def resolve_pair_partitions(self) -> int:
         """Physical partition count for the pairing shuffles: the
         configured value, or ~4 partitions per cluster core when 0
-        (auto)."""
+        (auto — one sizing policy shared with the text-dedup ops)."""
         if self.pair_partitions:
             return self.pair_partitions
-        import ray
+        from clonebas_ray.ops.relational import auto_partitions
 
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 16))
-        except Exception:  # noqa: BLE001 — no session yet: assume small
-            cpus = 16
-        return int(min(4096, max(64, cpus * 4)))
+        return auto_partitions()
 
     def config_hash(self) -> str:
         import hashlib

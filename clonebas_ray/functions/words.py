@@ -262,6 +262,9 @@ class WordExtractor:
             return [{
                 "block_id": 0, "parent_id": -1, "fp_type": 8,
                 "begin": 0, "end": len(src), "words": words,
+                # word-span offsets so block-tree consumers (M9
+                # post-order) work on the single-block fast path too
+                "w0": 0, "w1": len(words),
             }]
         out: list[str] = []
         blocks: list[dict] = []
@@ -419,6 +422,7 @@ class WordExtractor:
                             # unbraced then-body: synthesized compound
                             # (CheckStmtLoopPreInitForward)
                             out.append(self.comp_word)
+                            pending_kind = 8  # no real brace follows
                         i += 1
                         continue
                 elif text == "else":
@@ -437,6 +441,7 @@ class WordExtractor:
                             # the nested selection wraps in a
                             # synthesized compound)
                             out.append(self.comp_word)
+                            pending_kind = 8
                 elif text == "switch":
                     out.append(WORD_SELECT if self.ast_opt else "SwitchStmt")
                     if self.ast_opt and i + 1 < n and toks[i + 1][1] == "(":
@@ -566,7 +571,7 @@ class WordExtractor:
                         stmt_start = i + 1
                         stmt_is_decl = False
                         if is_do_tail:
-                            pass  # no body follows a do-while tail
+                            pending_kind = 8  # no body follows
                         elif i + 1 < n and toks[i + 1][1] == "{":
                             pending_for_inc = inc_seg
                         else:
@@ -575,6 +580,7 @@ class WordExtractor:
                             # when the single statement closes
                             out.append(self.comp_word)
                             unbraced_incs.append((brace_depth, inc_seg))
+                            pending_kind = 8  # no real brace follows
                         i += 1
                         continue
                 elif text == "do":
@@ -584,6 +590,7 @@ class WordExtractor:
                         if i + 1 < n and toks[i + 1][1] != "{":
                             # unbraced do-body: synthesized compound
                             out.append(self.comp_word)
+                            pending_kind = 8
                 elif text == "return":
                     out.append("ReturnStmt")
                 elif text == "break":

@@ -42,10 +42,6 @@ _BRANCH_KEYWORDS = frozenset(
     ["if", "for", "while", "do", "case", "default"]
 )
 
-#: tokens that keep a postfix member-access chain alive between the
-#: ``.``/``->`` links (identifiers, call/index parens)
-_CHAIN_TOKENS = frozenset(["(", ")", "[", "]"])
-
 #: score_config.json m_configValues (shipped reference config — data,
 #: not code)
 SCORE_CONFIG = {
@@ -70,9 +66,13 @@ def _file_metrics(content: str) -> dict:
     max_depth = 0
     max_params = 0
     open_braces = 0
-    # chain: current ./-> run length; hist buckets 2..8+ (index 0 → 2)
+    # chain: current ./-> run length at the CURRENT paren/bracket
+    # nesting level — member accesses inside call/subscript arguments
+    # are their own chains (MemberExpr nesting, not token adjacency);
+    # hist buckets 2..8+ (index 0 → 2)
     chain = 0
     max_chain = 0
+    chain_stack: list[int] = []  # outer chains suspended by '(' / '['
     chain_hist = [0] * 7
     block_hist = [0] * 8  # depth 2..9+ (index 0 → 2)
 
@@ -125,9 +125,20 @@ def _file_metrics(content: str) -> dict:
                     j += 1
                 if j < n and toks[j][1] == "{" and has_tok:
                     max_params = max(max_params, commas + 1)
-            if text not in _CHAIN_TOKENS and text not in (".", "->"):
+            if text in ("(", "["):
+                # entering arguments: suspend the outer chain; member
+                # accesses inside are independent chains
+                chain_stack.append(chain)
+                chain = 0
+            elif text in (")", "]"):
+                close_chain()  # the innermost argument chain ends here
+                chain = chain_stack.pop() if chain_stack else 0
+            elif text not in (".", "->"):
                 close_chain()
         i += 1
+    while chain_stack:  # unbalanced parens: drain suspended chains
+        close_chain()
+        chain = chain_stack.pop()
     close_chain()
     return {
         "complexity": complexity,

@@ -66,10 +66,12 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
 
 
 def _blob_checksum(buf: bytes) -> int:
-    """64-bit payload checksum: low half of md5 little-endian, folded
-    into int63 — matches DuckDB ``md5_number_lower(x) % 2^63`` so
-    media kernels stay SQL-oracle-checkable."""
-    return int.from_bytes(hashlib.md5(buf).digest()[8:], "little") % (1 << 63)
+    """64-bit payload checksum: md5 low-64 folded into int63 — matches
+    DuckDB ``md5_number_lower(x) % 2^63`` so media kernels stay
+    SQL-oracle-checkable."""
+    from clonebas_ray.functions.murmur3 import md5_low64
+
+    return md5_low64(buf) % (1 << 63)
 
 
 def docs_as_media(docs: ray.data.Dataset) -> ray.data.Dataset:

@@ -161,6 +161,9 @@ def ivf_knn(
     ``n_lists=None`` scales the codebook ~sqrt(N) (clamped) so mean
     list size stays ~sqrt(N) as the corpus grows — a fixed list count
     would make every list O(N) and probing pointless at scale."""
+    # pin blocks: the dataset is consumed by count + codebook sample +
+    # the scan; a lazy graph would re-execute per consumer
+    vectors = vectors.materialize()
     if n_lists is None:
         n = vectors.count()
         n_lists = int(np.clip(np.sqrt(max(n, 1)), 16, 65536))
@@ -408,6 +411,7 @@ def embedding_near_dup_pairs_lsh(
     signs before the within-bucket all-pairs cosine.  Pairs split
     across bucket boundaries are missed (recall < 1 by design —
     that is the cost knob vs `embedding_near_dup_pairs`)."""
+    vectors = vectors.materialize()  # consumed by count + codebook + scan
     n = vectors.count()
     if n_lists is None:
         n_lists = int(np.clip(np.sqrt(max(n, 1)), 16, 65536))

@@ -165,12 +165,9 @@ class DocFingerprint:
     def _tok_hash(self, w: str) -> int:
         h = self._cache.get(w)
         if h is None:
-            import hashlib
+            from clonebas_ray.functions.murmur3 import md5_low64
 
-            h = int.from_bytes(
-                hashlib.md5(w.encode("utf-8", "surrogatepass")).digest()[8:],
-                "little",
-            )
+            h = md5_low64(w.encode("utf-8", "surrogatepass"))
             self._cache[w] = h
         return h
 

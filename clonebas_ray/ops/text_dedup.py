@@ -91,7 +91,10 @@ def _shingle_hashes(tokens: list[int], k: int) -> np.ndarray:
     arr = np.asarray(tokens, dtype=np.uint64)
     n = len(arr)
     if n < k:
-        return arr[:1] if n else np.zeros(1, dtype=np.uint64)
+        # token-less docs have NO shingles (an empty set, matching
+        # shingle_set('') == set() and the SQL oracle's empty list —
+        # a sentinel hash here would band-collide every empty doc)
+        return arr[:1] if n else np.empty(0, dtype=np.uint64)
     # polynomial combine: sum token_hash * B^pos over window
     B = np.uint64(0x100000001B3)  # FNV prime as the mix base
     acc = np.zeros(n - k + 1, dtype=np.uint64)
@@ -135,6 +138,11 @@ class MinHasher:
         return self._signatures_batch([text])[0]
 
     def _signatures_batch(self, texts: list[str]) -> np.ndarray:
+        return self._signatures_batch_masked(texts)[0]
+
+    def _signatures_batch_masked(
+        self, texts: list[str]
+    ) -> tuple[np.ndarray, np.ndarray]:
         """One-permutation hashing (Li et al., NIPS 2012) with rotation
         densification (Shrivastava & Li, ICML 2014): each shingle is
         hashed ONCE; its top bits pick one of ``num_perm`` bins and
@@ -149,32 +157,46 @@ class MinHasher:
         n = len(texts)
         MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
         sigs = np.full((n, P), MAX, dtype=np.uint64)
+        nonempty = np.ones(n, dtype=bool)
         for i, t in enumerate(texts):
             sh = _shingle_hashes(self._token_ids(t), self.k)
+            if not len(sh):
+                nonempty[i] = False
+                sigs[i] = 0
+                continue
             bins = (sh >> shift).astype(np.int64)
             np.minimum.at(sigs[i], bins, sh)
         # densify empty bins (vectorized per doc; P is tiny)
         for i in range(n):
+            if not nonempty[i]:
+                continue
             row = sigs[i]
             empty = row == MAX
             if not empty.any():
                 continue
             filled = np.flatnonzero(~empty)
-            if len(filled) == 0:
-                row[:] = 0
-                continue
             ej = np.flatnonzero(empty)
             # next filled bin to the right, cyclic
             pos = np.searchsorted(filled, ej)
             src = filled[pos % len(filled)]
             steps = (src - ej) % P
             row[ej] = row[src] + steps.astype(np.uint64) * self._DENSE_C
-        return sigs
+        return sigs, nonempty
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
+        all_ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
-        sigs = self._signatures_batch(texts)
+        sigs, nonempty = self._signatures_batch_masked(texts)
+        # shingle-less docs emit NO bands: they have no Jaccard
+        # evidence, and the SQL oracle's shingle self-join can never
+        # pair them — a shared sentinel signature would
+        ids = [d for d, ok in zip(all_ids, nonempty) if ok]
+        sigs = sigs[nonempty]
+        if not ids:
+            return pa.table(
+                {"band_key": pa.array([], pa.uint64()),
+                 "doc_id": pa.array([], pa.int64())}
+            )
         # band hash: fold each band's rows into one uint64
         r = self.rows_per_band
         bands = sigs.reshape(len(ids), self.n_bands, r)
@@ -323,11 +345,23 @@ def minhash_lsh_pairs(
 
     def verify(batch: pa.Table) -> pa.Table:
         oa, ob, oj = [], [], []
+        # per-batch shingle cache: the first join buckets by doc_a, so
+        # a doc in many candidate pairs repeats within a batch — don't
+        # re-shingle it per pair
+        cache: dict[int, set] = {}
+
+        def sh(doc: int, text: str) -> set:
+            s = cache.get(doc)
+            if s is None:
+                s = shingle_set(text, k)
+                cache[doc] = s
+            return s
+
         for x, y, ta, tb in zip(
             batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist(),
             batch["text_a"].to_pylist(), batch["text_b"].to_pylist(),
         ):
-            j = jaccard(shingle_set(ta, k), shingle_set(tb, k))
+            j = jaccard(sh(x, ta), sh(y, tb))
             if j >= thr:
                 oa.append(x)
                 ob.append(y)
@@ -394,7 +428,7 @@ class WinnowFingerprints:
         self.w = w
 
     def _fingerprints(self, text: str) -> np.ndarray:
-        import hashlib
+        from clonebas_ray.functions.murmur3 import md5_low64
 
         k, w = self.k, self.w
         n_grams = len(text) - k + 1
@@ -402,12 +436,7 @@ class WinnowFingerprints:
             return np.empty(0, dtype=np.uint64)
         h = np.fromiter(
             (
-                int.from_bytes(
-                    hashlib.md5(
-                        text[p:p + k].encode("utf-8", "surrogatepass")
-                    ).digest()[8:],
-                    "little",
-                )
+                md5_low64(text[p:p + k].encode("utf-8", "surrogatepass"))
                 for p in range(n_grams)
             ),
             dtype=np.uint64,

@@ -209,7 +209,16 @@ def run_dedup_pipeline(
         )
 
         counts = clone_counts_from_clusters(clusters)
-        files_again = prepare_stage(read_files(input_path))
+        # same single-file read-split discipline as the fingerprint
+        # pass (one parquet file = one read task otherwise)
+        import ray
+
+        n_blocks = max(
+            64, int(ray.cluster_resources().get("CPU", 4)) * 2
+        )
+        files_again = prepare_stage(
+            read_files(input_path, override_num_blocks=n_blocks)
+        )
         metrics.update(
             quality_rollup(code_metrics(files_again, clone_counts=counts))
         )
@@ -291,8 +300,20 @@ def _sharded_fingerprints(
         max(1, (total - 2) // 2),
     ))
     shard_conc = concurrency
-    if shard_conc is None and workers > 1:
-        shard_conc = max(2, (total - 2) // workers)
+    if workers > 1:
+        # divide the actor budget between concurrent shard pipelines —
+        # an EXPLICIT concurrency must shrink too, else each of the 4
+        # threads builds the full-size pool and they starve each
+        # other's read/key tasks
+        if shard_conc is None:
+            shard_conc = max(2, (total - 2) // workers)
+        elif isinstance(shard_conc, tuple):
+            lo_c, hi_c = shard_conc
+            shard_conc = (
+                max(1, lo_c // workers), max(2, hi_c // workers)
+            )
+        else:
+            shard_conc = max(2, int(shard_conc) // workers)
     record_lock = threading.Lock()
 
     def compute(shard: str) -> str:

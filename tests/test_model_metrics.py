@@ -328,3 +328,31 @@ def test_sequence_dump_options(ray_session):
     assert "IntegerLiteral" not in nolit
     nodecl = seqs({"no_decl": True, "no_decl_stmt": True})
     assert "VarDecl" not in nodecl and "DeclStmt" not in nodecl
+
+
+def test_sequences_python_and_text_files(ray_session):
+    """Regression: the python/text single-block fast path must carry
+    word-span offsets so the M9 post-order walker works (it crashed
+    with KeyError 'w0' on any non-clike file)."""
+    import ray.data
+
+    from clonebas_ray.config import PipelineConfig
+    from clonebas_ray.ops.model_path import SequenceActor
+    from clonebas_ray.stages.ingest import prepare_stage
+
+    body = "\n".join(f"    x{i} = x{i} + 1" for i in range(30))
+    src = "def f(x0):\n" + body + "\n    return x0\n"
+    t = pa.table(
+        {
+            "repo": ["r"], "path": ["m.py"], "commit": ["c"],
+            "lang": ["py"], "content": [src],
+        }
+    )
+    seqs = prepare_stage(ray.data.from_arrow(t)).map_batches(
+        SequenceActor,
+        fn_constructor_kwargs={"config": PipelineConfig(char_boundary=100)},
+        batch_format="pyarrow", concurrency=1,
+    ).to_pandas()
+    assert len(seqs) == 1
+    s = seqs.iloc[0]
+    assert sorted(s["preseq"].split()) == sorted(s["postseq"].split())
