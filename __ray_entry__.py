@@ -41,44 +41,14 @@ def _quiet() -> None:
     _ensure_worker_importable()
 
 
-_REGISTERED = False
-
-
 def _ensure_worker_importable() -> None:
     """Ray workers spawned before this module set PYTHONPATH cannot
-    import ``clonebas_ray`` by reference.  Registering the package for
-    by-value pickling ships the UDF code in-band with each task, so the
-    pipelines run regardless of the driver's cwd or worker env."""
-    global _REGISTERED
-    if _REGISTERED:
-        return
-    import importlib
+    import ``clonebas_ray`` by reference; by-value pickling ships the
+    UDF code in-band instead (shared with the library entry points —
+    ``clonebas_ray.bootstrap``)."""
+    from clonebas_ray.bootstrap import ensure_worker_importable
 
-    from ray import cloudpickle
-
-    for name in (
-        "clonebas_ray", "clonebas_ray.config", "clonebas_ray.corpus",
-        "clonebas_ray.oracle",
-        "clonebas_ray.functions", "clonebas_ray.functions.murmur3",
-        "clonebas_ray.functions.simhash", "clonebas_ray.functions.words",
-        "clonebas_ray.stages", "clonebas_ray.stages.ingest",
-        "clonebas_ray.stages.fingerprint", "clonebas_ray.stages.candidates",
-        "clonebas_ray.stages.cluster",
-        "clonebas_ray.state", "clonebas_ray.state.checkpoint",
-        "clonebas_ray.pipelines", "clonebas_ray.pipelines.dedup",
-        "clonebas_ray.ops", "clonebas_ray.ops.text_dedup",
-        "clonebas_ray.ops.similarity", "clonebas_ray.ops.text_analysis",
-        "clonebas_ray.ops.multimodal", "clonebas_ray.ops.relational",
-        "clonebas_ray.ops.model_path", "clonebas_ray.ops.code_metrics",
-        "clonebas_ray.sources", "clonebas_ray.sources.tree",
-    ):
-        try:
-            cloudpickle.register_pickle_by_value(
-                importlib.import_module(name)
-            )
-        except Exception:  # noqa: BLE001 — best-effort; PYTHONPATH path still works
-            pass
-    _REGISTERED = True
+    ensure_worker_importable()
 
 
 def entry() -> Any:

@@ -15,6 +15,22 @@ Not a port: the reference's single-process O(n^2) loop
 executor, actor pools, and shuffle primitives.
 """
 
+import os as _os
+import sys as _sys
+
+# Ray workers inherit the driver's ENV, not its sys.path: a driver
+# that found this package via sys.path manipulation (scripts run from
+# another cwd) would spawn workers that cannot deserialize our UDFs
+# (ModuleNotFoundError: clonebas_ray).  Export the package's parent
+# dir on import — before any worker spawns — so every driver "just
+# works" regardless of cwd.
+_repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _repo not in _os.environ.get("PYTHONPATH", "").split(_os.pathsep):
+    _os.environ["PYTHONPATH"] = (
+        _repo + _os.pathsep + _os.environ.get("PYTHONPATH", "")
+    ).rstrip(_os.pathsep)
+del _os, _sys, _repo
+
 from clonebas_ray.config import PipelineConfig, REFERENCE_WEIGHTS, SEED
 
 __all__ = ["PipelineConfig", "REFERENCE_WEIGHTS", "SEED"]

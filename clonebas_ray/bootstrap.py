@@ -1,0 +1,51 @@
+"""Worker-importability bootstrap.
+
+Ray workers spawn from the raylet, which captured its environment at
+``ray.init`` time — so a driver that located ``clonebas_ray`` purely
+via ``sys.path`` (a script run from another cwd) AFTER initialising
+Ray produces workers that cannot deserialize our UDFs
+(``ModuleNotFoundError: clonebas_ray``).  Registering the package for
+cloudpickle by-value serialization ships the UDF code in-band with
+each task instead, making pipelines work regardless of driver cwd or
+worker env.  Pipeline entry points call :func:`ensure_worker_importable`
+once; it is a no-op when the package is importable normally.
+"""
+
+from __future__ import annotations
+
+_REGISTERED = False
+
+_MODULES = (
+    "clonebas_ray", "clonebas_ray.config", "clonebas_ray.corpus",
+    "clonebas_ray.oracle",
+    "clonebas_ray.functions", "clonebas_ray.functions.murmur3",
+    "clonebas_ray.functions.simhash", "clonebas_ray.functions.words",
+    "clonebas_ray.stages", "clonebas_ray.stages.ingest",
+    "clonebas_ray.stages.fingerprint", "clonebas_ray.stages.candidates",
+    "clonebas_ray.stages.cluster",
+    "clonebas_ray.state", "clonebas_ray.state.checkpoint",
+    "clonebas_ray.pipelines", "clonebas_ray.pipelines.dedup",
+    "clonebas_ray.ops", "clonebas_ray.ops.text_dedup",
+    "clonebas_ray.ops.similarity", "clonebas_ray.ops.text_analysis",
+    "clonebas_ray.ops.multimodal", "clonebas_ray.ops.relational",
+    "clonebas_ray.ops.model_path", "clonebas_ray.ops.code_metrics",
+    "clonebas_ray.sources", "clonebas_ray.sources.tree",
+)
+
+
+def ensure_worker_importable() -> None:
+    global _REGISTERED
+    if _REGISTERED:
+        return
+    import importlib
+
+    from ray import cloudpickle
+
+    for name in _MODULES:
+        try:
+            cloudpickle.register_pickle_by_value(
+                importlib.import_module(name)
+            )
+        except Exception:  # noqa: BLE001 — best-effort; PYTHONPATH still works
+            pass
+    _REGISTERED = True

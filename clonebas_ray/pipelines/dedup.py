@@ -72,6 +72,9 @@ def run_dedup_pipeline(
     quality score (A4, ``ScoreController``) to the run metrics: a
     second content pass computes the 8-unit per-file scores with the
     run's own clone counts feeding the CloneCodeUnit."""
+    from clonebas_ray.bootstrap import ensure_worker_importable
+
+    ensure_worker_importable()
     t_start = time.perf_counter()
     metrics: dict = {"config_hash": config.config_hash()}
     input_id = input_identity(input_path)
