@@ -16,7 +16,6 @@ executor, actor pools, and shuffle primitives.
 """
 
 import os as _os
-import sys as _sys
 
 # Ray workers inherit the driver's ENV, not its sys.path: a driver
 # that found this package via sys.path manipulation (scripts run from
@@ -29,7 +28,7 @@ if _repo not in _os.environ.get("PYTHONPATH", "").split(_os.pathsep):
     _os.environ["PYTHONPATH"] = (
         _repo + _os.pathsep + _os.environ.get("PYTHONPATH", "")
     ).rstrip(_os.pathsep)
-del _os, _sys, _repo
+del _os, _repo
 
 from clonebas_ray.config import PipelineConfig, REFERENCE_WEIGHTS, SEED
 

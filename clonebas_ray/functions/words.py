@@ -410,7 +410,11 @@ class WordExtractor:
                         and toks[i + 1][1] == "("
                         else None
                     )
-                    if header is not None:
+                    if header is None:
+                        # header-less if (macro cond): a stale capture
+                        # must not replay under this if's else
+                        last_if_cond.pop(brace_depth, None)
+                    else:
                         cond, close = header
                         last_if_cond[brace_depth] = cond
                         self._expr_words(cond, out)
@@ -448,20 +452,9 @@ class WordExtractor:
                         # capture the cond tokens: the reference never
                         # emits them standalone — they surface inside
                         # every case's synthesized `cond == value`
-                        j = i + 2
-                        pdepth = 1
-                        cond: list = []
-                        while j < n and pdepth:
-                            t2 = toks[j][1]
-                            if t2 == "(":
-                                pdepth += 1
-                            elif t2 == ")":
-                                pdepth -= 1
-                                if not pdepth:
-                                    break
-                            cond.append(toks[j])
-                            j += 1
-                        if j < n:
+                        hdr = scan_header(i + 1)
+                        if hdr is not None:
+                            cond, j = hdr
                             switch_stack.append(
                                 {
                                     "cond": cond,
@@ -694,6 +687,16 @@ class WordExtractor:
                             and brace_depth <= switch_stack[-1]["depth"]
                         ):
                             switch_stack.pop()
+                        # leaving a scope invalidates per-depth state
+                        # recorded inside it — a stale do entry would
+                        # misread a later while as a do-tail, a stale
+                        # if-cond would replay under an unrelated else
+                        while do_stack and do_stack[-1] > brace_depth:
+                            do_stack.pop()
+                        for d in [
+                            d for d in last_if_cond if d > brace_depth
+                        ]:
+                            del last_if_cond[d]
                     if text == "}" and blocks is not None and open_blocks:
                         b = open_blocks.pop()
                         b["end"] = spans[i][1]

@@ -34,6 +34,8 @@ import numpy as np
 import pyarrow as pa
 
 import ray.data
+
+from clonebas_ray.bootstrap import ensure_worker_importable
 from ray.data.aggregate import Sum
 
 from clonebas_ray.functions.words import tokenize, IDENT, OP
@@ -288,6 +290,7 @@ def code_metrics(
     ``clone_counts`` (from :func:`clone_counts_from_clusters`) feeds
     the CloneCodeUnit; it is near-dup-sized, so it broadcasts via
     ``ray.put`` — no join shuffle."""
+    ensure_worker_importable()
     import ray as ray_api
 
     cmap: dict[str, tuple[int, int]] = {}

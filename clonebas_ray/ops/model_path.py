@@ -34,6 +34,8 @@ import pyarrow as pa
 
 import ray.data
 
+from clonebas_ray.bootstrap import ensure_worker_importable
+
 from clonebas_ray.config import PipelineConfig, DEFAULT_CONFIG
 from clonebas_ray.functions.murmur3 import hash128
 from clonebas_ray.functions.words import ExtractorRegistry
@@ -225,6 +227,7 @@ def model_clone_pairs(
     comparison as a distributed block-pair join
     (``embedding_near_dup_pairs``) with the string ``unit`` key riding
     through as the id column — no driver-side id maps."""
+    ensure_worker_importable()
     from clonebas_ray.ops.similarity import embedding_near_dup_pairs
     from clonebas_ray.stages.ingest import prepare_stage
 

@@ -23,6 +23,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from clonebas_ray.bootstrap import ensure_worker_importable
+
 
 def _batch_embeddings(batch: pa.Table, col: str) -> np.ndarray:
     """list<float> column → (n, dim) float64 matrix.  float64 so the
@@ -66,6 +68,7 @@ def knn_brute(
     query_ids: np.ndarray | None = None,
 ) -> pa.Table:
     """→ (query_id, rank, vec_id, cosine) for the top-k per query."""
+    ensure_worker_importable()
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     q_ref = ray.put(qn)
     if query_ids is None:
@@ -161,6 +164,7 @@ def ivf_knn(
     ``n_lists=None`` scales the codebook ~sqrt(N) (clamped) so mean
     list size stays ~sqrt(N) as the corpus grows — a fixed list count
     would make every list O(N) and probing pointless at scale."""
+    ensure_worker_importable()
     # pin blocks: the dataset is consumed by count + codebook sample +
     # the scan; a lazy graph would re-execute per consumer
     vectors = vectors.materialize()
@@ -328,6 +332,7 @@ def embedding_near_dup_pairs(
     escape hatch); results come back as a Dataset via
     ``from_arrow_refs`` so pair volume never lands on the driver.
     """
+    ensure_worker_importable()
     mat = vectors.select_columns([id_col, emb_col]).materialize()
     n = mat.count()
     n_blocks = max(1, -(-n // block_rows))
@@ -366,6 +371,7 @@ def embedding_near_dup_clusters(
     """Exact near-dup pairs → connected components →
     (vec_id, cluster_id) with the min member id as the canonical
     cluster label (matches a SQL recursive-CTE closure oracle)."""
+    ensure_worker_importable()
     from clonebas_ray.stages.cluster import union_find_clusters
 
     pairs = embedding_near_dup_pairs(
@@ -411,6 +417,7 @@ def embedding_near_dup_pairs_lsh(
     signs before the within-bucket all-pairs cosine.  Pairs split
     across bucket boundaries are missed (recall < 1 by design —
     that is the cost knob vs `embedding_near_dup_pairs`)."""
+    ensure_worker_importable()
     vectors = vectors.materialize()  # consumed by count + codebook + scan
     n = vectors.count()
     if n_lists is None:

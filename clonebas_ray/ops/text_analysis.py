@@ -17,6 +17,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from clonebas_ray.bootstrap import ensure_worker_importable
+
 #: per-language stopword lists for the stopword-ratio heuristic
 #: language identifier (public common-word lists).  Dict order is the
 #: tie-break order (first language reaching the max hit count wins) —
@@ -125,6 +127,7 @@ def token_counts(
 ) -> ray.data.Dataset:
     """Append whitespace and BPE-ish (word/punct split) token counts —
     vectorized via pyarrow where possible."""
+    ensure_worker_importable()
 
     def per_batch(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
@@ -192,6 +195,7 @@ def word_census(
     per-batch partial counts, then one small groupby over partials.
     Tokenization = split on single spaces, matching DuckDB's
     ``string_split(text, ' ')`` for the oracle."""
+    ensure_worker_importable()
 
     def partial(batch: pa.Table) -> pa.Table:
         counts: dict[str, int] = {}

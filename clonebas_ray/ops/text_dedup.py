@@ -28,6 +28,8 @@ import pyarrow as pa
 
 import ray.data
 
+from clonebas_ray.bootstrap import ensure_worker_importable
+
 from clonebas_ray.functions.murmur3 import hash128
 
 
@@ -55,6 +57,7 @@ def exact_dedup_docs(
     Pattern: hash in ``map_batches`` → per-batch partial (min id,
     count) → small ``groupby`` merge — full rows never shuffle.
     """
+    ensure_worker_importable()
     hashed = add_content_hash(ds, text_col)
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -189,7 +192,8 @@ class MinHasher:
         sigs, nonempty = self._signatures_batch_masked(texts)
         # shingle-less docs emit NO bands: they have no Jaccard
         # evidence, and the SQL oracle's shingle self-join can never
-        # pair them — a shared sentinel signature would
+        # pair them — a shared sentinel signature would band-collide
+        # every empty doc and emit pairs the oracle cannot
         ids = [d for d, ok in zip(all_ids, nonempty) if ok]
         sigs = sigs[nonempty]
         if not ids:
@@ -258,6 +262,7 @@ def minhash_lsh_pairs(
     instead, which stay linear in members; run ``exact_dedup_docs``
     first when exact duplicates dominate.
     """
+    ensure_worker_importable()
     from clonebas_ray.ops.relational import auto_partitions
 
     P = auto_partitions()  # pairing partitions (~4/core; amortizes tiny buckets)
@@ -386,6 +391,7 @@ def minhash_dedup_clusters(
     (doc_id, cluster_id) assignments.  ``cluster_id`` is the smallest
     member doc_id — a canonical label a SQL connected-components
     oracle (recursive CTE min-label closure) reproduces exactly."""
+    ensure_worker_importable()
     from clonebas_ray.stages.cluster import union_find_clusters
 
     pairs = minhash_lsh_pairs(docs, **kwargs)
@@ -487,6 +493,7 @@ def substring_dup_pairs(
     than that many docs — the skew guard that keeps a corpus-wide
     common header from exploding quadratically (mirrored by the SQL
     oracle's HAVING clause)."""
+    ensure_worker_importable()
     from clonebas_ray.ops.relational import auto_partitions
 
     P = auto_partitions()
@@ -579,6 +586,7 @@ def dedup_filter(
     tiny relative to the corpus — so it broadcasts via ``ray.put`` and
     the filter is a stateless ``map_batches`` scan; the corpus itself
     never shuffles."""
+    ensure_worker_importable()
     import ray as ray_api
 
     cdf = clusters.to_pandas()
@@ -630,6 +638,7 @@ def simhash_text_dedup(
     """SimHash near-dup clusters over documents via the flagship stages
     (no checkpointing — in-memory variant for tables already loaded):
     returns (sha, cluster_id, tier)."""
+    ensure_worker_importable()
     from clonebas_ray.config import DEFAULT_CONFIG
     from clonebas_ray.stages.ingest import prepare_stage
     from clonebas_ray.stages.fingerprint import fingerprint_stage

@@ -82,15 +82,11 @@ def run_dedup_pipeline(
 
     # --- fingerprints ------------------------------------------------
     def build_fingerprints() -> ray.data.Dataset:
-        import ray
+        from clonebas_ray.stages.ingest import read_split_blocks
 
-        # split the read so sha256+parse parallelize even off a single
-        # parquet file (a lone file otherwise yields one read task).
-        # 2 blocks/core measured best at 32 cpus (finer splits pay
-        # more dispatch than they recover from stragglers: 64/128/256
-        # blocks -> 8.6/10.0/15.9 s on the 200k bench corpus)
-        n_blocks = max(64, int(ray.cluster_resources().get("CPU", 4)) * 2)
-        ds = read_files(input_path, override_num_blocks=n_blocks)
+        ds = read_files(
+            input_path, override_num_blocks=read_split_blocks()
+        )
         ds = prepare_stage(ds)
         return fingerprint_stage(ds, config, concurrency=concurrency)
 
@@ -212,15 +208,10 @@ def run_dedup_pipeline(
         )
 
         counts = clone_counts_from_clusters(clusters)
-        # same single-file read-split discipline as the fingerprint
-        # pass (one parquet file = one read task otherwise)
-        import ray
+        from clonebas_ray.stages.ingest import read_split_blocks
 
-        n_blocks = max(
-            64, int(ray.cluster_resources().get("CPU", 4)) * 2
-        )
         files_again = prepare_stage(
-            read_files(input_path, override_num_blocks=n_blocks)
+            read_files(input_path, override_num_blocks=read_split_blocks())
         )
         metrics.update(
             quality_rollup(code_metrics(files_again, clone_counts=counts))
@@ -291,7 +282,9 @@ def _sharded_fingerprints(
         raise ValueError(f"no parquet shards under {input_path!r}")
     ckpt = ShardedCheckpoint(run_dir, "fingerprints", config.config_hash())
     cached, todo = ckpt.plan(shards, resume)
-    n_blocks = max(16, int(ray.cluster_resources().get("CPU", 4)) * 2)
+    from clonebas_ray.stages.ingest import read_split_blocks
+
+    n_blocks = read_split_blocks(floor=16)
     out_dirs = list(cached)
 
     # cap concurrent shard jobs so each still gets a >=2-actor pool

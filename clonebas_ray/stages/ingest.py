@@ -30,6 +30,16 @@ from clonebas_ray.config import PipelineConfig, DEFAULT_CONFIG
 FILE_COLUMNS = ["repo", "path", "commit", "lang", "content"]
 
 
+def read_split_blocks(floor: int = 64) -> int:
+    """Read-split block count: ~2 blocks per cluster core (measured
+    best at 32 cpus — finer splits pay more dispatch than they recover
+    from stragglers), floored so a single parquet file still
+    parallelizes (one file = one read task otherwise)."""
+    import ray
+
+    return max(floor, int(ray.cluster_resources().get("CPU", 4)) * 2)
+
+
 def read_files(
     path: str | list[str],
     columns: list[str] | None = None,

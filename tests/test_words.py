@@ -211,3 +211,23 @@ def test_do_while_single_loop_node():
         "void f() { do { g(); } while (a); while (b) { h(); } }"
     )
     assert two.count("FixedLoopStmtClass") == 2
+
+
+def test_scope_state_does_not_leak_across_functions():
+    """Per-depth walker state (do_stack, last_if_cond) invalidates on
+    scope exit: an unmatched `do` must not suppress a later while's
+    loop word, and a header-less `if` must not replay an earlier if's
+    condition under its else."""
+    from clonebas_ray.functions.words import extract_words
+
+    w = extract_words(
+        "void f() { do { g(); } }\n"
+        "void g() { a(); while (c) { b(); } }"
+    )
+    assert w.count("FixedLoopStmtClass") == 2
+
+    w2 = extract_words(
+        "void f() { if (a < b) { x(); } }\n"
+        "void g() { if LIKELY { y(); } else { z(); } }"
+    )
+    assert w2.count("BinaryOperator BO_<") == 1
