@@ -927,19 +927,40 @@ WITH t AS (
          ELSE CAST(trunc(60 - (n_chars - 1000) / 50.0) AS BIGINT)
     END AS u_long
   FROM m
+), c AS (
+  -- clamped unit scores; constant-100 units (CompileError, CloneCode,
+  -- TooManyParam, TooLongCall, TooDepthCall) fold into the literals.
+  -- Four type scores per ScoreController.cpp:146-174 with unittype
+  -- masks 8/8/7/6/5/5/5/4 and bits N=1 E=2 M=4 S=8:
+  --   N: {CycleComplexity, TooLong, TooManyParam, TooLongCall}
+  --   E: {CycleComplexity, CloneCode}
+  --   M: {CycleComplexity, CloneCode, TooLong, TooManyParam,
+  --       TooLongCall, TooDepthCall}
+  --   S: {CompileError, CompileWarning}
+  SELECT *, greatest(0, least(100, u_warn)) AS c_warn,
+    greatest(0, least(100, u_cx)) AS c_cx,
+    greatest(0, least(100, u_long)) AS c_long
+  FROM u
+), s AS (
+  SELECT *,
+    ((c_cx + c_long + 200) * 10) // 40 AS score_normative,
+    ((c_cx + 100) * 10) // 20 AS score_efficiency,
+    ((c_cx + c_long + 400) * 10) // 60 AS score_maintainability,
+    ((c_warn + 100) * 10) // 20 AS score_security
+  FROM c
 )
 SELECT sha, file_key, complexity,
   CAST(0 AS BIGINT) AS max_depth, CAST(0 AS BIGINT) AS max_params,
   CAST(0 AS BIGINT) AS max_call_chain,
   CAST(0 AS BIGINT) AS unbalanced_braces,
   n_tokens, n_chars,
-  (1000 + greatest(0, least(100, u_warn)) * 10
-        + greatest(0, least(100, u_cx)) * 10 + 1000
-        + greatest(0, least(100, u_long)) * 10 + 1000 + 1000 + 1000)
-    // 80 AS file_score,
+  (score_normative + score_efficiency + score_maintainability
+   + score_security) // 4 AS file_score,
+  score_normative, score_efficiency, score_maintainability,
+  score_security,
   complexity > 5 AS warn_complexity,
   FALSE AS warn_depth, FALSE AS warn_params, FALSE AS warn_call_chain
-FROM u
+FROM s
 ORDER BY file_key
 """,
         "knn_cosine": """

@@ -21,11 +21,17 @@ Mirrors the reference's checks over our token stream:
 units with the shipped ``score_config.json`` weights/values
 (``ScoreUnit.cpp:107-456``): CompileError, CompileWarning,
 CycleComplexity, CloneCode, TooLong, TooManyParam, TooLongCall,
-TooDepthCall.  Each unit scores 0-100 (``GetScore`` clamp), a file's
-score is the weight-averaged unit score with C++ integer division
-(``ScoreController.cpp:160-181``), and the global score is the
-char-weighted integer mean over files — the distributed analogue of
-the reference's recursive score tree.
+TooDepthCall.  Each unit scores 0-100 (``GetScore`` clamp —
+``ScoreUnit.cpp:91-100``).  A file's score is the mean of FOUR
+per-type scores (``ScoreController.cpp:146-153``): for each type bit
+(NORMATIVE=1, EFFICIENCY=2, MAINTAINABILITY=4, SECURITY=8 —
+``ScoreUnit.h:59-61``), the weight-averaged mean (C++ integer
+division) over the units whose ``m_unittype & type`` is set
+(``ScoreController.cpp:169-174``); the total is the integer mean of
+the four (``ScoreController.cpp:147-152``).  The global score rolls
+each type score up char-weighted over files, then averages the four —
+the distributed analogue of the reference's recursive score tree
+(``ScoreController.cpp:160-184``).
 """
 
 from __future__ import annotations
@@ -59,6 +65,11 @@ SCORE_CONFIG = {
 #: every unit ships with m_weight = 10
 SCORE_WEIGHT = 10
 N_UNITS = 8
+#: score_config.json m_unittype per unit, in ``_unit_scores`` order.
+#: Type bits (ScoreUnit.h:59-61): NORMATIVE=1, EFFICIENCY=2,
+#: MAINTAINABILITY=4, SECURITY=8.
+UNIT_TYPE_MASK = [8, 8, 7, 6, 5, 5, 5, 4]
+TYPE_BITS = (1, 2, 4, 8)
 
 
 def _file_metrics(content: str) -> dict:
@@ -103,7 +114,11 @@ def _file_metrics(content: str) -> dict:
                 open_braces += 1
                 if depth > max_depth:
                     max_depth = depth
-                if depth >= 2:
+                # the reference fires the BlockDepth event only past
+                # depth 5 (FixedChecker.cpp:470-474: `m_stmtdepth > 5
+                # && iscompstmt`), so buckets 2..5 never populate and
+                # the TooDepthCall depth-3/4/5 penalty terms are dead
+                if depth > 5:
                     block_hist[min(depth, 9) - 2] += 1
             elif text == "}":
                 depth -= 1
@@ -248,11 +263,27 @@ def _unit_scores(
     return [min(100, max(0, int(s))) for s in scores]
 
 
+def _type_scores(unit_scores: list[int]) -> list[int]:
+    """The four per-type scores (N/E/M/S): weight-averaged integer
+    mean over units whose ``m_unittype & type`` bit is set
+    (``ScoreController.cpp:155-184``; for a leaf vector the
+    ``(u/w)*charNum/charNum`` round trip is exact, so the per-file
+    per-type score is just ``u // w``)."""
+    out = []
+    for bit in TYPE_BITS:
+        ts = tw = 0
+        for s, mask in zip(unit_scores, UNIT_TYPE_MASK):
+            if mask & bit:
+                ts += s * SCORE_WEIGHT
+                tw += SCORE_WEIGHT
+        out.append(ts // tw if tw else 0)
+    return out
+
+
 def _file_score(unit_scores: list[int]) -> int:
-    """Weight-averaged unit score with C++ integer division
-    (``ScoreController.cpp:167-177``)."""
-    total = sum(s * SCORE_WEIGHT for s in unit_scores)
-    return total // (SCORE_WEIGHT * len(unit_scores))
+    """Mean of the four type scores with C++ integer division
+    (``ScoreController.cpp:146-153``)."""
+    return sum(_type_scores(unit_scores)) // 4
 
 
 def clone_counts_from_clusters(clusters: pa.Table) -> pa.Table:
@@ -311,10 +342,11 @@ def code_metrics(
         shas = batch["sha"].to_pylist()
         ms = [_file_metrics(c) for c in contents]
         chars = [len(c) for c in contents]
-        fscores = [
-            _file_score(_unit_scores(m, nc, *cm.get(s, (0, 0))))
+        tscores = [
+            _type_scores(_unit_scores(m, nc, *cm.get(s, (0, 0))))
             for m, nc, s in zip(ms, chars, shas)
         ]
+        fscores = [sum(t) // 4 for t in tscores]
         get = lambda k: [m[k] for m in ms]  # noqa: E731
         out = pa.table(
             {
@@ -330,6 +362,18 @@ def code_metrics(
                 "n_tokens": pa.array(get("n_tokens"), pa.int64()),
                 "n_chars": pa.array(chars, pa.int64()),
                 "file_score": pa.array(fscores, pa.int64()),
+                "score_normative": pa.array(
+                    [t[0] for t in tscores], pa.int64()
+                ),
+                "score_efficiency": pa.array(
+                    [t[1] for t in tscores], pa.int64()
+                ),
+                "score_maintainability": pa.array(
+                    [t[2] for t in tscores], pa.int64()
+                ),
+                "score_security": pa.array(
+                    [t[3] for t in tscores], pa.int64()
+                ),
                 "warn_complexity": pa.array(
                     [m["complexity"] > 5 for m in ms]
                 ),
@@ -345,29 +389,41 @@ def code_metrics(
     return files.map_batches(per_batch, batch_format="pyarrow")
 
 
+#: per-type score columns emitted by :func:`code_metrics`, N/E/M/S order
+TYPE_COLS = (
+    "score_normative", "score_efficiency",
+    "score_maintainability", "score_security",
+)
+
+
 def quality_rollup(metrics: ray.data.Dataset) -> dict:
-    """Char-weighted global quality score over the per-file 8-unit
-    scores (A4): global = sum(file_score * n_chars) // sum(n_chars)
-    with the reference's integer division
-    (``ScoreController.cpp:160-181``)."""
+    """Char-weighted global quality score (A4): each of the four
+    type scores rolls up char-weighted over files with the
+    reference's integer division (``ScoreController.cpp:160-184``:
+    ``sum(child_type_score * charNum) / sum(charNum)``), and the
+    global total is the integer mean of the four
+    (``ScoreController.cpp:146-153``)."""
 
     def weigh(batch: pa.Table) -> pa.Table:
-        s = batch["file_score"].to_numpy().astype(np.int64)
         c = batch["n_chars"].to_numpy().astype(np.int64)
-        return pa.table(
-            {
-                "ws": pa.array(s * c, pa.int64()),
-                "w": pa.array(c, pa.int64()),
-            }
-        )
+        cols = {"w": pa.array(c, pa.int64())}
+        for col in TYPE_COLS:
+            s = batch[col].to_numpy().astype(np.int64)
+            cols[f"ws_{col}"] = pa.array(s * c, pa.int64())
+        return pa.table(cols)
 
     agg = metrics.map_batches(weigh, batch_format="pyarrow").aggregate(
-        Sum("ws", alias_name="ws"), Sum("w", alias_name="w")
+        Sum("w", alias_name="w"),
+        *[Sum(f"ws_{c}", alias_name=f"ws_{c}") for c in TYPE_COLS],
     )
     w = max(int(agg["w"] or 0), 1)
+    type_scores = {
+        c: int(agg[f"ws_{c}"] or 0) // w for c in TYPE_COLS
+    }
     return {
-        "quality_score": int(agg["ws"] or 0) // w,
+        "quality_score": sum(type_scores.values()) // 4,
         "total_chars": int(agg["w"] or 0),
+        **type_scores,
     }
 
 

@@ -286,9 +286,13 @@ def test_clone_code_unit_lowers_score(ray_session):
     assert (row.n_normal_clones, row.n_worse_clones) == (1, 1)
     scored = code_metrics(files, clone_counts=counts).to_pandas().iloc[0]
     assert clean["file_score"] == 100
-    # reduce = 1*50 + 1*100 = 150 over 21 chars -> clone unit 93;
-    # file score (7*100 + 93)*10 // 80 = 99
-    assert scored["file_score"] == 99
+    # reduce = 1*50 + 1*100 = 150 over 21 chars -> clone unit 93.
+    # Four type scores (CloneCode mask 6 = E|M): N=100,
+    # E=(100+93)*10//20=96, M=(5*100+93)*10//60=98, S=100 ->
+    # file score (100+96+98+100)//4 = 98
+    assert scored["file_score"] == 98
+    assert scored["score_efficiency"] == 96
+    assert scored["score_maintainability"] == 98
 
 
 def test_sequence_dump_options(ray_session):
