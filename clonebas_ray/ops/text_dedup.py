@@ -88,6 +88,17 @@ def exact_dedup_docs(
     )
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (bit mixer for partition/set keys)."""
+    z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z ^= z >> np.uint64(30)
+    z = (z * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
+    z ^= z >> np.uint64(27)
+    z = (z * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
+    z ^= z >> np.uint64(31)
+    return z
+
+
 def _shingle_hashes(tokens: list[int], k: int) -> np.ndarray:
     """k-token shingle hashes from per-token 64-bit hashes via a
     rolling polynomial (vectorized)."""
@@ -114,11 +125,13 @@ class MinHasher:
     """
 
     def __init__(self, num_perm: int = 128, shingle_k: int = 5,
-                 n_bands: int = 32, seed: int = 7):
+                 n_bands: int = 32, seed: int = 7,
+                 emit_set_key: bool = False):
         self.num_perm = num_perm
         self.k = shingle_k
         self.n_bands = n_bands
         self.rows_per_band = num_perm // n_bands
+        self.emit_set_key = emit_set_key
         self._token_cache: dict[str, int] = {}
 
     def _token_ids(self, text: str) -> list[int]:
@@ -143,9 +156,38 @@ class MinHasher:
     def _signatures_batch(self, texts: list[str]) -> np.ndarray:
         return self._signatures_batch_masked(texts)[0]
 
+    def set_key(self, text: str) -> int:
+        toks = self._token_ids(text)
+        return int(self._shingle_set_key(toks, _shingle_hashes(toks, self.k)))
+
+    def _shingle_set_key(self, toks: list[int], sh: np.ndarray) -> np.uint64:
+        """64-bit key with the invariant: equal key ⟺ (w.h.p.) equal
+        exact-Jaccard shingle set, i.e. ``shingle_set(a) ==
+        shingle_set(b)`` ⇒ Jaccard exactly 1 ⇒ any threshold passes.
+        For >= k tokens, ``sh`` (sorted unique shingle hashes) IS the
+        set, so a commutative multiset hash of it is canonical.  A
+        < k-token doc's single shingle is the WHOLE joined token
+        sequence (``shingle_set``), but ``sh`` only carries the first
+        token's hash — key on the full ordered token-hash sequence
+        instead (position-salted, domain-tagged so short and long docs
+        never collide)."""
+        if len(toks) < self.k:
+            v = np.asarray(toks, dtype=np.uint64)
+            v = v + np.arange(len(v), dtype=np.uint64) * np.uint64(
+                0xA5A5A5A5A5A5A5A5
+            )
+            tag = np.uint64(0xDEADBEEFCAFEF00D)
+        else:
+            v = sh
+            tag = np.uint64(0)
+        acc = _mix64(v).sum(dtype=np.uint64) if len(v) else np.uint64(0)
+        return _mix64(
+            np.array([acc ^ tag ^ np.uint64(len(v))], dtype=np.uint64)
+        )[0]
+
     def _signatures_batch_masked(
-        self, texts: list[str]
-    ) -> tuple[np.ndarray, np.ndarray]:
+        self, texts: list[str], want_keys: bool = False
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
         """One-permutation hashing (Li et al., NIPS 2012) with rotation
         densification (Shrivastava & Li, ICML 2014): each shingle is
         hashed ONCE; its top bits pick one of ``num_perm`` bins and
@@ -161,12 +203,16 @@ class MinHasher:
         MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
         sigs = np.full((n, P), MAX, dtype=np.uint64)
         nonempty = np.ones(n, dtype=bool)
+        set_keys = np.zeros(n, dtype=np.uint64) if want_keys else None
         for i, t in enumerate(texts):
-            sh = _shingle_hashes(self._token_ids(t), self.k)
+            toks = self._token_ids(t)
+            sh = _shingle_hashes(toks, self.k)
             if not len(sh):
                 nonempty[i] = False
                 sigs[i] = 0
                 continue
+            if want_keys:
+                set_keys[i] = self._shingle_set_key(toks, sh)
             bins = (sh >> shift).astype(np.int64)
             np.minimum.at(sigs[i], bins, sh)
         # densify empty bins (vectorized per doc; P is tiny)
@@ -184,23 +230,28 @@ class MinHasher:
             src = filled[pos % len(filled)]
             steps = (src - ej) % P
             row[ej] = row[src] + steps.astype(np.uint64) * self._DENSE_C
-        return sigs, nonempty
+        return sigs, nonempty, set_keys
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         all_ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
-        sigs, nonempty = self._signatures_batch_masked(texts)
+        sigs, nonempty, set_keys = self._signatures_batch_masked(
+            texts, want_keys=self.emit_set_key
+        )
         # shingle-less docs emit NO bands: they have no Jaccard
         # evidence, and the SQL oracle's shingle self-join can never
         # pair them — a shared sentinel signature would band-collide
         # every empty doc and emit pairs the oracle cannot
         ids = [d for d, ok in zip(all_ids, nonempty) if ok]
         sigs = sigs[nonempty]
+        if self.emit_set_key:
+            set_keys = set_keys[nonempty]
         if not ids:
-            return pa.table(
-                {"band_key": pa.array([], pa.uint64()),
-                 "doc_id": pa.array([], pa.int64())}
-            )
+            cols = {"band_key": pa.array([], pa.uint64()),
+                    "doc_id": pa.array([], pa.int64())}
+            if self.emit_set_key:
+                cols["set_key"] = pa.array([], pa.uint64())
+            return pa.table(cols)
         # band hash: fold each band's rows into one uint64
         r = self.rows_per_band
         bands = sigs.reshape(len(ids), self.n_bands, r)
@@ -209,16 +260,19 @@ class MinHasher:
             folded = folded * np.uint64(0x100000001B3) + bands[:, :, i]
         band_idx = np.tile(np.arange(self.n_bands, dtype=np.uint64), len(ids))
         doc_rep = np.repeat(np.asarray(ids, dtype=np.int64), self.n_bands)
-        return pa.table(
-            {
-                "band_key": pa.array(
-                    (band_idx << np.uint64(56))
-                    ^ (folded.reshape(-1) & np.uint64((1 << 56) - 1)),
-                    pa.uint64(),
-                ),
-                "doc_id": pa.array(doc_rep, pa.int64()),
-            }
-        )
+        cols = {
+            "band_key": pa.array(
+                (band_idx << np.uint64(56))
+                ^ (folded.reshape(-1) & np.uint64((1 << 56) - 1)),
+                pa.uint64(),
+            ),
+            "doc_id": pa.array(doc_rep, pa.int64()),
+        }
+        if self.emit_set_key:
+            cols["set_key"] = pa.array(
+                np.repeat(set_keys, self.n_bands), pa.uint64()
+            )
+        return pa.table(cols)
 
 
 def jaccard(tokens_a: set, tokens_b: set) -> float:
@@ -244,6 +298,7 @@ def minhash_lsh_pairs(
     n_bands: int = 32,
     threshold: float = 0.8,
     concurrency: int | tuple[int, int] = (1, 8),
+    max_pairs_per_task: int | None = None,
 ) -> ray.data.Dataset:
     """documents → verified near-dup pairs (doc_a, doc_b, jaccard).
 
@@ -257,11 +312,42 @@ def minhash_lsh_pairs(
 
     Scale note: PAIR enumeration is inherently quadratic within a
     duplicate family (a 10^4-copy boilerplate doc defines ~10^8 valid
-    pairs — the SQL definition emits them too).  For corpus-scale
-    dedup consume ``minhash_dedup_clusters`` / ``dedup_filter``
-    instead, which stay linear in members; run ``exact_dedup_docs``
-    first when exact duplicates dominate.
+    pairs — the SQL definition emits them too, so this operator's
+    output is pinned to that shape).  For corpus-scale dedup consume
+    ``minhash_dedup_clusters`` / ``dedup_filter`` instead: they
+    collapse identical shingle sets to one banded representative (the
+    flagship ``sig_groups`` pattern) and stay linear in duplicate
+    family size.  ``max_pairs_per_task`` is the fail-fast memory
+    guard: raise instead of OOM when one pairing task would
+    materialize more than that many candidate pairs.
     """
+    pairs, _ = _minhash_pipeline(
+        docs, num_perm=num_perm, shingle_k=shingle_k, n_bands=n_bands,
+        threshold=threshold, concurrency=concurrency, collapse=False,
+        max_pairs_per_task=max_pairs_per_task,
+    )
+    return pairs
+
+
+def _minhash_pipeline(
+    docs: ray.data.Dataset,
+    num_perm: int,
+    shingle_k: int,
+    n_bands: int,
+    threshold: float,
+    concurrency: int | tuple[int, int],
+    collapse: bool,
+    max_pairs_per_task: int | None,
+) -> tuple[ray.data.Dataset, ray.data.Dataset | None]:
+    """Shared banded-LSH pipeline.  ``collapse=True`` is the 100-TB
+    path: docs with an identical exact-Jaccard shingle set (equal
+    ``set_key``) band ONLY their representative (min doc_id), so a
+    10^4-copy boilerplate family costs one bucket row per band instead
+    of ~10^8 candidate pairs; the members come back as a second
+    dataset of (rep, member) edges whose Jaccard is exactly 1 by
+    construction — connected components over (rep pairs ∪ member
+    edges) equal those of the full enumeration, because every
+    cross-family pair has the same Jaccard as its rep pair."""
     ensure_worker_importable()
     from clonebas_ray.ops.relational import auto_partitions
 
@@ -271,6 +357,7 @@ def minhash_lsh_pairs(
         MinHasher,
         fn_constructor_kwargs={
             "num_perm": num_perm, "shingle_k": shingle_k, "n_bands": n_bands,
+            "emit_set_key": collapse,
         },
         batch_format="pyarrow",
         concurrency=concurrency,
@@ -287,13 +374,39 @@ def minhash_lsh_pairs(
         )
 
     keyed = keyed.map_batches(add_part, batch_format="pyarrow")
+    if collapse:
+        # consumed twice (pairing + member edges) — materialize once
+        keyed = keyed.materialize()
 
     def partition_pairs(part: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
+        budget = max_pairs_per_task
         for _, g in part.groupby("band_key", sort=False):
-            ids = np.unique(g["doc_id"].to_numpy())
+            if collapse:
+                # one banded row per shingle-set family: the family's
+                # global min doc_id is in EVERY one of its band
+                # buckets (identical signature ⇒ identical band keys),
+                # so the within-bucket min per set_key is the global
+                # representative
+                ids = np.unique(
+                    g.groupby("set_key", sort=False)["doc_id"]
+                    .min()
+                    .to_numpy()
+                )
+            else:
+                ids = np.unique(g["doc_id"].to_numpy())
             if len(ids) < 2:
                 continue
+            if budget is not None:
+                budget -= len(ids) * (len(ids) - 1) // 2
+                if budget < 0:
+                    raise RuntimeError(
+                        f"minhash pairing task exceeded max_pairs_per_task="
+                        f"{max_pairs_per_task} (bucket of {len(ids)} docs); "
+                        "route corpus-scale dedup through "
+                        "minhash_dedup_clusters (identical-set collapse) "
+                        "or raise the guard"
+                    )
             a, b = np.triu_indices(len(ids), k=1)
             out_a.append(ids[a])
             out_b.append(ids[b])
@@ -310,6 +423,43 @@ def minhash_lsh_pairs(
     candidates = keyed.groupby("band_part").map_groups(
         partition_pairs, batch_format="pandas"
     )
+
+    member_edges: ray.data.Dataset | None = None
+    if collapse:
+        def band0_rows(batch: pa.Table) -> pa.Table:
+            k = batch["band_key"].to_numpy().astype(np.uint64)
+            t = batch.filter(pa.array((k >> np.uint64(56)) == 0))
+            return t.select(["set_key", "doc_id"])
+
+        def add_set_part(batch: pa.Table) -> pa.Table:
+            sk = batch["set_key"].to_numpy().astype(np.uint64)
+            part = (_mix64(sk) % np.uint64(P)).astype(np.int32)
+            return batch.append_column("set_part", pa.array(part, pa.int32()))
+
+        def members_partition(g: pd.DataFrame) -> pd.DataFrame:
+            out_a, out_b = [], []
+            for _, grp in g.groupby("set_key", sort=False):
+                ids = np.unique(grp["doc_id"].to_numpy())
+                if len(ids) < 2:
+                    continue
+                out_a.append(np.full(len(ids) - 1, ids[0], dtype=np.int64))
+                out_b.append(ids[1:])
+            if not out_a:
+                return pd.DataFrame(
+                    {"doc_a": pd.Series(dtype="int64"),
+                     "doc_b": pd.Series(dtype="int64")}
+                )
+            return pd.DataFrame(
+                {"doc_a": np.concatenate(out_a),
+                 "doc_b": np.concatenate(out_b)}
+            )
+
+        member_edges = (
+            keyed.map_batches(band0_rows, batch_format="pyarrow")
+            .map_batches(add_set_part, batch_format="pyarrow")
+            .groupby("set_part")
+            .map_groups(members_partition, batch_format="pandas")
+        )
 
     # attach both texts via bucketed hash joins against the doc table —
     # no driver-side doc materialization, no broadcast (SURVEY §4).
@@ -381,42 +531,83 @@ def minhash_lsh_pairs(
             }
         )
 
-    return with_b.map_batches(verify, batch_format="pyarrow")
+    return with_b.map_batches(verify, batch_format="pyarrow"), member_edges
+
+
+def _stream_int_union_find(
+    edge_datasets: list[ray.data.Dataset],
+    cols: tuple[str, str] = ("doc_a", "doc_b"),
+) -> pa.Table:
+    """Streamed driver union-find over int-keyed edge datasets:
+    ``iter_batches`` feeds edges straight into the union-find — no
+    full pair-table ``to_pandas`` — so driver memory is O(nodes)
+    (near-dup-bounded), not O(pairs).  Returns (doc_id, cluster_id)
+    with ``cluster_id`` = the smallest member doc_id, the canonical
+    label a SQL connected-components oracle (recursive CTE min-label
+    closure) reproduces exactly."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for ds in edge_datasets:
+        if ds is None:
+            continue
+        for batch in ds.iter_batches(
+            batch_format="pyarrow", batch_size=65536
+        ):
+            for a, b in zip(
+                batch[cols[0]].to_pylist(), batch[cols[1]].to_pylist()
+            ):
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by min keeps labels canonical as we go
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+    ids = sorted(parent)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "cluster_id": pa.array([find(i) for i in ids], pa.int64()),
+        }
+    )
 
 
 def minhash_dedup_clusters(
-    docs: ray.data.Dataset, **kwargs
+    docs: ray.data.Dataset,
+    num_perm: int = 128,
+    shingle_k: int = 5,
+    n_bands: int = 32,
+    threshold: float = 0.8,
+    concurrency: int | tuple[int, int] = (1, 8),
+    max_pairs_per_task: int | None = None,
 ) -> pa.Table:
-    """Full MinHash-LSH dedup: pairs → driver union-find →
-    (doc_id, cluster_id) assignments.  ``cluster_id`` is the smallest
-    member doc_id — a canonical label a SQL connected-components
-    oracle (recursive CTE min-label closure) reproduces exactly."""
-    ensure_worker_importable()
-    from clonebas_ray.stages.cluster import union_find_clusters
+    """Full MinHash-LSH dedup: (doc_id, cluster_id) assignments with
+    ``cluster_id`` the smallest member doc_id.
 
-    pairs = minhash_lsh_pairs(docs, **kwargs)
-    pdf = pairs.to_pandas().drop_duplicates(["doc_a", "doc_b"])
-    edge_t = pa.table(
-        {
-            "sha_a": pa.array(pdf["doc_a"].astype(str), pa.string()),
-            "sha_b": pa.array(pdf["doc_b"].astype(str), pa.string()),
-        }
+    The 100-TB path: identical shingle sets collapse to one banded
+    representative (``_minhash_pipeline(collapse=True)``), so pair
+    volume is quadratic only in DISTINCT near-dup content; members
+    rejoin as Jaccard-1 edges and the streamed union-find keeps driver
+    memory O(near-dup docs).  Output is identical to union-find over
+    the full ``minhash_lsh_pairs`` enumeration (every cross-family
+    pair shares its rep pair's Jaccard)."""
+    ensure_worker_importable()
+
+    pairs, member_edges = _minhash_pipeline(
+        docs, num_perm=num_perm, shingle_k=shingle_k, n_bands=n_bands,
+        threshold=threshold, concurrency=concurrency, collapse=True,
+        max_pairs_per_task=max_pairs_per_task,
     )
-    assignment = union_find_clusters(edge_t)
-    min_id: dict[int, int] = {}
-    for s, c in assignment.items():
-        i = int(s)
-        if c not in min_id or i < min_id[c]:
-            min_id[c] = i
-    ids = sorted(assignment, key=int)
-    return pa.table(
-        {
-            "doc_id": pa.array([int(i) for i in ids], pa.int64()),
-            "cluster_id": pa.array(
-                [min_id[assignment[i]] for i in ids], pa.int64()
-            ),
-        }
-    )
+    return _stream_int_union_find([pairs, member_edges])
 
 
 class WinnowFingerprints:

@@ -59,6 +59,109 @@ def test_minhash_clusters(docs_ds):
     assert by_doc[0] == by_doc[1]  # exact dups cluster together
 
 
+def _components_from_pairs(pairs):
+    """Reference union-find over an explicit pair list."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {d: find(d) for d in parent}
+
+
+def test_minhash_collapse_matches_full_enumeration(ray_session):
+    """The identical-shingle-set collapse (clusters path) must produce
+    the same connected components as union-find over the full
+    minhash_lsh_pairs enumeration — including exact-dup families,
+    near dups, and <k-token short docs (whose single shingle is the
+    whole joined text)."""
+    import ray.data
+
+    from clonebas_ray.ops.text_dedup import (
+        minhash_dedup_clusters, minhash_lsh_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = (
+        [base] * 5                                   # exact-dup family
+        + [base.replace("gamma", "mu")] * 3          # second family, near dup of first
+        + ["totally different words about streaming shuffles actors pools"]
+        + ["short text", "short text", "short stuff"]  # <k-token docs
+        + ["lone document with completely unrelated vocabulary here now"]
+    )
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    )
+    got = minhash_dedup_clusters(ds, shingle_k=3, threshold=0.5).to_pandas()
+    pairs = (
+        minhash_lsh_pairs(ds, shingle_k=3, threshold=0.5)
+        .to_pandas()
+        .drop_duplicates(["doc_a", "doc_b"])
+    )
+    comp = _components_from_pairs(zip(pairs.doc_a, pairs.doc_b))
+    want = {d: r for d, r in comp.items()}
+    assert dict(zip(got.doc_id, got.cluster_id)) == want
+
+
+def test_minhash_boilerplate_family_bounded(ray_session):
+    """A 10^4-copy boilerplate family must complete with bounded
+    per-task pair volume: the collapse banding gives the family ONE
+    representative row per bucket, so no pairing task ever
+    materializes the ~5*10^7 pairs the full enumeration defines —
+    enforced by the fail-fast max_pairs_per_task guard."""
+    import ray.data
+
+    from clonebas_ray.ops.text_dedup import minhash_dedup_clusters
+
+    boiler = (
+        "copyright header the standard license text that repeats in "
+        "every file of the repository verbatim including this line and "
+        "that line and more filler words to pad the shingle count out"
+    )
+    n_copies = 10_000
+    texts = [boiler] * n_copies + [
+        f"distinct document number {i} with its own vocabulary "
+        f"items {i * 7} {i * 13} {i * 29} spread across tokens"
+        for i in range(20)
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    )
+    out = minhash_dedup_clusters(
+        ds, max_pairs_per_task=1_000_000
+    ).to_pandas()
+    fam = out[out.doc_id < n_copies]
+    assert len(fam) == n_copies
+    assert (fam.cluster_id == 0).all()
+    # the distinct docs must not be clustered into the family
+    assert not (out[out.doc_id >= n_copies].cluster_id == 0).any()
+
+
+def test_minhash_pairs_guard_raises_on_hot_bucket(ray_session):
+    """The full-enumeration pairs path keeps the oracle-pinned
+    quadratic semantics — the guard fails fast instead of OOMing."""
+    import ray.data
+
+    from clonebas_ray.ops.text_dedup import minhash_lsh_pairs
+
+    texts = ["the same boilerplate document body repeated many times "
+             "with enough tokens for shingles"] * 200
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    )
+    with pytest.raises(Exception, match="max_pairs_per_task"):
+        minhash_lsh_pairs(ds, max_pairs_per_task=1000).to_pandas()
+
+
 def test_jaccard_kernel():
     from clonebas_ray.ops.text_dedup import jaccard, shingle_set
 
