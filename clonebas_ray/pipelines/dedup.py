@@ -389,6 +389,35 @@ def _refine_assignment(
     )
 
 
+#: replay-component size above which the block-mode greedy replay for
+#: that component dispatches as a Ray task (mirrors
+#: ``cluster._REFINE_REMOTE_NODES``); the tiny-component tail runs
+#: inline where task overhead would dwarf the work
+_BLOCK_REPLAY_REMOTE_UNITS = 256
+
+
+def _replay_block_component(
+    lfps: list, config: PipelineConfig, want_normal: bool,
+) -> tuple[list[list[str]], list[list[str]] | None]:
+    """Both-tier greedy replay over ONE component's fingerprints
+    (local indices).  The SAME objects carry ``to_be_cmp`` flags from
+    the high to the normal pass (``SimHasher.cpp:21-22``).  Pure
+    function so big components run as parallel Ray tasks."""
+    from clonebas_ray.oracle import greedy_cluster
+
+    uf_high, _ = greedy_cluster(lfps, config.t_high, config)
+    high_sets = [
+        sorted(lfps[m].sha for m in v) for v in uf_high.sets().values()
+    ]
+    normal_sets = None
+    if want_normal:
+        uf_norm, _ = greedy_cluster(lfps, config.t_normal, config)
+        normal_sets = [
+            sorted(lfps[m].sha for m in v) for v in uf_norm.sets().values()
+        ]
+    return high_sets, normal_sets
+
+
 def _refine_block_assignments(
     high_assignment: dict,
     normal_assignment: dict | None,
@@ -415,11 +444,23 @@ def _refine_block_assignments(
       already uses (twins share every pairwise decision);
     * both tiers replay over the SAME fingerprint objects so the
       ``to_be_cmp`` flags carry from the high to the normal pass, as
-      the reference shares them (``SimHasher.cpp:21-22``).
+      the reference shares them (``SimHasher.cpp:21-22``);
+    * the replay is COMPONENTIZED: units partition by connected
+      components of (tier cluster co-membership ∪ same-file
+      nearest-gated-parent→child links).  Greedy joins need Hamming
+      <= sigma plus the exact span gate, which the conservative LSH
+      candidate gate never drops, so every joinable pair shares a
+      verified edge and hence a tier cluster; J6 marks flow only from
+      a JOINED pair to its immediate gated children (``child_idx``),
+      i.e. along the parent-child links.  No interaction crosses the
+      closure, so replaying per component — big components as
+      parallel Ray tasks, the tiny tail inline — is EXACT, and the
+      replay wall time scales with the largest component instead of
+      the whole clustered union.
     """
     import ray
 
-    from clonebas_ray.oracle import OracleFingerprint, greedy_cluster
+    from clonebas_ray.oracle import OracleFingerprint
 
     wanted = set(high_assignment) | set(normal_assignment or {})
     if not wanted:
@@ -485,20 +526,98 @@ def _refine_block_assignments(
     for i in range(len(fps)):
         fps[i].child_idx = tuple(children.get(i, ()))
 
-    def to_assignment(uf) -> dict:
-        sets = [sorted(fps[m].sha for m in v) for v in uf.sets().values()]
+    # --- componentize: union within each tier cluster + along the
+    # parent-child mark links, then replay each component on its own
+    n = len(fps)
+    comp_parent = list(range(n))
+
+    def cfind(x: int) -> int:
+        root = x
+        while comp_parent[root] != root:
+            root = comp_parent[root]
+        while comp_parent[x] != root:
+            comp_parent[x], x = root, comp_parent[x]
+        return root
+
+    def cunion(a: int, b: int) -> None:
+        ra, rb = cfind(a), cfind(b)
+        if ra != rb:
+            comp_parent[max(ra, rb)] = min(ra, rb)
+
+    for assign in (high_assignment, normal_assignment or {}):
+        first_of_cid: dict[int, int] = {}
+        for u, cid in assign.items():
+            i = idx_of.get(u)
+            if i is None:
+                continue
+            f = first_of_cid.setdefault(cid, i)
+            if f != i:
+                cunion(f, i)
+    for p, kids in children.items():
+        for c in kids:
+            cunion(p, c)
+
+    comps: dict[int, list[int]] = {}
+    for i in range(n):
+        comps.setdefault(cfind(i), []).append(i)
+
+    def build_local(idxs: list[int]) -> list[OracleFingerprint]:
+        # fps are in canonical global order; a component's replay in
+        # local order == the global loop restricted to it.  Fathers
+        # outside the component (gapped ancestor chains) are dropped —
+        # J4 only ever EXCLUDES a compare, and cross-component pairs
+        # never compare
+        local_of = {g: loc for loc, g in enumerate(idxs)}
+        out = []
+        for loc, g in enumerate(idxs):
+            f = fps[g]
+            lf = OracleFingerprint(
+                index=loc, sha=f.sha, sig_hi=f.sig_hi, sig_lo=f.sig_lo,
+                token_num=f.token_num, file_key=f.file_key,
+                block_id=f.block_id,
+            )
+            lf.father_idx = tuple(
+                local_of[x] for x in f.father_idx if x in local_of
+            )
+            lf.child_idx = tuple(
+                local_of[x] for x in f.child_idx if x in local_of
+            )
+            out.append(lf)
+        return out
+
+    want_normal = normal_assignment is not None
+    replay_remote = ray.remote(_replay_block_component)
+    high_sets: list[list[str]] = []
+    normal_sets: list[list[str]] = []
+    pending = []
+    for root in sorted(comps):
+        idxs = comps[root]
+        if len(idxs) < 2:
+            continue  # a lone unit can never join
+        lfps = build_local(idxs)
+        if len(idxs) >= _BLOCK_REPLAY_REMOTE_UNITS:
+            pending.append(
+                replay_remote.remote(lfps, config, want_normal)
+            )
+        else:
+            h, nrm = _replay_block_component(lfps, config, want_normal)
+            high_sets.extend(h)
+            if nrm is not None:
+                normal_sets.extend(nrm)
+    for h, nrm in ray.get(pending):
+        high_sets.extend(h)
+        if nrm is not None:
+            normal_sets.extend(nrm)
+
+    def to_assignment(sets: list[list[str]]) -> dict:
         out: dict[str, int] = {}
         for cid, members in enumerate(sorted(sets)):
             for s in members:
                 out[s] = cid
         return out
 
-    uf_high, _ = greedy_cluster(fps, config.t_high, config)
-    refined_high = to_assignment(uf_high)
-    refined_normal = None
-    if normal_assignment is not None:
-        uf_norm, _ = greedy_cluster(fps, config.t_normal, config)
-        refined_normal = to_assignment(uf_norm)
+    refined_high = to_assignment(high_sets)
+    refined_normal = to_assignment(normal_sets) if want_normal else None
     return refined_high, refined_normal
 
 

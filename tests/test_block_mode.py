@@ -196,3 +196,64 @@ def test_block_boilerplate_skew_smoke(ray_session, tmp_path_factory):
     assert res.metrics["n_edges"] == 0
     sigs = res.fingerprints.to_pandas()
     assert sigs["sha"].nunique() == 2
+
+
+def test_block_replay_componentized_remote_exact(
+    ray_session, block_corpus, tmp_path_factory, monkeypatch
+):
+    """The componentized replay (big components as Ray tasks) must be
+    EXACT: forcing every >=2-unit component through the remote path
+    reproduces the sequential block oracle's pair set bit-for-bit."""
+    from clonebas_ray.oracle import run_block_oracle
+    from clonebas_ray.pipelines import dedup as dedup_mod
+
+    monkeypatch.setattr(dedup_mod, "_BLOCK_REPLAY_REMOTE_UNITS", 2)
+    d, tables = block_corpus
+    cfg = PipelineConfig(block_mode=True)
+    res = dedup_mod.run_dedup_pipeline(
+        f"{d}/files.parquet", str(tmp_path_factory.mktemp("blockremote")),
+        config=cfg, checkpoint=False,
+    )
+    oracle = run_block_oracle(tables.files.to_pylist(), cfg)
+    assert _pair_set(res.clusters) == oracle.pairs["high"]
+
+
+def test_block_replay_many_components_exact(ray_session, tmp_path_factory):
+    """Many independent clone families (disjoint replay components,
+    some spanning several files, some with nested suppressible
+    children) — the per-component replay must equal the sequential
+    oracle over the whole corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clonebas_ray.oracle import run_block_oracle
+    from clonebas_ray.pipelines.dedup import run_dedup_pipeline
+
+    rows = []
+    for fam in range(12):
+        # each family: 3 files sharing a distinctive nested body
+        body = (
+            f"a{fam} = a{fam} + {fam + 2}; b = b * {fam + 3}; "
+            f"c = c - a{fam}; d = d + b; "
+        ) * 10
+        for v in range(3):
+            tail = f"e = e + {v};" * v  # small per-file variation
+            src = (
+                f"int fn_{fam}_{v}(int a{fam}, int b, int c, int d, int e)"
+                " { if (b > 0) { %s } %s return c; }" % (body, tail)
+            )
+            rows.append(
+                {"repo": "r", "path": f"f{fam}_{v}.c", "commit": "c",
+                 "lang": "c", "content": src}
+            )
+    t = pa.Table.from_pylist(rows)
+    d = tmp_path_factory.mktemp("manycomp")
+    pq.write_table(t, str(d / "files.parquet"), row_group_size=8)
+    cfg = PipelineConfig(block_mode=True)
+    res = run_dedup_pipeline(
+        str(d / "files.parquet"), str(d / "run"), config=cfg,
+        checkpoint=False,
+    )
+    oracle = run_block_oracle(rows, cfg)
+    assert oracle.pairs["high"], "corpus produced no oracle pairs"
+    assert _pair_set(res.clusters) == oracle.pairs["high"]
