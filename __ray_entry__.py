@@ -301,8 +301,9 @@ def _q_media_frames(sf_dir: str):
 
 def _q_clone_corpus(sf_dir: str):
     """The reference conformance pipeline itself on the deterministic
-    synthetic source-code corpus (not SQL-expressible; pytest enforces
-    recall >= 0.99 vs the sequential oracle)."""
+    synthetic source-code corpus (pytest enforces exactness vs the
+    sequential oracle; the driver compares against the committed
+    golden parquet — tools/make_golden.py)."""
     _quiet()
     import ray.data
 
@@ -325,7 +326,8 @@ def _q_clone_corpus(sf_dir: str):
 def _q_model_clusters(sf_dir: str):
     """-clonemodel path (M9/T3/J8) on the synthetic corpus: sequences →
     embedding actor pool (deterministic stand-in model) → cosine
-    pairing → clusters.  Not SQL-expressible (model scoring)."""
+    pairing → clusters.  Model scoring isn't SQL-expressible; the
+    driver compares against the committed golden parquet."""
     _quiet()
     import tempfile
 
@@ -362,7 +364,8 @@ def _q_code_metrics(sf_dir: str):
 
 def _q_code_metrics_corpus(sf_dir: str):
     """M12 metrics on the synthetic source-code corpus (rows-only;
-    golden values pinned in tests/test_model_metrics.py)."""
+    golden values pinned in tests/test_model_metrics.py and the
+    committed golden parquet serving as the driver oracle)."""
     _quiet()
     import tempfile
 
@@ -380,8 +383,8 @@ def _q_code_metrics_corpus(sf_dir: str):
 
 def _q_block_clusters(sf_dir: str):
     """Block-mode clone clusters (the reference's default path) on the
-    synthetic corpus (rows-only; pytest enforces recall vs the block
-    oracle)."""
+    synthetic corpus (pytest enforces pair-set exactness vs the block
+    oracle; driver-compared against the committed golden parquet)."""
     _quiet()
     import tempfile
 
@@ -442,7 +445,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+#: queries whose oracle is a committed golden parquet (non-SQL
+#: pipelines: clone/model paths on the deterministic seed=42 corpus).
+#: The gold is produced by ``tools/make_golden.py``, which runs each
+#: query twice and refuses to pin a non-deterministic output; pytest
+#: independently enforces the clone pipelines against the sequential
+#: reference replay, so the gold pins THAT verified behavior and the
+#: driver gate catches any regression from it.
+_GOLDEN_QUERIES = (
+    "clone_corpus_clusters",
+    "clone_block_clusters",
+    "model_clone_clusters",
+    "code_metrics_corpus",
+)
+
+
 def oracle_sql() -> dict[str, str]:
+    sqls = _oracle_sql_literals()
+    for name in _GOLDEN_QUERIES:
+        path = os.path.join(_REPO, "golden", f"{name}.parquet")
+        if os.path.exists(path):
+            sqls[name] = f"SELECT * FROM read_parquet('{path}')"
+    return sqls
+
+
+def _oracle_sql_literals() -> dict[str, str]:
     return {
         "tpch_q1": """
 SELECT l_returnflag, l_linestatus,

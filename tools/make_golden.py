@@ -1,0 +1,65 @@
+"""Generate golden parquet outputs for the non-SQL-expressible
+queries (clone/model pipelines on the deterministic seed=42 synthetic
+corpus).  Each query runs TWICE and must hash identically — the gold
+is only committed if the pipeline is deterministic.  ``oracle_sql()``
+then serves these as ``read_parquet`` oracles so the driver's
+rows+schema+value-hash gate covers them like every other query.
+
+Usage: python tools/make_golden.py [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+os.environ.setdefault(
+    "RAY_DATA_LOGGING_CONFIG",
+    os.path.join(_REPO, "tools", "ray_data_logging.yaml"),
+)
+
+GOLDEN_QUERIES = (
+    "clone_corpus_clusters",
+    "clone_block_clusters",
+    "model_clone_clusters",
+    "code_metrics_corpus",
+)
+
+
+def main() -> int:
+    only = set(sys.argv[1:]) or set(GOLDEN_QUERIES)
+
+    import ray
+
+    ray.init(
+        address="local", num_cpus=8, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    import __ray_entry__ as entrymod
+    from tools.check_queries import norm, value_hash
+
+    outdir = os.path.join(_REPO, "golden")
+    os.makedirs(outdir, exist_ok=True)
+    qs = entrymod.queries()
+    sf = "/root/testdata/sf0.001"  # ignored: these build their own corpus
+    for name in GOLDEN_QUERIES:
+        if name not in only:
+            continue
+        df1 = qs[name](sf)
+        df2 = qs[name](sf)
+        h1, h2 = value_hash(norm(df1)), value_hash(norm(df2))
+        if h1 != h2 or len(df1) != len(df2):
+            print(f"NONDETERMINISTIC {name}: {len(df1)}/{h1} vs {len(df2)}/{h2}")
+            ray.shutdown()
+            return 1
+        path = os.path.join(outdir, f"{name}.parquet")
+        df1.to_parquet(path, index=False)
+        print(f"golden {name}: rows={len(df1)} hash={h1} -> {path}")
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
