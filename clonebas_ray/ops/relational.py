@@ -382,15 +382,15 @@ def distinct_langs(sf_dir: str) -> pa.Table:
 def customers_without_orders(sf_dir: str) -> pa.Table:
     """Anti join: broadcast the order-custkey set (a Bloom filter at
     real scale) and filter inside ``map_batches`` — no shuffle."""
-    okeys = set(
+    okeys = pa.array(
         _read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
     )
     keys_ref = ray.put(okeys)
 
     def anti(batch: pa.Table) -> pa.Table:
         ks = ray.get(keys_ref)
-        mask = [k not in ks for k in batch["c_custkey"].to_pylist()]
-        return batch.filter(pa.array(mask))
+        mask = pc.invert(pc.is_in(batch["c_custkey"], value_set=ks))
+        return batch.filter(mask)
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
     out = cust.map_batches(anti, batch_format="pyarrow").sort("c_custkey")
@@ -414,15 +414,14 @@ def big_spender_segments(sf_dir: str) -> pa.Table:
     def big(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.greater(batch["o_totalprice"], 200000.0))
 
-    keys = set(
+    keys = pa.array(
         orders.map_batches(big, batch_format="pyarrow").unique("o_custkey")
     )
     keys_ref = ray.put(keys)
 
     def semi(batch: pa.Table) -> pa.Table:
         ks = ray.get(keys_ref)
-        mask = [k in ks for k in batch["c_custkey"].to_pylist()]
-        return batch.filter(pa.array(mask))
+        return batch.filter(pc.is_in(batch["c_custkey"], value_set=ks))
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     out = (

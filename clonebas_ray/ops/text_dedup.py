@@ -780,19 +780,18 @@ def dedup_filter(
     ensure_worker_importable()
     import ray as ray_api
 
+    import pyarrow.compute as pc
+
     cdf = clusters.to_pandas()
-    drop = set(
-        cdf.loc[cdf[id_col] != cdf[cluster_col], id_col].tolist()
+    drop = pa.array(
+        cdf.loc[cdf[id_col] != cdf[cluster_col], id_col].to_numpy()
     )
     drop_ref = ray_api.put(drop)
 
     def keep(batch: pa.Table) -> pa.Table:
         d = ray_api.get(drop_ref)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        mask = np.fromiter(
-            (i not in d for i in ids), dtype=bool, count=len(ids)
-        )
-        return batch.filter(pa.array(mask))
+        mask = pc.invert(pc.is_in(batch[id_col], value_set=d))
+        return batch.filter(mask)
 
     return docs.map_batches(keep, batch_format="pyarrow")
 

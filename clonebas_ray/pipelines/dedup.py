@@ -837,21 +837,17 @@ def _cluster_stats(
                 "total_span": pa.array([], pa.int64()),
             }
         )
-    # broadcast the clustered-sha SET (a sha can belong to one cluster
-    # per tier — a dict keyed by sha alone would collapse tiers)
-    shaset_ref = ray.put(set(clusters["sha"].to_pylist()))
+    # broadcast the clustered-sha set as an Arrow array (a sha can
+    # belong to one cluster per tier — a dict keyed by sha alone would
+    # collapse tiers); membership test is a vectorized pc.is_in
+    import pyarrow.compute as pc
+
+    shaset_ref = ray.put(pc.unique(clusters["sha"]))
 
     def tag(batch: pa.Table) -> pa.Table:
         wanted = ray.get(shaset_ref)
-        shas = batch["sha"].to_pylist()
-        keep = np.array([s in wanted for s in shas], dtype=bool)
-        return pa.table(
-            {
-                "sha": pa.array(np.array(shas, dtype=object)[keep], pa.string()),
-                "token_num": batch["token_num"].filter(pa.array(keep)),
-                "file_key": batch["file_key"].filter(pa.array(keep)),
-            }
-        )
+        mask = pc.is_in(batch["sha"], value_set=wanted)
+        return batch.select(["sha", "token_num", "file_key"]).filter(mask)
 
     # the tagged subset only contains clustered rows (near-dup members),
     # which are small relative to the input by construction — so the
