@@ -620,25 +620,50 @@ class WinnowFingerprints:
     common-substring scan, at O(n) per doc instead of global sort.
     """
 
-    def __init__(self, k: int = 30, w: int = 8):
+    def __init__(self, k: int = 30, w: int = 8, hash_mode: str = "md5"):
+        if hash_mode not in ("md5", "poly"):
+            raise ValueError(f"hash_mode must be 'md5' or 'poly', got {hash_mode!r}")
         self.k = k
         self.w = w
+        self.hash_mode = hash_mode
+
+    def _gram_hashes(self, text: str, n_grams: int) -> np.ndarray:
+        """One 64-bit hash per K-char gram.  ``md5`` is the
+        DuckDB-verifiable convention (one hashlib call per position —
+        the oracle recomputes it with ``md5_number_lower``); ``poly``
+        is the production kernel for non-oracled runs: a vectorized
+        polynomial rolling hash over char codes (O(k) numpy vector
+        ops total, no per-position Python), splitmix64-finalized so
+        window minima are uniform.  Same winnowing guarantee — any
+        shared substring of length >= K + W - 1 still shares a
+        selected fingerprint — just a different hash family."""
+        if self.hash_mode == "md5":
+            from clonebas_ray.functions.murmur3 import md5_low64
+
+            k = self.k
+            return np.fromiter(
+                (
+                    md5_low64(text[p:p + k].encode("utf-8", "surrogatepass"))
+                    for p in range(n_grams)
+                ),
+                dtype=np.uint64,
+                count=n_grams,
+            )
+        codes = np.frombuffer(
+            text.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+        ).astype(np.uint64)
+        B = np.uint64(0x100000001B3)
+        acc = np.zeros(n_grams, dtype=np.uint64)
+        for off in range(self.k):
+            acc = acc * B + codes[off : n_grams + off]
+        return _mix64(acc)
 
     def _fingerprints(self, text: str) -> np.ndarray:
-        from clonebas_ray.functions.murmur3 import md5_low64
-
-        k, w = self.k, self.w
-        n_grams = len(text) - k + 1
+        w = self.w
+        n_grams = len(text) - self.k + 1
         if n_grams <= 0:
             return np.empty(0, dtype=np.uint64)
-        h = np.fromiter(
-            (
-                md5_low64(text[p:p + k].encode("utf-8", "surrogatepass"))
-                for p in range(n_grams)
-            ),
-            dtype=np.uint64,
-            count=n_grams,
-        )
+        h = self._gram_hashes(text, n_grams)
         if n_grams <= w:
             return np.unique(h.min(keepdims=True))
         wins = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
@@ -671,6 +696,7 @@ def substring_dup_pairs(
     w: int = 8,
     max_df: int = 64,
     concurrency: int | tuple[int, int] = (1, 8),
+    hash_mode: str = "md5",
 ) -> pa.Table:
     """Substring-duplicate pairs: documents sharing >= 1 winnowed
     K-gram fingerprint (⇒ any common substring of length
@@ -683,7 +709,10 @@ def substring_dup_pairs(
     counts.  ``max_df`` drops boilerplate fingerprints present in more
     than that many docs — the skew guard that keeps a corpus-wide
     common header from exploding quadratically (mirrored by the SQL
-    oracle's HAVING clause)."""
+    oracle's HAVING clause).  ``hash_mode='poly'`` swaps the
+    oracle-pinned per-gram md5 for a vectorized rolling polynomial
+    hash (~an order of magnitude cheaper; use for production runs
+    where SQL parity isn't needed)."""
     ensure_worker_importable()
     from clonebas_ray.ops.relational import auto_partitions
 
@@ -691,7 +720,7 @@ def substring_dup_pairs(
 
     fps = docs.select_columns(["doc_id", "text"]).map_batches(
         WinnowFingerprints,
-        fn_constructor_kwargs={"k": k, "w": w},
+        fn_constructor_kwargs={"k": k, "w": w, "hash_mode": hash_mode},
         batch_format="pyarrow",
         concurrency=concurrency,
         max_restarts=0,

@@ -389,6 +389,52 @@ def test_winnow_fingerprint_determinism():
     assert len(wf._fingerprints("abcdef")) == 1
 
 
+def test_winnow_poly_mode(ray_session):
+    """hash_mode='poly' (vectorized rolling hash, non-oracled
+    production kernel) keeps the winnowing guarantee and finds the
+    same planted substring duplicate as the md5 convention."""
+    import ray.data
+
+    from clonebas_ray.ops.text_dedup import (
+        WinnowFingerprints, substring_dup_pairs,
+    )
+
+    # guarantee property under the poly family: shared >= k+w-1
+    # substring => shared selected fingerprint
+    wf = WinnowFingerprints(k=8, w=4, hash_mode="poly")
+    shared = "zyxwvutsrqponml"  # 15 >= 8 + 4 - 1
+    fa = set(wf._fingerprints("aaaa" + shared + "bbbb"))
+    fb = set(wf._fingerprints("cccccc" + shared + "dd"))
+    assert fa & fb
+    # determinism + multibyte safety
+    t = "héllo wörld " * 10
+    assert (wf._fingerprints(t) == wf._fingerprints(t)).all()
+
+    rng = np.random.default_rng(3)
+
+    def rand_text(n):
+        return "".join(
+            rng.choice(list("abcdefghijklmnopqrstuvwxyz "), size=n)
+        )
+
+    planted = rand_text(40)
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": [
+                rand_text(80) + planted + rand_text(60),
+                rand_text(50) + planted + rand_text(90),
+                rand_text(200),
+            ],
+        }
+    )
+    out = substring_dup_pairs(
+        ray.data.from_arrow(docs), hash_mode="poly"
+    ).to_pandas()
+    got = set(zip(out.doc_a, out.doc_b))
+    assert got == {(0, 1)}
+
+
 def test_winnowing_guarantee_property():
     """Property (Schleimer et al. 2003 theorem): ANY two strings
     sharing a substring of length >= k + w - 1 share at least one
