@@ -370,35 +370,20 @@ def embedding_near_dup_clusters(
 ) -> pa.Table:
     """Exact near-dup pairs → connected components →
     (vec_id, cluster_id) with the min member id as the canonical
-    cluster label (matches a SQL recursive-CTE closure oracle)."""
+    cluster label (matches a SQL recursive-CTE closure oracle).
+
+    The pair dataset streams into the driver union-find via
+    ``iter_batches`` (O(nodes) driver memory — near-dup-bounded),
+    never a full pair-table ``to_pandas``."""
     ensure_worker_importable()
-    from clonebas_ray.stages.cluster import union_find_clusters
+    from clonebas_ray.ops.text_dedup import _stream_int_union_find
 
     pairs = embedding_near_dup_pairs(
         vectors, threshold=threshold, id_col=id_col, emb_col=emb_col,
         **kwargs,
-    ).to_pandas()
-    edge_t = pa.table(
-        {
-            "sha_a": pa.array(pairs["vec_a"].astype(str), pa.string()),
-            "sha_b": pa.array(pairs["vec_b"].astype(str), pa.string()),
-        }
     )
-    assignment = union_find_clusters(edge_t)
-    min_id: dict[int, int] = {}
-    for s, c in assignment.items():
-        i = int(s)
-        if c not in min_id or i < min_id[c]:
-            min_id[c] = i
-    ids = sorted(assignment, key=int)
-    return pa.table(
-        {
-            id_col: pa.array([int(i) for i in ids], pa.int64()),
-            "cluster_id": pa.array(
-                [min_id[assignment[i]] for i in ids], pa.int64()
-            ),
-        }
-    )
+    out = _stream_int_union_find([pairs], cols=("vec_a", "vec_b"))
+    return out.rename_columns([id_col, "cluster_id"])
 
 
 def embedding_near_dup_pairs_lsh(
