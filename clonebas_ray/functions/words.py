@@ -361,7 +361,23 @@ class WordExtractor:
         # switch, the captured cond tokens (replayed inside every
         # case's synthesized ==), the word ranges of each case-unit
         # condition (replayed by default's !(c1 & c2 & ...) chain),
-        # and stacked-label bookkeeping for the | chains
+        # and stacked-label bookkeeping for the | chains.
+        # PINNED APPROXIMATIONS (documented divergences from the
+        # reference for switches with fall-through):
+        # * HandleSwitchNoramlStmt (FixedChecker.cpp:349-368) appends
+        #   each case-body statement to EVERY waiting selection unit,
+        #   so fall-through statements' words DUPLICATE per open case;
+        #   this walker emits each statement once.  The reference
+        #   shares the statement nodes across units, which a linear
+        #   token walk (and the block w0/w1 range bookkeeping) cannot
+        #   express without a real AST — see the M2/S2 fidelity note.
+        # * switch-level break statements are consumed at unit flush
+        #   (FixedChecker.cpp:218-224) without emitting a word; this
+        #   walker emits BreakStmt for them (breaks nested in loops
+        #   inside case bodies emit in both).
+        # The sequential conformance oracle shares this extractor, so
+        # clustering parity is unaffected; both are fidelity seams vs
+        # a true Clang AST, tracked in CLAUDE.md pinned semantics.
         switch_stack: list[dict] = []
         # if-cond capture per brace depth: the else unit's expression
         # is !(cond) — the WHOLE cond subtree replays under the UO_!

@@ -280,7 +280,15 @@ def _sharded_fingerprints(
     shards = list_input_shards(input_path)
     if not shards:
         raise ValueError(f"no parquet shards under {input_path!r}")
-    ckpt = ShardedCheckpoint(run_dir, "fingerprints", config.config_hash())
+    input_root = (
+        input_path if isinstance(input_path, str)
+        and os.path.isdir(input_path)
+        else os.path.dirname(shards[0])
+    )
+    ckpt = ShardedCheckpoint(
+        run_dir, "fingerprints", config.config_hash(),
+        input_root=input_root,
+    )
     cached, todo = ckpt.plan(shards, resume)
     from clonebas_ray.stages.ingest import read_split_blocks
 

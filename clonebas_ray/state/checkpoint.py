@@ -151,11 +151,15 @@ class ShardedCheckpoint:
     checkpoint with per-partition lineage".
     """
 
-    def __init__(self, run_dir: str, stage: str, config_hash: str):
+    def __init__(self, run_dir: str, stage: str, config_hash: str,
+                 input_root: str | None = None):
         self.stage_dir = os.path.join(run_dir, stage)
         self.data_dir = os.path.join(self.stage_dir, "data")
         self.manifest_path = os.path.join(self.stage_dir, "manifest.json")
         self.config_hash = config_hash
+        self.input_root = (
+            os.path.abspath(input_root) if input_root else None
+        )
         os.makedirs(self.data_dir, exist_ok=True)
 
     def _load_manifest(self) -> dict:
@@ -165,19 +169,48 @@ class ShardedCheckpoint:
         except (OSError, json.JSONDecodeError):
             return {"shards": {}}
 
+    def _rel(self, shard_path: str) -> str:
+        """Corpus-root-RELATIVE shard identity: resume survives the
+        corpus being mounted at a different absolute path (same
+        relative layout ⇒ same lineage keys).  Falls back to the
+        basename when no root is known or the shard lies outside it."""
+        ap = os.path.abspath(shard_path)
+        if self.input_root:
+            rel = os.path.relpath(ap, self.input_root)
+            if not rel.startswith(".."):
+                return rel
+        return os.path.basename(ap)
+
     def _shard_key(self, shard_path: str) -> str:
+        rel = self._rel(shard_path)
+        st = os.stat(shard_path) if os.path.exists(shard_path) else None
+        ident = hashlib.sha256(
+            (f"{rel}:{st.st_size}:{st.st_mtime_ns}" if st
+             else f"{rel}:absent").encode()
+        ).hexdigest()[:16]
+        return lineage_key(ident, self.config_hash, rel)
+
+    def _shard_id(self, shard_path: str) -> str:
+        """Manifest/dir identity for one shard: basename for
+        readability + a hash of the root-relative path so two shards
+        named ``part.parquet`` in different subdirectories never
+        collide."""
+        h = hashlib.sha256(self._rel(shard_path).encode()).hexdigest()[:10]
+        name = os.path.basename(shard_path).replace(".parquet", "")
+        return f"{name}-{h}"
+
+    # -- legacy (pre round-3) identity: abspath-derived ids/keys.
+    # Kept so resume still accepts checkpoints written by earlier
+    # builds when the corpus has not moved; see BASELINE.md migration
+    # note.
+    def _legacy_shard_key(self, shard_path: str) -> str:
         return lineage_key(
             input_identity(shard_path), self.config_hash,
             os.path.abspath(shard_path),
         )
 
     @staticmethod
-    def _shard_id(shard_path: str) -> str:
-        """Manifest/dir identity for one shard: basename for
-        readability + a hash of the FULL path so two shards named
-        ``part.parquet`` in different directories never collide."""
-        import hashlib
-
+    def _legacy_shard_id(shard_path: str) -> str:
         h = hashlib.sha256(
             os.path.abspath(shard_path).encode()
         ).hexdigest()[:10]
@@ -204,8 +237,23 @@ class ShardedCheckpoint:
                 and os.path.isdir(out)
             ):
                 cached.append(out)
-            else:
-                todo.append(s)
+                continue
+            # migration fallback: accept a valid entry written by an
+            # earlier build under the abspath-derived identity
+            legacy_entry = manifest["shards"].get(self._legacy_shard_id(s))
+            legacy_out = os.path.join(
+                self.data_dir, self._legacy_shard_id(s)
+            )
+            if (
+                resume
+                and legacy_entry
+                and legacy_entry.get("lineage_key")
+                == self._legacy_shard_key(s)
+                and os.path.isdir(legacy_out)
+            ):
+                cached.append(legacy_out)
+                continue
+            todo.append(s)
         return cached, todo
 
     def record(self, shard_path: str, rows: int, wall_s: float) -> None:

@@ -63,3 +63,21 @@ def test_shard_mutation_invalidates_only_that_shard(ray_session,
     assert res2.metrics["fingerprint_shards_cached"] == 3
     assert res2.metrics["fingerprint_shards_computed"] == 1
     assert res2.clusters.equals(res1.clusters)
+
+
+def test_relocated_corpus_resumes(ray_session, sharded_corpus, tmp_path):
+    """Shard lineage is corpus-root-relative: moving the identical
+    corpus to a different mount path (mtimes preserved) resumes every
+    shard from checkpoint instead of recomputing."""
+    from clonebas_ray.pipelines.dedup import run_dedup_pipeline
+
+    run_dir = str(tmp_path / "run3")
+    res1 = run_dedup_pipeline(sharded_corpus, run_dir)
+    assert res1.metrics["fingerprint_shards_computed"] == 4
+
+    moved = str(tmp_path / "relocated")
+    os.rename(sharded_corpus, moved)  # preserves mtime_ns
+    res2 = run_dedup_pipeline(moved, run_dir)
+    assert res2.metrics["fingerprint_shards_cached"] == 4
+    assert res2.metrics["fingerprint_shards_computed"] == 0
+    assert res2.clusters.equals(res1.clusters)
