@@ -1,0 +1,73 @@
+"""Adversarial golden word-stream corpus (S2/M2 fidelity hardening —
+round-2 VERDICT item 4).
+
+The parse stage is a regex lexer + single-pass classifier (a
+documented stand-in for a real Clang/tree-sitter frontend — no parser
+package is installable in this environment), and the sequential
+conformance oracle SHARES that extractor, so clustering parity alone
+cannot catch lexer regressions.  These 26 cases pin the exact word
+streams for the constructs most likely to break a token-level walker
+— templates, macros (object/function/conditional/multiline),
+operator overloading, lambdas (capture/nested/in-call), switch
+fall-through, do-while nesting, comma-separated for inits, goto
+labels, function-pointer declarators, ternary chains, ctor init
+lists, throw/catch, enum bit-ops, and braces/quotes inside string and
+char literals.
+
+The pinned streams are the CURRENT stand-in's output (committed after
+review), not a Clang ground truth — the test freezes behavior so any
+walker change that shifts word multisets is an explicit, reviewed
+diff (regenerate with the snippet in this docstring's git history /
+tools, then re-commit deliberately).
+"""
+
+import json
+import os
+
+import pytest
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+with open(os.path.join(_HERE, "golden_words_inputs.json")) as f:
+    INPUTS = json.load(f)
+with open(os.path.join(_HERE, "golden_words.json")) as f:
+    GOLDEN = json.load(f)
+
+
+@pytest.mark.parametrize("name", sorted(INPUTS))
+def test_golden_word_stream(name):
+    from clonebas_ray.functions.words import WordExtractor
+
+    src = INPUTS[name]
+    assert WordExtractor("cpp").extract(src) == GOLDEN[name]["cpp"], (
+        f"{name}: ast_opt word stream drifted from the pinned golden"
+    )
+    assert (
+        WordExtractor("cpp", ast_opt=False).extract(src)
+        == GOLDEN[name]["cpp_raw"]
+    ), f"{name}: raw word stream drifted from the pinned golden"
+
+
+def test_golden_corpus_covers_requirement():
+    # round-2 VERDICT item 4 asks for >= 20 pinned adversarial cases
+    assert len(INPUTS) >= 20
+    assert set(INPUTS) == set(GOLDEN)
+
+
+def test_string_braces_do_not_open_blocks():
+    """The adversarial property behind the string_escapes case: brace
+    characters inside string/char literals must not create blocks."""
+    from clonebas_ray.functions.words import WordExtractor
+
+    blocks = WordExtractor("cpp").extract_blocks(INPUTS["string_escapes"])
+    assert blocks == []
+
+
+def test_macro_lines_emit_no_words():
+    """Preprocessor directives are invisible to the word stream (the
+    reference analyzes post-preprocessed TUs; our stand-in skips
+    directive lines entirely)."""
+    from clonebas_ray.functions.words import WordExtractor
+
+    only_directives = "#define A 1\n#ifdef A\n#endif\n#include <x.h>\n"
+    assert WordExtractor("cpp").extract(only_directives) == []
