@@ -110,6 +110,14 @@ def _seq_word_filter(
       default; ``g_opNodeDiff`` turns suffixes ON);
     * the ``no_*`` switches drop literal / declaration / DeclStmt /
       array-subscript nodes entirely.
+
+    DOCUMENTED SKIP — ``-opnodetype`` / ``-arrtype``
+    (``NodeTravesal.cpp:33-43``): those two flags append the node's
+    Clang-computed expression TYPE to the name.  The regex lexer has
+    no type inference (the S2 stand-in seam), so the flags are
+    rejected explicitly rather than silently approximated; they
+    unblock together with a real parser frontend (see the walker
+    fidelity note in ``functions/words.py``).
     """
     out: list[str] = []
     for w in words:
@@ -137,6 +145,14 @@ class SequenceActor:
                  seq_opts: dict | None = None):
         self.config = config
         self.seq_opts = seq_opts or {}
+        for blocked in ("op_node_type", "arr_type"):
+            if self.seq_opts.get(blocked):
+                raise NotImplementedError(
+                    f"seq_opts[{blocked!r}] (-opnodetype/-arrtype, "
+                    "NodeTravesal.cpp:33-43) needs expression types; "
+                    "the regex-lexer frontend has none — documented "
+                    "skip, see _seq_word_filter"
+                )
         self.registry = ExtractorRegistry(ast_opt=config.ast_opt)
 
     def __call__(self, batch: pa.Table) -> pa.Table:

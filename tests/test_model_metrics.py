@@ -360,3 +360,17 @@ def test_sequences_python_and_text_files(ray_session):
     assert len(seqs) == 1
     s = seqs.iloc[0]
     assert sorted(s["preseq"].split()) == sorted(s["postseq"].split())
+
+
+def test_type_suffix_options_documented_skip():
+    """-opnodetype / -arrtype (NodeTravesal.cpp:33-43) need
+    Clang-computed expression types; the regex-lexer frontend has
+    none, so the flags fail fast with the documented skip instead of
+    silently approximating."""
+    import pytest as _pytest
+
+    from clonebas_ray.ops.model_path import SequenceActor
+
+    for flag in ("op_node_type", "arr_type"):
+        with _pytest.raises(NotImplementedError, match="documented"):
+            SequenceActor(seq_opts={flag: True})
