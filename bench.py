@@ -214,8 +214,63 @@ def run_scaling() -> dict:
     }
 
 
+def run_block_smoke() -> dict:
+    """1M-file BLOCK-MODE scale smoke (the reference's default path):
+    wall time, driver peak RSS, and the componentized
+    complete-linkage replay's share — the at-scale evidence for the
+    block-mode replay (recorded in BASELINE.md)."""
+    import logging
+    import resource
+    import shutil
+
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from clonebas_ray.config import PipelineConfig
+    from clonebas_ray.pipelines.dedup import run_dedup_pipeline
+
+    global BENCH_FILES
+    BENCH_FILES = SCALING_FILES
+    corpus_path, corpus_mb = _ensure_bench_corpus()
+    run_dir = os.path.join(BENCH_DIR, f"block_run_{NUM_CPUS}")
+    shutil.rmtree(run_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    res = run_dedup_pipeline(
+        corpus_path, run_dir, checkpoint=False,
+        config=PipelineConfig(block_mode=True),
+    )
+    wall = time.perf_counter() - t0
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    ray.shutdown()
+    return {
+        "metric": "block_mode_1m_smoke_sec",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "bench_files": SCALING_FILES,
+        "corpus_mb": round(corpus_mb, 1),
+        "num_cpus": NUM_CPUS,
+        "files_per_sec": round(SCALING_FILES / wall, 1),
+        "block_refine_s": res.metrics.get("block_refine_s"),
+        "cluster_s": res.metrics.get("cluster_s"),
+        "driver_rss_gb": round(rss_gb, 2),
+        "n_clusters": res.metrics.get("n_clusters"),
+        "n_edges": res.metrics.get("n_edges"),
+        "n_clustered_units": res.metrics.get("n_clustered_shas"),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--block-smoke" in sys.argv:
+        print(json.dumps(run_block_smoke()))
     else:
         print(json.dumps(run_bench()))

@@ -179,9 +179,11 @@ def run_dedup_pipeline(
                 n_assign, fingerprints, config, sigma=config.t_normal
             )
     if refine_block and (assignment or n_assign):
+        t_r = time.perf_counter()
         assignment, n_assign = _refine_block_assignments(
             assignment, n_assign, fingerprints, config
         )
+        metrics["block_refine_s"] = round(time.perf_counter() - t_r, 3)
     clusters = clusters_table(assignment, tier=1)
     if n_assign is not None:
         # keep cluster ids globally unique across tiers
