@@ -406,25 +406,120 @@ def _refine_assignment(
 _BLOCK_REPLAY_REMOTE_UNITS = 256
 
 
+def _fast_greedy_sets(
+    hi: "np.ndarray", lo: "np.ndarray", tok: "np.ndarray",
+    fkey: "np.ndarray", related: dict[int, "np.ndarray"],
+    children: list["np.ndarray"], to_be_cmp: "np.ndarray",
+    sigma: int, config: PipelineConfig,
+) -> list[list[int]]:
+    """Vectorized EXACT replay of ``oracle.greedy_cluster``
+    (``SimHasher.cpp:149-192``) for one component — same predicates in
+    the same sequential order, but Hamming distances come from
+    vectorized popcount ROWS (one per anchor + one per join) instead
+    of one Python ``popcount128`` call per (i, j) pair, which made a
+    10^4-unit boilerplate component take tens of minutes.  Work is
+    O(n · rows) numpy element ops + Python only over each anchor's
+    sigma-neighborhood.
+
+    ``related[i]`` holds i's J4 ancestor-relation partners (both
+    directions); ``to_be_cmp`` is mutated in place so the normal-tier
+    pass shares flags with the high pass (``SimHasher.cpp:21-22``).
+    The pipeline uses THIS implementation while the sequential oracle
+    keeps the object-based loop — the exact-pair-set tests
+    cross-validate the two independently.
+    """
+    import numpy as np
+
+    from clonebas_ray.functions.simhash import hamming_pairs
+
+    n = len(hi)
+    sets_out: list[list[int]] = []
+    if sigma < 0:
+        return sets_out  # tier disabled
+    in_set = np.zeros(n, dtype=bool)
+    gate = config.span_gate
+
+    def ham_row(j: int) -> "np.ndarray":
+        return hamming_pairs(hi[j : j + 1], lo[j : j + 1], hi, lo)
+
+    for i in range(n - 1, -1, -1):
+        if in_set[i]:
+            continue
+        d_i = ham_row(i)
+        feasible = d_i <= sigma  # complete-linkage running mask
+        # anchor-vs-j compare gates (checkToCompare): span + J4 + J5
+        ok = feasible.copy()
+        ok &= ~in_set
+        ok &= np.abs(tok - tok[i]) <= np.minimum(tok, tok[i]) * gate
+        rel = related.get(i)
+        if rel is not None and len(rel):
+            ok[rel] = False
+        if config.only_diff_file:
+            ok &= fkey != fkey[i]
+        if config.only_same_file:
+            ok &= fkey == fkey[i]
+        cand = np.flatnonzero(ok[:i])
+        if not len(cand):
+            continue
+        members = [i]
+        for j in cand[::-1]:  # descending, as the reference iterates
+            if in_set[j] or not feasible[j]:
+                continue
+            # J6: skip only when BOTH sides are flagged
+            if not to_be_cmp[i] and not to_be_cmp[j]:
+                continue
+            members.append(int(j))
+            in_set[j] = True
+            feasible &= ham_row(j) <= sigma
+            # markSonToNotCmp on both sides (SimHasher.cpp:58-89)
+            if len(children[i]):
+                to_be_cmp[children[i]] = False
+            if len(children[j]):
+                to_be_cmp[children[j]] = False
+        if len(members) > 1:
+            in_set[i] = True
+            sets_out.append(members)
+    return sets_out
+
+
 def _replay_block_component(
     lfps: list, config: PipelineConfig, want_normal: bool,
 ) -> tuple[list[list[str]], list[list[str]] | None]:
     """Both-tier greedy replay over ONE component's fingerprints
-    (local indices).  The SAME objects carry ``to_be_cmp`` flags from
-    the high to the normal pass (``SimHasher.cpp:21-22``).  Pure
-    function so big components run as parallel Ray tasks."""
-    from clonebas_ray.oracle import greedy_cluster
+    (local indices), via the vectorized exact kernel
+    (``_fast_greedy_sets``).  The SAME flag array carries
+    ``to_be_cmp`` from the high to the normal pass
+    (``SimHasher.cpp:21-22``).  Pure function so big components run
+    as parallel Ray tasks."""
+    import numpy as np
 
-    uf_high, _ = greedy_cluster(lfps, config.t_high, config)
-    high_sets = [
-        sorted(lfps[m].sha for m in v) for v in uf_high.sets().values()
+    n = len(lfps)
+    hi = np.array([f.sig_hi for f in lfps], dtype=np.uint64)
+    lo = np.array([f.sig_lo for f in lfps], dtype=np.uint64)
+    tok = np.array([f.token_num for f in lfps], dtype=np.float64)
+    fkey = np.array([f.file_key for f in lfps])
+    children = [
+        np.array(f.child_idx, dtype=np.int64) for f in lfps
     ]
-    normal_sets = None
-    if want_normal:
-        uf_norm, _ = greedy_cluster(lfps, config.t_normal, config)
-        normal_sets = [
-            sorted(lfps[m].sha for m in v) for v in uf_norm.sets().values()
-        ]
+    related: dict[int, list[int]] = {}
+    for f in lfps:
+        for a in f.father_idx:
+            related.setdefault(f.index, []).append(a)
+            related.setdefault(a, []).append(f.index)
+    related_np = {
+        k: np.array(v, dtype=np.int64) for k, v in related.items()
+    }
+    to_be_cmp = np.ones(n, dtype=bool)
+
+    def run(sigma: int) -> list[list[str]]:
+        sets_idx = _fast_greedy_sets(
+            hi, lo, tok, fkey, related_np, children, to_be_cmp,
+            sigma, config,
+        )
+        return [sorted(lfps[m].sha for m in s) for s in sets_idx]
+
+    high_sets = run(config.t_high)
+    normal_sets = run(config.t_normal) if want_normal else None
     return high_sets, normal_sets
 
 

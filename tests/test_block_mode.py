@@ -257,3 +257,76 @@ def test_block_replay_many_components_exact(ray_session, tmp_path_factory):
     oracle = run_block_oracle(rows, cfg)
     assert oracle.pairs["high"], "corpus produced no oracle pairs"
     assert _pair_set(res.clusters) == oracle.pairs["high"]
+
+
+def test_fast_greedy_matches_sequential_randomized():
+    """_fast_greedy_sets (the pipeline's vectorized replay kernel)
+    must reproduce oracle.greedy_cluster bit-for-bit on randomized
+    components: random near-collided signatures, spans, file keys,
+    parent/child links, and both tiers sharing to_be_cmp flags."""
+    import numpy as np
+
+    from clonebas_ray.config import PipelineConfig
+    from clonebas_ray.oracle import OracleFingerprint, greedy_cluster
+    from clonebas_ray.pipelines.dedup import _replay_block_component
+
+    rng = np.random.default_rng(11)
+    for trial in range(25):
+        n = int(rng.integers(2, 40))
+        # cluster-prone signatures: few base patterns + bit flips
+        bases = rng.integers(0, 2**32, size=max(1, n // 6), dtype=np.uint64)
+        fps = []
+        for i in range(n):
+            b = bases[int(rng.integers(0, len(bases)))]
+            flips = int(rng.integers(0, 4))
+            hi = int(b)
+            for _ in range(flips):
+                hi ^= 1 << int(rng.integers(0, 64))
+            fps.append(
+                OracleFingerprint(
+                    index=i, sha=f"s{i}", sig_hi=hi,
+                    sig_lo=int(b >> np.uint64(3)),
+                    token_num=int(rng.integers(201, 260)),
+                    file_key=f"f{int(rng.integers(0, max(1, n // 3)))}",
+                    block_id=i,
+                )
+            )
+        # random forest of parent links within the same file_key
+        children: dict[int, list[int]] = {}
+        for i in range(1, n):
+            if rng.random() < 0.5:
+                p = int(rng.integers(0, i))
+                if fps[p].file_key == fps[i].file_key:
+                    fps[i].father_idx = (p,)
+                    children.setdefault(p, []).append(i)
+        for i in range(n):
+            fps[i].child_idx = tuple(children.get(i, ()))
+
+        cfg = PipelineConfig(block_mode=True, t_high=1, t_normal=3)
+
+        def clone():
+            out = []
+            for f in fps:
+                g = OracleFingerprint(
+                    index=f.index, sha=f.sha, sig_hi=f.sig_hi,
+                    sig_lo=f.sig_lo, token_num=f.token_num,
+                    file_key=f.file_key, block_id=f.block_id,
+                )
+                g.father_idx = f.father_idx
+                g.child_idx = f.child_idx
+                out.append(g)
+            return out
+
+        # sequential reference replay (shared flags across tiers)
+        seq = clone()
+        uf_h, _ = greedy_cluster(seq, cfg.t_high, cfg)
+        want_h = sorted(
+            sorted(seq[m].sha for m in v) for v in uf_h.sets().values()
+        )
+        uf_n, _ = greedy_cluster(seq, cfg.t_normal, cfg)
+        want_n = sorted(
+            sorted(seq[m].sha for m in v) for v in uf_n.sets().values()
+        )
+        got_h, got_n = _replay_block_component(clone(), cfg, True)
+        assert sorted(got_h) == want_h, f"trial {trial} high tier"
+        assert sorted(got_n) == want_n, f"trial {trial} normal tier"
