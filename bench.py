@@ -259,6 +259,13 @@ def run_block_smoke() -> dict:
         "num_cpus": NUM_CPUS,
         "files_per_sec": round(SCALING_FILES / wall, 1),
         "block_refine_s": res.metrics.get("block_refine_s"),
+        "replay_components": res.metrics.get("replay_components"),
+        "replay_max_component_units": res.metrics.get(
+            "replay_max_component_units"
+        ),
+        "replay_capped_components": res.metrics.get(
+            "replay_capped_components"
+        ),
         "cluster_s": res.metrics.get("cluster_s"),
         "driver_rss_gb": round(rss_gb, 2),
         "n_clusters": res.metrics.get("n_clusters"),

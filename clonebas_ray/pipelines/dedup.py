@@ -181,7 +181,8 @@ def run_dedup_pipeline(
     if refine_block and (assignment or n_assign):
         t_r = time.perf_counter()
         assignment, n_assign = _refine_block_assignments(
-            assignment, n_assign, fingerprints, config
+            assignment, n_assign, fingerprints, config,
+            stats_out=metrics,
         )
         metrics["block_refine_s"] = round(time.perf_counter() - t_r, 3)
     clusters = clusters_table(assignment, tier=1)
@@ -405,6 +406,15 @@ def _refine_assignment(
 #: inline where task overhead would dwarf the work
 _BLOCK_REPLAY_REMOTE_UNITS = 256
 
+#: component-size cap for the exact block replay, mirroring file
+#: mode's ``max_component`` (``cluster._refine_component``): a
+#: component beyond this keeps its per-tier connected-components
+#: grouping instead of the sequential replay — recall-safe (CC only
+#: over-merges), a documented precision seam for pathological
+#: clone-storm components whose exact sequential replay no engine can
+#: make sublinear in pairs
+_BLOCK_REPLAY_MAX_UNITS = 20000
+
 
 def _fast_greedy_sets(
     hi: "np.ndarray", lo: "np.ndarray", tok: "np.ndarray",
@@ -462,13 +472,28 @@ def _fast_greedy_sets(
         if not len(cand):
             continue
         members = [i]
-        for j in cand[::-1]:  # descending, as the reference iterates
-            if in_set[j] or not feasible[j]:
-                continue
-            # J6: skip only when BOTH sides are flagged
-            if not to_be_cmp[i] and not to_be_cmp[j]:
-                continue
-            members.append(int(j))
+        # Candidate-list compression: between two joins NO mutable
+        # state changes (in_set / feasible / to_be_cmp all mutate only
+        # at a join), so every skip predicate can be applied to the
+        # whole remaining list in one vectorized mask after each join
+        # instead of one Python check per j — a dense boilerplate
+        # component otherwise costs O(n^2) interpreter iterations.
+        # Semantics are identical: a j blocked at compression time is
+        # blocked at its sequential turn (flags only ever clear), and
+        # a j marked by an intervening join is dropped by the next
+        # compression exactly as the reference's one-pass scan skips
+        # it at its turn.
+        rest = cand[::-1]  # descending, as the reference iterates
+        while len(rest):
+            mask = feasible[rest] & ~in_set[rest]
+            if not to_be_cmp[i]:
+                mask &= to_be_cmp[rest]  # J6: skip only if BOTH flagged
+            rest = rest[mask]
+            if not len(rest):
+                break
+            j = int(rest[0])
+            rest = rest[1:]
+            members.append(j)
             in_set[j] = True
             feasible &= ham_row(j) <= sigma
             # markSonToNotCmp on both sides (SimHasher.cpp:58-89)
@@ -528,6 +553,7 @@ def _refine_block_assignments(
     normal_assignment: dict | None,
     fingerprints,
     config: PipelineConfig,
+    stats_out: dict | None = None,
 ) -> tuple[dict, dict | None]:
     """Exact block-mode complete-linkage replay (both tiers).
 
@@ -561,7 +587,11 @@ def _refine_block_assignments(
       closure, so replaying per component — big components as
       parallel Ray tasks, the tiny tail inline — is EXACT, and the
       replay wall time scales with the largest component instead of
-      the whole clustered union.
+      the whole clustered union.  A component beyond
+      ``_BLOCK_REPLAY_MAX_UNITS`` keeps its per-tier
+      connected-components grouping instead (recall-safe over-merge;
+      mirrors file mode's ``max_component`` escape), with counts
+      reported via ``stats_out``.
     """
     import ray
 
@@ -695,10 +725,35 @@ def _refine_block_assignments(
     high_sets: list[list[str]] = []
     normal_sets: list[list[str]] = []
     pending = []
+    n_capped = 0
+    max_units = 0
+
+    def cc_fallback(idxs: list[int]) -> None:
+        # keep the tier's connected-components grouping for this
+        # component (see _BLOCK_REPLAY_MAX_UNITS)
+        shas_in = [fps[g].sha for g in idxs]
+        for assign, sink in (
+            (high_assignment, high_sets),
+            (normal_assignment or {}, normal_sets),
+        ):
+            by_cid: dict[int, list[str]] = {}
+            for s in shas_in:
+                cid = assign.get(s)
+                if cid is not None:
+                    by_cid.setdefault(cid, []).append(s)
+            sink.extend(
+                sorted(v) for v in by_cid.values() if len(v) > 1
+            )
+
     for root in sorted(comps):
         idxs = comps[root]
         if len(idxs) < 2:
             continue  # a lone unit can never join
+        max_units = max(max_units, len(idxs))
+        if len(idxs) > _BLOCK_REPLAY_MAX_UNITS:
+            n_capped += 1
+            cc_fallback(idxs)
+            continue
         lfps = build_local(idxs)
         if len(idxs) >= _BLOCK_REPLAY_REMOTE_UNITS:
             pending.append(
@@ -713,6 +768,12 @@ def _refine_block_assignments(
         high_sets.extend(h)
         if nrm is not None:
             normal_sets.extend(nrm)
+    if stats_out is not None:
+        stats_out["replay_components"] = sum(
+            1 for v in comps.values() if len(v) >= 2
+        )
+        stats_out["replay_max_component_units"] = max_units
+        stats_out["replay_capped_components"] = n_capped
 
     def to_assignment(sets: list[list[str]]) -> dict:
         out: dict[str, int] = {}
