@@ -259,6 +259,12 @@ def run_block_smoke() -> dict:
         "num_cpus": NUM_CPUS,
         "files_per_sec": round(SCALING_FILES / wall, 1),
         "block_refine_s": res.metrics.get("block_refine_s"),
+        "edge_pull_s": res.metrics.get("edge_pull_s"),
+        "edge_filter_s": res.metrics.get("edge_filter_s"),
+        "union_find_s": res.metrics.get("union_find_s"),
+        "replay_pull_s": res.metrics.get("replay_pull_s"),
+        "replay_build_s": res.metrics.get("replay_build_s"),
+        "replay_run_s": res.metrics.get("replay_run_s"),
         "replay_components": res.metrics.get("replay_components"),
         "replay_max_component_units": res.metrics.get(
             "replay_max_component_units"

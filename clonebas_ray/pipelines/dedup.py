@@ -132,6 +132,7 @@ def run_dedup_pipeline(
     t0 = time.perf_counter()
     high_edges = edges.filter(expr=f"hamming <= {config.t_high}")
     edge_df = high_edges.select_columns(["sha_a", "sha_b"]).to_pandas()
+    metrics["edge_pull_s"] = round(time.perf_counter() - t0, 3)
     file_filtered = config.only_same_file or config.only_diff_file
     # J5 filters gate every compare inside the reference's greedy loop;
     # the sha-level replay has no per-instance file identity, so with a
@@ -144,6 +145,7 @@ def run_dedup_pipeline(
     refine_block = (
         config.refine_clusters and config.block_mode and not file_filtered
     )
+    t_f = time.perf_counter()
     if config.block_mode:
         edge_df = _apply_block_edge_filters(
             edge_df, fingerprints, config,
@@ -154,8 +156,11 @@ def run_dedup_pipeline(
         )
     elif file_filtered:
         edge_df = _apply_file_mode_filters(edge_df, fingerprints, config)
+    metrics["edge_filter_s"] = round(time.perf_counter() - t_f, 3)
+    t_u = time.perf_counter()
     edge_table = pa.Table.from_pandas(edge_df, preserve_index=False)
     assignment = union_find_clusters(edge_table)
+    metrics["union_find_s"] = round(time.perf_counter() - t_u, 3)
     if refine_file and assignment:
         assignment = _refine_assignment(
             assignment, fingerprints, config, sigma=config.t_high
@@ -361,22 +366,22 @@ def _refine_assignment(
     """Pull (sig, token, order-key) for the clustered shas only (a
     broadcast-filtered scan — clustered shas are small by construction)
     and replay the exact greedy loop per component."""
+    import pyarrow.compute as pc
     import ray
 
     from clonebas_ray.stages.cluster import refine_complete_linkage
 
-    wanted_ref = ray.put(set(assignment))
+    wanted_ref = ray.put(pa.array(sorted(assignment), pa.string()))
 
     def pull(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(wanted_ref)
-        df = batch.to_pandas()
-        df = df[df["sha"].isin(wanted)]
-        return pa.Table.from_pandas(
-            df[["sha", "sig_hi", "sig_lo", "token_num", "file_key"]],
-            preserve_index=False,
+        mask = pc.is_in(batch["sha"], value_set=ray.get(wanted_ref))
+        return batch.filter(mask).select(
+            ["sha", "sig_hi", "sig_lo", "token_num", "file_key"]
         )
 
-    meta_df = fingerprints.map_batches(pull, batch_format="pyarrow").to_pandas()
+    meta_df = fingerprints.map_batches(
+        pull, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
     # order anchor per sha = MAX file key among its rows (the greedy
     # loop's descending pass hits a sha at its highest walk position)
     meta_df = (
@@ -597,73 +602,117 @@ def _refine_block_assignments(
 
     from clonebas_ray.oracle import OracleFingerprint
 
+    t_pull = time.perf_counter()
     wanted = set(high_assignment) | set(normal_assignment or {})
     if not wanted:
         return {}, ({} if normal_assignment is not None else None)
+    import pyarrow.compute as pc
+
     file_shas = {u.rsplit(":", 1)[0] for u in wanted}
-    shas_ref = ray.put(file_shas)
+    wanted_ref = ray.put(pa.array(sorted(wanted), pa.string()))
+    files_ref = ray.put(pa.array(sorted(file_shas), pa.string()))
 
-    def pull(batch: pa.Table) -> pa.Table:
-        w = ray.get(shas_ref)
-        df = batch.to_pandas()
-        df = df[df["file_sha"].isin(w)]
-        return pa.Table.from_pandas(
-            df[["sha", "file_sha", "file_key", "block_id", "ancestors",
-                "token_num", "sig_hi", "sig_lo", "walk_pos"]],
-            preserve_index=False,
+    unit_cols = ["sha", "file_sha", "file_key", "block_id", "ancestors",
+                 "token_num", "sig_hi", "sig_lo", "walk_pos"]
+
+    def pull_meta(batch: pa.Table) -> pa.Table:
+        # ONE scan serves both consumers: full rows for clustered
+        # units, plus distinct (file, block) pairs for every EMITTED
+        # unit of a wanted file (gated = emitted, clustered or not —
+        # the nearest-gated-ancestor links below need them all),
+        # null-padded into the unit schema and flagged
+        unit_mask = pc.is_in(batch["sha"], value_set=ray.get(wanted_ref))
+        u = batch.filter(unit_mask).select(unit_cols)
+        file_mask = pc.is_in(
+            batch["file_sha"], value_set=ray.get(files_ref)
         )
+        g = (
+            batch.filter(file_mask)
+            .select(["file_sha", "block_id"])
+            .group_by(["file_sha", "block_id"])
+            .aggregate([])
+        )
+        out = {}
+        for name in unit_cols:
+            typ = u.schema.field(name).type
+            if name in ("file_sha", "block_id"):
+                pad = g[name].cast(typ).combine_chunks()
+            else:
+                pad = pa.nulls(g.num_rows, typ)
+            out[name] = pa.concat_arrays([u[name].combine_chunks(), pad])
+        out["is_unit"] = pa.concat_arrays(
+            [pa.array([True] * u.num_rows, pa.bool_()),
+             pa.array([False] * g.num_rows, pa.bool_())]
+        )
+        return pa.table(out)
 
-    rows = fingerprints.map_batches(pull, batch_format="pyarrow").to_pandas()
+    # batch_size=None → one call per BLOCK: the is_in value-set hash
+    # (660k keys at 1M files) builds once per block, not once per
+    # 1024-row default batch.  Split arrow-side BEFORE to_pandas: the
+    # null-padded gated rows would otherwise coerce the unit rows'
+    # uint64 signature columns to lossy float64 in pandas.
+    both = pa.concat_tables(
+        ray.get(
+            fingerprints.map_batches(
+                pull_meta, batch_format="pyarrow", batch_size=None
+            ).to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    is_unit = both["is_unit"].combine_chunks()
+    rows = both.filter(is_unit).select(unit_cols).to_pandas()
+    gated_df = (
+        both.filter(pc.invert(is_unit))
+        .select(["file_sha", "block_id"])
+        .to_pandas()
+        .drop_duplicates()
+    )
+    if stats_out is not None:
+        stats_out["replay_pull_s"] = round(time.perf_counter() - t_pull, 3)
+    t_build = time.perf_counter()
     # collapse file instances: one record per unit, anchored at its
     # max file key (the greedy descending pass hits a unit at its
     # highest walk position)
-    rows = (
-        rows.sort_values("file_key")
-        .groupby("sha", sort=False)
-        .last()
-        .reset_index()
+    rows = rows.sort_values("file_key", kind="stable").drop_duplicates(
+        "sha", keep="last"
     )
-    # nearest GATED ancestor per unit (gated = any emitted unit of the
-    # file, clustered or not)
-    gated_by_file: dict[str, set] = {}
-    for r in rows.itertuples():
-        gated_by_file.setdefault(r.file_sha, set()).add(r.block_id)
+    units = rows.sort_values(["file_key", "walk_pos"]).reset_index(drop=True)
+    gated_pairs = set(
+        zip(gated_df["file_sha"].to_numpy(), gated_df["block_id"].to_numpy())
+    )
 
-    units = rows[rows["sha"].isin(wanted)].copy()
-    units = units.sort_values(["file_key", "walk_pos"]).reset_index(drop=True)
-    idx_of = {u: i for i, u in enumerate(units["sha"])}
+    n = len(units)
+    sha_arr = units["sha"].to_numpy()
+    fsha_arr = units["file_sha"].to_numpy()
+    fkey_arr = units["file_key"].to_numpy()
+    blk_arr = units["block_id"].to_numpy()
+    tok_arr = units["token_num"].to_numpy()
+    hi_arr = units["sig_hi"].to_numpy()
+    lo_arr = units["sig_lo"].to_numpy()
+    anc_list = units["ancestors"].tolist()
+    idx_of = {u: i for i, u in enumerate(sha_arr)}
 
-    fps: list[OracleFingerprint] = []
-    for i, r in enumerate(units.itertuples()):
-        fps.append(
-            OracleFingerprint(
-                index=i, sha=r.sha, sig_hi=int(r.sig_hi),
-                sig_lo=int(r.sig_lo), token_num=int(r.token_num),
-                file_key=r.file_key, block_id=int(r.block_id),
+    # ancestor/child links among replay units
+    father_idx: list[tuple] = []
+    children: dict[int, list[int]] = {}
+    for i in range(n):
+        fs = fsha_arr[i]
+        ancs = anc_list[i]
+        father_idx.append(
+            tuple(
+                idx_of[key]
+                for a in ancs
+                if (key := f"{fs}:{a}") in idx_of
             )
         )
-    # ancestor/child links among replay units
-    children: dict[int, list[int]] = {}
-    for i, r in enumerate(units.itertuples()):
-        gated = gated_by_file.get(r.file_sha, set())
-        fathers = [
-            idx_of[f"{r.file_sha}:{a}"]
-            for a in r.ancestors
-            if f"{r.file_sha}:{a}" in idx_of
-        ]
-        fps[i].father_idx = tuple(fathers)
-        nearest = next((a for a in r.ancestors if a in gated), None)
+        nearest = next((a for a in ancs if (fs, a) in gated_pairs), None)
         if nearest is not None:
-            parent_unit = f"{r.file_sha}:{nearest}"
-            p = idx_of.get(parent_unit)
+            p = idx_of.get(f"{fs}:{nearest}")
             if p is not None:
                 children.setdefault(p, []).append(i)
-    for i in range(len(fps)):
-        fps[i].child_idx = tuple(children.get(i, ()))
 
     # --- componentize: union within each tier cluster + along the
     # parent-child mark links, then replay each component on its own
-    n = len(fps)
     comp_parent = list(range(n))
 
     def cfind(x: int) -> int:
@@ -697,7 +746,7 @@ def _refine_block_assignments(
         comps.setdefault(cfind(i), []).append(i)
 
     def build_local(idxs: list[int]) -> list[OracleFingerprint]:
-        # fps are in canonical global order; a component's replay in
+        # units are in canonical global order; a component's replay in
         # local order == the global loop restricted to it.  Fathers
         # outside the component (gapped ancestor chains) are dropped —
         # J4 only ever EXCLUDES a compare, and cross-component pairs
@@ -705,21 +754,23 @@ def _refine_block_assignments(
         local_of = {g: loc for loc, g in enumerate(idxs)}
         out = []
         for loc, g in enumerate(idxs):
-            f = fps[g]
             lf = OracleFingerprint(
-                index=loc, sha=f.sha, sig_hi=f.sig_hi, sig_lo=f.sig_lo,
-                token_num=f.token_num, file_key=f.file_key,
-                block_id=f.block_id,
+                index=loc, sha=sha_arr[g], sig_hi=int(hi_arr[g]),
+                sig_lo=int(lo_arr[g]), token_num=int(tok_arr[g]),
+                file_key=fkey_arr[g], block_id=int(blk_arr[g]),
             )
             lf.father_idx = tuple(
-                local_of[x] for x in f.father_idx if x in local_of
+                local_of[x] for x in father_idx[g] if x in local_of
             )
             lf.child_idx = tuple(
-                local_of[x] for x in f.child_idx if x in local_of
+                local_of[x] for x in children.get(g, ()) if x in local_of
             )
             out.append(lf)
         return out
 
+    if stats_out is not None:
+        stats_out["replay_build_s"] = round(time.perf_counter() - t_build, 3)
+    t_run = time.perf_counter()
     want_normal = normal_assignment is not None
     replay_remote = ray.remote(_replay_block_component)
     high_sets: list[list[str]] = []
@@ -731,7 +782,7 @@ def _refine_block_assignments(
     def cc_fallback(idxs: list[int]) -> None:
         # keep the tier's connected-components grouping for this
         # component (see _BLOCK_REPLAY_MAX_UNITS)
-        shas_in = [fps[g].sha for g in idxs]
+        shas_in = [sha_arr[g] for g in idxs]
         for assign, sink in (
             (high_assignment, high_sets),
             (normal_assignment or {}, normal_sets),
@@ -769,6 +820,7 @@ def _refine_block_assignments(
         if nrm is not None:
             normal_sets.extend(nrm)
     if stats_out is not None:
+        stats_out["replay_run_s"] = round(time.perf_counter() - t_run, 3)
         stats_out["replay_components"] = sum(
             1 for v in comps.values() if len(v) >= 2
         )
@@ -787,6 +839,24 @@ def _refine_block_assignments(
     return refined_high, refined_normal
 
 
+def _pull_block_meta(fingerprints, file_shas, columns) -> "pd.DataFrame":
+    """Pull block-unit metadata columns for a set of files — arrow-native
+    (``pc.is_in`` + zero-copy ``filter``) so the scan cost is the hash
+    probe, not a per-batch pandas round-trip."""
+    import pyarrow.compute as pc
+    import ray
+
+    wanted_ref = ray.put(pa.array(sorted(file_shas), pa.string()))
+
+    def pull(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["file_sha"], value_set=ray.get(wanted_ref))
+        return batch.filter(mask).select(columns)
+
+    return fingerprints.map_batches(
+        pull, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+
+
 def _apply_block_edge_filters(edge_df, fingerprints, config: PipelineConfig,
                               skip_child_suppression: bool = False):
     """Block-mode edge post-filters (driver-side; the verified edge
@@ -802,24 +872,48 @@ def _apply_block_edge_filters(edge_df, fingerprints, config: PipelineConfig,
       marking (SURVEY §7 "hard parts").
     """
     import numpy as np
-    import ray
 
     if edge_df.empty:
         return edge_df
+    need_suppression = config.child_suppression and not skip_child_suppression
+    file_filtered = config.only_diff_file or config.only_same_file
+    if not need_suppression and not file_filtered:
+        # Fast path (the refined default): only J4 same-file ancestor
+        # exclusion applies, and an ancestor pair is by definition
+        # SAME-file — identifiable from the unit key's file prefix
+        # without touching the fingerprint table.  Pull ancestor lists
+        # only for the (few) files that actually have a same-file edge.
+        fa = edge_df["sha_a"].str.rpartition(":")[0].to_numpy()
+        fb = edge_df["sha_b"].str.rpartition(":")[0].to_numpy()
+        same = fa == fb
+        if not same.any():
+            return edge_df.reset_index(drop=True)
+        same_files = set(fa[same])
+        meta = _pull_block_meta(
+            fingerprints, same_files,
+            ["sha", "file_sha", "file_key", "block_id", "ancestors"],
+        )
+        anc = {
+            row.sha: (row.file_sha, row.block_id, list(row.ancestors),
+                      row.file_key)
+            for row in meta.itertuples()
+        }
+        drop = np.zeros(len(edge_df), dtype=bool)
+        idxs = np.flatnonzero(same)
+        a_arr = edge_df["sha_a"].to_numpy()
+        b_arr = edge_df["sha_b"].to_numpy()
+        for k in idxs:
+            ia, ib = anc.get(a_arr[k]), anc.get(b_arr[k])
+            if ia and ib and (ib[1] in ia[2] or ia[1] in ib[2]):
+                drop[k] = True
+        return edge_df[~drop].reset_index(drop=True)
+
     units = set(edge_df["sha_a"]) | set(edge_df["sha_b"])
     file_shas = {u.rsplit(":", 1)[0] for u in units}
-    shas_ref = ray.put(file_shas)
-
-    def pull(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(shas_ref)
-        df = batch.to_pandas()
-        df = df[df["file_sha"].isin(wanted)]
-        return pa.Table.from_pandas(
-            df[["sha", "file_sha", "file_key", "block_id", "ancestors"]],
-            preserve_index=False,
-        )
-
-    meta = fingerprints.map_batches(pull, batch_format="pyarrow").to_pandas()
+    meta = _pull_block_meta(
+        fingerprints, file_shas,
+        ["sha", "file_sha", "file_key", "block_id", "ancestors"],
+    )
     anc = {
         row.sha: (row.file_sha, row.block_id, list(row.ancestors),
                   row.file_key)
@@ -928,18 +1022,19 @@ def _apply_file_mode_filters(edge_df, fingerprints, config: PipelineConfig):
 
     if edge_df.empty:
         return edge_df
+    import pyarrow.compute as pc
+
     wanted = set(edge_df["sha_a"]) | set(edge_df["sha_b"])
-    wanted_ref = ray.put(wanted)
+    wanted_ref = ray.put(pa.array(sorted(wanted), pa.string()))
 
     def pull(batch: pa.Table) -> pa.Table:
-        w = ray.get(wanted_ref)
-        df = batch.to_pandas()
-        df = df[df["sha"].isin(w)]
-        return pa.Table.from_pandas(
-            df[["sha", "file_key"]].drop_duplicates(), preserve_index=False
-        )
+        mask = pc.is_in(batch["sha"], value_set=ray.get(wanted_ref))
+        t = batch.filter(mask).select(["sha", "file_key"])
+        return t.group_by(["sha", "file_key"]).aggregate([])
 
-    meta = fingerprints.map_batches(pull, batch_format="pyarrow").to_pandas()
+    meta = fingerprints.map_batches(
+        pull, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
     fk: dict[str, set] = {}
     for r in meta.itertuples():
         fk.setdefault(r.sha, set()).add(r.file_key)
@@ -1019,7 +1114,9 @@ def _cluster_stats(
     # which are small relative to the input by construction — so the
     # final roll-up is a driver-side pandas merge+groupby instead of a
     # distributed sort shuffle (saves a fixed ~3-5s barrier per run)
-    tagged = fingerprints.map_batches(tag, batch_format="pyarrow").to_pandas()
+    tagged = fingerprints.map_batches(
+        tag, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
     cdf = clusters.to_pandas()[["sha", "cluster_id"]]
     tagged = tagged.merge(cdf, on="sha", how="inner")
     stats = (
