@@ -142,6 +142,91 @@ def test_block_pipeline_excludes_ancestor_edges(ray_session, block_corpus,
             assert ib[1] not in ia[2] and ia[1] not in ib[2]
 
 
+def test_block_edge_filter_fast_path_equivalence(ray_session, block_corpus,
+                                                 tmp_path_factory):
+    """The same-file fast path of _apply_block_edge_filters (taken when
+    no file filters apply and child suppression is handled by the exact
+    replay) must keep exactly the edges an independent pandas
+    reimplementation of J4 ancestor exclusion keeps."""
+    from clonebas_ray.pipelines.dedup import (
+        _apply_block_edge_filters, run_dedup_pipeline,
+    )
+
+    d, tables = block_corpus
+    cfg = PipelineConfig(block_mode=True)
+    res = run_dedup_pipeline(
+        f"{d}/files.parquet", str(tmp_path_factory.mktemp("blockfp")),
+        config=cfg, checkpoint=False,
+    )
+    edges = res.edges.to_pandas()
+    high = edges[edges.hamming <= cfg.t_high][["sha_a", "sha_b"]]
+    # skip_child_suppression=True → the fast path (the refined default)
+    got = _apply_block_edge_filters(
+        high.copy(), res.fingerprints, cfg, skip_child_suppression=True
+    )
+    # independent J4 oracle straight from the fingerprint table
+    fp = res.fingerprints.to_pandas()
+    anc = {
+        r.sha: (r.file_sha, r.block_id, set(r.ancestors))
+        for r in fp.itertuples()
+    }
+
+    def is_ancestor_pair(a, b):
+        ia, ib = anc.get(a), anc.get(b)
+        return bool(
+            ia and ib and ia[0] == ib[0]
+            and (ib[1] in ia[2] or ia[1] in ib[2])
+        )
+
+    expect = {
+        (a, b) for a, b in zip(high["sha_a"], high["sha_b"])
+        if not is_ancestor_pair(a, b)
+    }
+    assert set(zip(got["sha_a"], got["sha_b"])) == expect
+
+
+def test_block_edge_filter_fast_path_drops_ancestor_pair(ray_session):
+    """Direct probe of the fast path with a guaranteed same-file
+    ancestor edge (the pipeline corpus doesn't always produce one at
+    the verified-edge level): the ancestor pair is dropped, cross-file
+    and non-ancestor same-file edges survive."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from clonebas_ray.pipelines.dedup import _apply_block_edge_filters
+
+    fp = pa.table(
+        {
+            "sha": ["f1:0", "f1:1", "f1:2", "f2:0"],
+            "file_sha": ["f1", "f1", "f1", "f2"],
+            "file_key": [1, 1, 1, 2],
+            "block_id": [0, 1, 2, 0],
+            "ancestors": [[], [0], [0], []],
+            "token_num": [300, 250, 250, 300],
+            "sig_hi": pa.array([1, 1, 1, 1], pa.uint64()),
+            "sig_lo": pa.array([2, 2, 2, 2], pa.uint64()),
+            "walk_pos": [0, 1, 2, 0],
+        }
+    )
+    edges = pd.DataFrame(
+        {
+            # (f1:0, f1:1): same-file ancestor pair → dropped;
+            # (f1:1, f1:2): same-file siblings → kept;
+            # (f1:0, f2:0): cross-file → kept
+            "sha_a": ["f1:0", "f1:1", "f1:0"],
+            "sha_b": ["f1:1", "f1:2", "f2:0"],
+        }
+    )
+    cfg = PipelineConfig(block_mode=True)
+    got = _apply_block_edge_filters(
+        edges, ray.data.from_arrow(fp), cfg, skip_child_suppression=True
+    )
+    assert set(zip(got["sha_a"], got["sha_b"])) == {
+        ("f1:1", "f1:2"), ("f1:0", "f2:0"),
+    }
+
+
 def test_block_two_tier_exact_vs_oracle(ray_session, block_corpus,
                                         tmp_path_factory):
     """Two-tier block mode: the replay shares to_be_cmp flags between
