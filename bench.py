@@ -259,6 +259,9 @@ def run_block_smoke() -> dict:
         "num_cpus": NUM_CPUS,
         "files_per_sec": round(SCALING_FILES / wall, 1),
         "block_refine_s": res.metrics.get("block_refine_s"),
+        "fingerprint_s": res.metrics.get("fingerprint_s"),
+        "edges_s": res.metrics.get("edges_s"),
+        "stats_s": res.metrics.get("stats_s"),
         "edge_pull_s": res.metrics.get("edge_pull_s"),
         "edge_filter_s": res.metrics.get("edge_filter_s"),
         "union_find_s": res.metrics.get("union_find_s"),
