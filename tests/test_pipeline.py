@@ -181,3 +181,68 @@ def test_score_report_in_metrics(ray_session, corpus_dir, tmp_path_factory):
     )
     assert 0 <= res.metrics["quality_score"] <= 100
     assert res.metrics["total_chars"] > 0
+
+
+def _write_tiny_corpus(dir_path, contents):
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = pa.table(
+        {
+            "repo": pa.array([f"r{i}" for i in range(len(contents))]),
+            "path": pa.array([f"f{i}.cpp" for i in range(len(contents))]),
+            "commit": pa.array(
+                [hashlib.sha1(c.encode()).hexdigest() for c in contents]
+            ),
+            "lang": pa.array(["cpp"] * len(contents)),
+            "content": pa.array(contents, pa.string()),
+        }
+    )
+    pq.write_table(files, f"{dir_path}/files.parquet")
+
+
+def test_pipeline_clean_corpus_no_clones(ray_session, tmp_path_factory):
+    """A corpus with nothing near-duplicate (the common clean-repo
+    case) must run end-to-end and report zero clusters — empty edge
+    tables, empty refinement, empty stats, in BOTH modes."""
+    from clonebas_ray.config import PipelineConfig
+    from clonebas_ray.pipelines.dedup import run_dedup_pipeline
+
+    d = tmp_path_factory.mktemp("clean")
+    # three structurally distinct files, far apart in SimHash space
+    _write_tiny_corpus(
+        str(d),
+        [
+            "int alpha(int a){ if(a>0){ return a+1; } return 0; }",
+            "void beta(){ for(int i=0;i<9;i++){ delta(i); } }",
+            "double gamma(double x, double y){ while(x<y){ x*=2.0; } return x; }",
+        ],
+    )
+    for block_mode in (False, True):
+        res = run_dedup_pipeline(
+            f"{d}/files.parquet",
+            str(tmp_path_factory.mktemp(f"clean_run{int(block_mode)}")),
+            checkpoint=False,
+            config=PipelineConfig(block_mode=block_mode),
+        )
+        assert res.metrics["n_clusters"] == 0
+        assert res.clusters.num_rows == 0
+        assert res.cluster_stats.num_rows == 0
+
+
+def test_pipeline_single_file(ray_session, tmp_path_factory):
+    """One file alone can never clone: must not crash, zero clusters."""
+    from clonebas_ray.pipelines.dedup import run_dedup_pipeline
+
+    d = tmp_path_factory.mktemp("single")
+    _write_tiny_corpus(
+        str(d), ["int solo(int a){ if(a>0){ return a+1; } return 0; }"]
+    )
+    res = run_dedup_pipeline(
+        f"{d}/files.parquet", str(tmp_path_factory.mktemp("single_run")),
+        checkpoint=False,
+    )
+    assert res.metrics["n_clusters"] == 0
+    assert res.clusters.num_rows == 0
