@@ -121,6 +121,10 @@ def run_dedup_pipeline(
             run_dir, "edges",
             lineage_key(input_id, cfg_hash, "edges"),
             build_edges, resume,
+            empty_schema=pa.schema(
+                [("sha_a", pa.string()), ("sha_b", pa.string()),
+                 ("hamming", pa.int32())]
+            ),
         )
     else:
         edges, resumed_e = build_edges().materialize(), False

@@ -248,7 +248,10 @@ def fingerprint_stage(
         import ray
 
         total = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = max(2, total - 2)
+        # never let the pool take EVERY cpu — on a 2-3 cpu session a
+        # 2-actor pool owns the whole cluster and the upstream read
+        # task can never schedule (observed deadlock at num_cpus=2)
+        concurrency = max(1, total - 2)
     return ds.map_batches(
         FingerprintActor,
         fn_constructor_kwargs={"config": config},

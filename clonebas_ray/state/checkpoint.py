@@ -77,10 +77,14 @@ class StageCheckpoint:
             return None
         return ray.data.read_parquet(self.data_dir)
 
-    def save(self, ds: ray.data.Dataset) -> ray.data.Dataset:
+    def save(self, ds: ray.data.Dataset,
+             empty_schema=None) -> ray.data.Dataset:
         """Write ``ds`` to the checkpoint and return a re-read Dataset
         (so downstream streams from Parquet instead of re-executing the
-        upstream graph)."""
+        upstream graph).  ``empty_schema`` (pyarrow.Schema) is the
+        fallback layout when ``ds`` turns out fully empty — a 0-block
+        Dataset writes no parquet files AND reports ``schema() is
+        None``, so the caller must say what an empty stage looks like."""
         t0 = time.perf_counter()
         tmp = self.data_dir + ".tmp"
         if os.path.isdir(tmp):
@@ -88,6 +92,25 @@ class StageCheckpoint:
 
             shutil.rmtree(tmp)
         ds.write_parquet(tmp)
+        if not os.path.isdir(tmp) or not os.listdir(tmp):
+            # a fully-empty Dataset (0 blocks — e.g. a clean corpus with
+            # no candidate edges) writes no files at all; materialize an
+            # empty schema-preserving parquet so resume can re-read it
+            os.makedirs(tmp, exist_ok=True)
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            schema = ds.schema()
+            base = getattr(schema, "base_schema", schema)
+            if base is None:
+                base = empty_schema
+            if base is None:
+                raise ValueError(
+                    f"checkpoint stage {self.stage_dir!r} produced an "
+                    "empty Dataset with no discoverable schema; pass "
+                    "empty_schema="
+                )
+            pq.write_table(base.empty_table(), os.path.join(tmp, "empty.parquet"))
         if os.path.isdir(self.data_dir):
             import shutil
 
@@ -116,6 +139,7 @@ def checkpointed(
     key: str,
     factory,
     resume: bool = True,
+    empty_schema=None,
 ) -> tuple[ray.data.Dataset, bool]:
     """Run ``factory()`` (→ Dataset) under a checkpoint: returns
     ``(dataset, was_resumed)``."""
@@ -125,7 +149,7 @@ def checkpointed(
         cached = ckpt.load()
         if cached is not None:
             return cached, True
-    return ckpt.save(factory()), False
+    return ckpt.save(factory(), empty_schema=empty_schema), False
 
 
 def list_input_shards(path: str | list[str]) -> list[str]:

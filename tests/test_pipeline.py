@@ -246,3 +246,45 @@ def test_pipeline_single_file(ray_session, tmp_path_factory):
     )
     assert res.metrics["n_clusters"] == 0
     assert res.clusters.num_rows == 0
+
+
+def test_cli_entrypoint_runs_and_resumes(tmp_path_factory):
+    """`python -m clonebas_ray.run` (the job-submit surface) completes
+    on a tiny corpus, prints the run-report JSON on stdout, and a
+    second invocation resumes from the per-shard checkpoints."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    d = tmp_path_factory.mktemp("cli_corpus")
+    _write_tiny_corpus(
+        str(d),
+        [
+            "int alpha(int a){ if(a>0){ return a+1; } return 0; }",
+            "int alpha(int a){ if(a>0){ return a+1; } return 0; }\n// x",
+            "void beta(){ for(int i=0;i<9;i++){ delta(i); } }",
+        ],
+    )
+    run_dir = str(tmp_path_factory.mktemp("cli_run"))
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def invoke():
+        out = subprocess.run(
+            [sys.executable, "-m", "clonebas_ray.run",
+             "--input", f"{d}/files.parquet", "--run-dir", run_dir,
+             "--num-cpus", "2"],
+            capture_output=True, text=True, timeout=300, cwd=repo_root,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        lines = [ln for ln in out.stdout.splitlines() if ln.strip()]
+        return json.loads(lines[-1])
+
+    first = invoke()
+    assert first["total_s"] > 0
+    assert "n_clusters" in first and "n_edges" in first
+    assert not first["fingerprints_resumed"]
+    second = invoke()
+    assert second["fingerprints_resumed"]
+    assert second["n_clusters"] == first["n_clusters"]
+    assert second["n_edges"] == first["n_edges"]
