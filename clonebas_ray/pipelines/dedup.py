@@ -340,7 +340,16 @@ def _sharded_fingerprints(
         out = ckpt.out_path(shard)
         tmp = out + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
-        fp.write_parquet(tmp)
+        from clonebas_ray.stages.fingerprint import (
+            BLOCK_FINGERPRINT_SCHEMA, FINGERPRINT_SCHEMA,
+        )
+        from clonebas_ray.state.checkpoint import write_parquet_empty_safe
+
+        write_parquet_empty_safe(
+            fp, tmp,
+            BLOCK_FINGERPRINT_SCHEMA if config.block_mode
+            else FINGERPRINT_SCHEMA,
+        )
         shutil.rmtree(out, ignore_errors=True)
         os.replace(tmp, out)
         rows = ray.data.read_parquet(out).count()

@@ -46,6 +46,26 @@ FINGERPRINT_SCHEMA = pa.schema(
     ]
 )
 
+#: block-mode output layout (``FingerprintActor._call_blocks``); used
+#: as the empty-shard fallback when every block in a shard falls below
+#: the span gate and the stage emits zero rows
+BLOCK_FINGERPRINT_SCHEMA = pa.schema(
+    [
+        ("sha", pa.string()),
+        ("file_sha", pa.string()),
+        ("file_key", pa.string()),
+        ("lang", pa.string()),
+        ("block_id", pa.int32()),
+        ("fp_type", pa.int8()),
+        ("token_num", pa.int32()),
+        ("sig_hi", pa.uint64()),
+        ("sig_lo", pa.uint64()),
+        ("ancestors", pa.list_(pa.int32())),
+        ("walk_pos", pa.int32()),
+        ("gen_fp", pa.bool_()),
+    ]
+)
+
 
 class FingerprintActor:
     """Stateful parse+fingerprint worker.
@@ -248,6 +268,16 @@ def fingerprint_stage(
         import ray
 
         total = int(ray.cluster_resources().get("CPU", 4))
+        if total < 2:
+            # a 1-cpu session cannot run an actor-pool pipeline at all:
+            # the single actor would hold the only CPU and the upstream
+            # 1-cpu read task could never schedule — fail loud instead
+            # of deadlocking silently
+            raise ValueError(
+                "fingerprint_stage needs a Ray session with >= 2 CPUs "
+                f"(got {total}): the parse actor pool must leave at "
+                "least one CPU free for its upstream read tasks"
+            )
         # never let the pool take EVERY cpu — on a 2-3 cpu session a
         # 2-actor pool owns the whole cluster and the upstream read
         # task can never schedule (observed deadlock at num_cpus=2)

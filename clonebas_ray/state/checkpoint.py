@@ -56,6 +56,35 @@ def lineage_key(input_id: str, config_hash: str, stage: str) -> str:
     return hashlib.sha256(f"{input_id}|{config_hash}|{stage}".encode()).hexdigest()[:16]
 
 
+def write_parquet_empty_safe(ds: ray.data.Dataset, path: str,
+                             empty_schema=None) -> None:
+    """``ds.write_parquet(path)`` that guarantees ``path`` exists and
+    is re-readable afterwards: a fully-empty Dataset (0 blocks — e.g.
+    a clean corpus producing no edges, or a shard whose blocks are all
+    below the span gate) writes no parquet files at all, so an empty
+    schema-preserving file is materialized instead.
+
+    ``empty_schema`` is consulted FIRST: the Dataset was just consumed
+    by the write, and ``ds.schema()`` on a lazy Dataset would re-execute
+    its whole upstream graph only to (usually) report None."""
+    ds.write_parquet(path)
+    if os.path.isdir(path) and os.listdir(path):
+        return
+    os.makedirs(path, exist_ok=True)
+    import pyarrow.parquet as pq
+
+    base = empty_schema
+    if base is None:
+        schema = ds.schema()
+        base = getattr(schema, "base_schema", schema)
+    if base is None:
+        raise ValueError(
+            f"stage output {path!r} is an empty Dataset with no "
+            "discoverable schema; pass empty_schema="
+        )
+    pq.write_table(base.empty_table(), os.path.join(path, "empty.parquet"))
+
+
 class StageCheckpoint:
     def __init__(self, run_dir: str, stage: str, key: str):
         self.stage_dir = os.path.join(run_dir, stage)
@@ -91,26 +120,7 @@ class StageCheckpoint:
             import shutil
 
             shutil.rmtree(tmp)
-        ds.write_parquet(tmp)
-        if not os.path.isdir(tmp) or not os.listdir(tmp):
-            # a fully-empty Dataset (0 blocks — e.g. a clean corpus with
-            # no candidate edges) writes no files at all; materialize an
-            # empty schema-preserving parquet so resume can re-read it
-            os.makedirs(tmp, exist_ok=True)
-            import pyarrow as pa
-            import pyarrow.parquet as pq
-
-            schema = ds.schema()
-            base = getattr(schema, "base_schema", schema)
-            if base is None:
-                base = empty_schema
-            if base is None:
-                raise ValueError(
-                    f"checkpoint stage {self.stage_dir!r} produced an "
-                    "empty Dataset with no discoverable schema; pass "
-                    "empty_schema="
-                )
-            pq.write_table(base.empty_table(), os.path.join(tmp, "empty.parquet"))
+        write_parquet_empty_safe(ds, tmp, empty_schema)
         if os.path.isdir(self.data_dir):
             import shutil
 

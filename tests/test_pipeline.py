@@ -221,15 +221,22 @@ def test_pipeline_clean_corpus_no_clones(ray_session, tmp_path_factory):
         ],
     )
     for block_mode in (False, True):
-        res = run_dedup_pipeline(
-            f"{d}/files.parquet",
-            str(tmp_path_factory.mktemp(f"clean_run{int(block_mode)}")),
-            checkpoint=False,
-            config=PipelineConfig(block_mode=block_mode),
-        )
-        assert res.metrics["n_clusters"] == 0
-        assert res.clusters.num_rows == 0
-        assert res.cluster_stats.num_rows == 0
+        # checkpoint=True ON PURPOSE: it drives the empty-Dataset
+        # write path (a 0-block stage writes no parquet files), which
+        # block mode hits at the fingerprint shard and file mode at
+        # the edges stage
+        run_dir = str(tmp_path_factory.mktemp(f"clean_run{int(block_mode)}"))
+        for attempt in range(2):  # second pass resumes from checkpoints
+            res = run_dedup_pipeline(
+                f"{d}/files.parquet",
+                run_dir,
+                config=PipelineConfig(block_mode=block_mode),
+            )
+            assert res.metrics["n_clusters"] == 0, (block_mode, attempt)
+            assert res.clusters.num_rows == 0
+            assert res.cluster_stats.num_rows == 0
+        assert res.metrics["fingerprints_resumed"]
+        assert res.metrics["edges_resumed"]
 
 
 def test_pipeline_single_file(ray_session, tmp_path_factory):
