@@ -311,12 +311,71 @@ def clone_counts_from_clusters(clusters: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def code_metrics(
-    files: ray.data.Dataset,
+#: :func:`raw_file_metrics` output layout (the content-free half's
+#: input); also the empty-Dataset fallback for its checkpoint
+RAW_METRICS_SCHEMA = pa.schema(
+    [
+        ("sha", pa.string()),
+        ("file_key", pa.string()),
+        ("complexity", pa.int64()),
+        ("max_depth", pa.int64()),
+        ("max_params", pa.int64()),
+        ("max_call_chain", pa.int64()),
+        ("unbalanced", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("n_chars", pa.int64()),
+        ("chain_hist", pa.list_(pa.int64())),
+        ("block_hist", pa.list_(pa.int64())),
+    ]
+)
+
+
+def raw_file_metrics(files: ray.data.Dataset) -> ray.data.Dataset:
+    """Content-CONSUMING half of :func:`code_metrics`: per-file raw
+    counters + histograms, no scores.  Clone-independent and
+    config-independent, so a run can checkpoint it once and re-score
+    against any clone-count table without touching file bodies again
+    (the score path's former second content pass)."""
+    ensure_worker_importable()
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        contents = batch["content"].to_pylist()
+        ms = [_file_metrics(c) for c in contents]
+        get = lambda k: [m[k] for m in ms]  # noqa: E731
+        return pa.table(
+            {
+                "sha": batch["sha"],
+                "file_key": batch["file_key"],
+                "complexity": pa.array(get("complexity"), pa.int64()),
+                "max_depth": pa.array(get("max_depth"), pa.int64()),
+                "max_params": pa.array(get("max_params"), pa.int64()),
+                "max_call_chain": pa.array(
+                    get("max_call_chain"), pa.int64()
+                ),
+                "unbalanced": pa.array(get("unbalanced"), pa.int64()),
+                "n_tokens": pa.array(get("n_tokens"), pa.int64()),
+                "n_chars": pa.array(
+                    [len(c) for c in contents], pa.int64()
+                ),
+                "chain_hist": pa.array(
+                    get("chain_hist"), pa.list_(pa.int64())
+                ),
+                "block_hist": pa.array(
+                    get("block_hist"), pa.list_(pa.int64())
+                ),
+            }
+        )
+
+    return files.map_batches(per_batch, batch_format="pyarrow")
+
+
+def scored_metrics(
+    raw: ray.data.Dataset,
     clone_counts: pa.Table | None = None,
 ) -> ray.data.Dataset:
-    """files (with ``sha``/``content``) → per-file metric columns +
-    the 8-unit quality score (``file_score``).
+    """Content-FREE half: raw metric rows + clone counts → the exact
+    :func:`code_metrics` output layout (unit scores, type scores,
+    warn flags).
 
     ``clone_counts`` (from :func:`clone_counts_from_clusters`) feeds
     the CloneCodeUnit; it is near-dup-sized, so it broadcasts via
@@ -338,17 +397,23 @@ def code_metrics(
 
     def per_batch(batch: pa.Table) -> pa.Table:
         cm = ray_api.get(cmap_ref)
-        contents = batch["content"].to_pylist()
         shas = batch["sha"].to_pylist()
-        ms = [_file_metrics(c) for c in contents]
-        chars = [len(c) for c in contents]
+        chars = batch["n_chars"].to_pylist()
+        keys = (
+            "complexity", "max_depth", "max_params", "max_call_chain",
+            "unbalanced", "n_tokens", "chain_hist", "block_hist",
+        )
+        cols = {k: batch[k].to_pylist() for k in keys}
+        ms = [
+            {k: cols[k][i] for k in keys} for i in range(batch.num_rows)
+        ]
         tscores = [
             _type_scores(_unit_scores(m, nc, *cm.get(s, (0, 0))))
             for m, nc, s in zip(ms, chars, shas)
         ]
         fscores = [sum(t) // 4 for t in tscores]
         get = lambda k: [m[k] for m in ms]  # noqa: E731
-        out = pa.table(
+        return pa.table(
             {
                 "sha": batch["sha"],
                 "file_key": batch["file_key"],
@@ -384,9 +449,19 @@ def code_metrics(
                 ),
             }
         )
-        return out
 
-    return files.map_batches(per_batch, batch_format="pyarrow")
+    return raw.map_batches(per_batch, batch_format="pyarrow")
+
+
+def code_metrics(
+    files: ray.data.Dataset,
+    clone_counts: pa.Table | None = None,
+) -> ray.data.Dataset:
+    """files (with ``sha``/``content``) → per-file metric columns +
+    the 8-unit quality score (``file_score``).  Composition of the
+    two halves; Ray fuses the adjacent map stages, so this still runs
+    as one task per block."""
+    return scored_metrics(raw_file_metrics(files), clone_counts)
 
 
 #: per-type score columns emitted by :func:`code_metrics`, N/E/M/S order

@@ -216,17 +216,39 @@ def run_dedup_pipeline(
     if score_report:
         t0 = time.perf_counter()
         from clonebas_ray.ops.code_metrics import (
-            clone_counts_from_clusters, code_metrics, quality_rollup,
+            RAW_METRICS_SCHEMA, clone_counts_from_clusters,
+            quality_rollup, raw_file_metrics, scored_metrics,
         )
 
         counts = clone_counts_from_clusters(clusters)
-        from clonebas_ray.stages.ingest import read_split_blocks
 
-        files_again = prepare_stage(
-            read_files(input_path, override_num_blocks=read_split_blocks())
-        )
+        def build_raw_metrics() -> ray.data.Dataset:
+            from clonebas_ray.stages.ingest import read_split_blocks
+
+            files_again = prepare_stage(
+                read_files(
+                    input_path, override_num_blocks=read_split_blocks()
+                )
+            )
+            return raw_file_metrics(files_again)
+
+        if checkpoint:
+            # raw metrics depend on CONTENT only (not on the dedup
+            # config), so the lineage key is pinned to a metrics
+            # version: block- and file-mode runs over the same corpus
+            # share the checkpoint, and a re-score with fresh clone
+            # counts never re-reads file bodies
+            raw_m, resumed_m = checkpointed(
+                run_dir, "file_metrics",
+                lineage_key(input_id, "metrics-v1", "file_metrics"),
+                build_raw_metrics, resume,
+                empty_schema=RAW_METRICS_SCHEMA,
+            )
+            metrics["file_metrics_resumed"] = resumed_m
+        else:
+            raw_m = build_raw_metrics()
         metrics.update(
-            quality_rollup(code_metrics(files_again, clone_counts=counts))
+            quality_rollup(scored_metrics(raw_m, clone_counts=counts))
         )
         metrics["score_s"] = round(time.perf_counter() - t0, 3)
 

@@ -175,12 +175,25 @@ def test_score_report_in_metrics(ray_session, corpus_dir, tmp_path_factory):
     from clonebas_ray.pipelines.dedup import run_dedup_pipeline
 
     d, _ = corpus_dir
+    run_dir = str(tmp_path_factory.mktemp("scored"))
+    score_keys = (
+        "quality_score", "total_chars", "score_normative",
+        "score_efficiency", "score_maintainability", "score_security",
+    )
     res = run_dedup_pipeline(
-        f"{d}/files.parquet", str(tmp_path_factory.mktemp("scored")),
-        checkpoint=False, score_report=True,
+        f"{d}/files.parquet", run_dir, score_report=True,
     )
     assert 0 <= res.metrics["quality_score"] <= 100
     assert res.metrics["total_chars"] > 0
+    assert not res.metrics["file_metrics_resumed"]
+    # re-score resumes the raw-metrics checkpoint (no content re-read)
+    # and reproduces the identical roll-up
+    res2 = run_dedup_pipeline(
+        f"{d}/files.parquet", run_dir, score_report=True,
+    )
+    assert res2.metrics["file_metrics_resumed"]
+    for k in score_keys:
+        assert res2.metrics[k] == res.metrics[k], k
 
 
 def _write_tiny_corpus(dir_path, contents):
