@@ -29,6 +29,26 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--score", action="store_true",
                    help="add the A4 corpus quality score to the report "
                         "(second content pass)")
+    p.add_argument("--only-same-file", action="store_true",
+                   help="reference -onlysameF: keep same-file pairs only")
+    p.add_argument("--only-diff-file", action="store_true",
+                   help="reference -onlydiffF: keep cross-file pairs only")
+    p.add_argument("--no-astopt", action="store_true",
+                   help="disable the M2 AST simplification "
+                        "(reference runs WITHOUT -astopt)")
+    p.add_argument("--genfile", action="store_true",
+                   help="reference -genfile: export the per-file "
+                        "eigen-word corpus to <run-dir>/word_corpus "
+                        "and exit (no dedup)")
+    p.add_argument("--node-count", action="store_true",
+                   help="reference -nodeCount: write the node census "
+                        "to <run-dir>/node_census and exit (no dedup)")
+    p.add_argument("--clone-model", action="store_true",
+                   help="reference -clonemodel: AST-sequence embedding "
+                        "path (cosine pairing) instead of SimHash")
+    p.add_argument("--threshold", type=float, default=0.6,
+                   help="reference -threshold: model-path similarity "
+                        "cut at (cos*0.5+0.5) >= t (default 0.6)")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="local mode only; omit inside a cluster")
     args = p.parse_args(argv)
@@ -64,16 +84,95 @@ def main(argv: list[str] | None = None) -> int:
     config = PipelineConfig(
         t_high=args.t_high, t_normal=args.t_normal,
         block_mode=args.block_mode, n_bands=n_bands,
+        ast_opt=not args.no_astopt,
+        only_same_file=args.only_same_file,
+        only_diff_file=args.only_diff_file,
     )
     try:
-        res = run_dedup_pipeline(
-            args.input, args.run_dir, config=config,
-            resume=not args.no_resume, score_report=args.score,
-        )
+        if args.genfile or args.node_count:
+            report = _run_exports(args, config)
+        elif args.clone_model:
+            report = _run_clone_model(args, config)
+        else:
+            report = run_dedup_pipeline(
+                args.input, args.run_dir, config=config,
+                resume=not args.no_resume, score_report=args.score,
+            ).metrics
     finally:
         ray.shutdown()
-    print(json.dumps(res.metrics))
+    print(json.dumps(report))
     return 0
+
+
+def _run_exports(args, config) -> dict:
+    """-genfile / -nodeCount modes: corpus exports instead of dedup
+    (the reference runs these as their own invocations too)."""
+    import os
+    import time
+
+    import ray.data
+
+    from clonebas_ray.stages.ingest import (
+        export_word_corpus, node_census, prepare_stage, read_files,
+        read_split_blocks,
+    )
+
+    t0 = time.perf_counter()
+    os.makedirs(args.run_dir, exist_ok=True)
+    ds = prepare_stage(
+        read_files(args.input, override_num_blocks=read_split_blocks())
+    )
+    if args.genfile and args.node_count:
+        # two consumers of one lazy graph: pin the prepared corpus so
+        # the read+key pass runs once
+        ds = ds.materialize()
+    report: dict = {}
+    if args.genfile:
+        out = os.path.join(args.run_dir, "word_corpus")
+        export_word_corpus(ds, config).write_parquet(out)
+        report["word_corpus_rows"] = ray.data.read_parquet(out).count()
+        report["word_corpus_dir"] = out
+    if args.node_count:
+        out = os.path.join(args.run_dir, "node_census")
+        node_census(ds, config).write_parquet(out)
+        report["node_census_rows"] = ray.data.read_parquet(out).count()
+        report["node_census_dir"] = out
+    report["total_s"] = round(time.perf_counter() - t0, 3)
+    return report
+
+
+def _run_clone_model(args, config) -> dict:
+    """-clonemodel mode: AST-sequence embedding path (M9/J8/T3)."""
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    from clonebas_ray.ops.model_path import model_clone_clusters
+    from clonebas_ray.stages.ingest import read_files, read_split_blocks
+
+    t0 = time.perf_counter()
+    os.makedirs(args.run_dir, exist_ok=True)
+    files = read_files(
+        args.input, override_num_blocks=read_split_blocks()
+    )
+    clusters = model_clone_clusters(
+        files, config=config, threshold=args.threshold
+    )
+    out = os.path.join(args.run_dir, "model_clusters.parquet")
+    pq.write_table(clusters, out)
+    n_clusters = (
+        len(set(clusters["cluster_id"].to_pylist()))
+        if clusters.num_rows else 0
+    )
+    return {
+        "mode": "clone_model",
+        "threshold": args.threshold,
+        "n_clustered_units": clusters.num_rows,
+        "n_clusters": n_clusters,
+        "clusters_path": out,
+        "total_s": round(time.perf_counter() - t0, 3),
+    }
 
 
 if __name__ == "__main__":

@@ -308,3 +308,38 @@ def test_cli_entrypoint_runs_and_resumes(tmp_path_factory):
     assert second["fingerprints_resumed"]
     assert second["n_clusters"] == first["n_clusters"]
     assert second["n_edges"] == first["n_edges"]
+
+
+def test_cli_export_modes(tmp_path_factory):
+    """`--genfile --node-count` (the reference's -genfile/-nodeCount
+    invocations) export the word corpus + census instead of running
+    the dedup, and report row counts."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    d = tmp_path_factory.mktemp("cli_exp_corpus")
+    _write_tiny_corpus(
+        str(d),
+        [
+            "int alpha(int a){ if(a>0){ return a+1; } return 0; }",
+            "void beta(){ for(int i=0;i<9;i++){ delta(i); } }",
+        ],
+    )
+    run_dir = str(tmp_path_factory.mktemp("cli_exp_run"))
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-m", "clonebas_ray.run",
+         "--input", f"{d}/files.parquet", "--run-dir", run_dir,
+         "--genfile", "--node-count", "--num-cpus", "2"],
+        capture_output=True, text=True, timeout=300, cwd=repo_root,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rep = json.loads(
+        [ln for ln in out.stdout.splitlines() if ln.strip()][-1]
+    )
+    assert rep["word_corpus_rows"] == 2
+    assert rep["node_census_rows"] > 0
+    assert os.path.isdir(rep["word_corpus_dir"])
+    assert os.path.isdir(rep["node_census_dir"])
