@@ -285,6 +285,144 @@ def hash_join(
     )
 
 
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    num_buckets: int = 0,
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    left_dtypes: dict[str, str] | None = None,
+    right_dtypes: dict[str, str] | None = None,
+    right_prep=None,
+    direction: str = "backward",
+) -> ray.data.Dataset:
+    """As-of join — Ray Data has no native one (SURVEY §2.9 custom
+    operator): each left row gains the single right row sharing its
+    join key whose ``right_ts`` is the greatest <= ``left_ts``
+    (``direction='backward'``, inclusive — DuckDB's
+    ``ASOF JOIN ... ON l.ts >= r.ts`` semantics; 'forward'/'nearest'
+    pass through to the pandas kernel).  Unmatched left rows keep
+    null right columns (LEFT semantics).
+
+    Partitioning assumption (documented): both sides hash-co-partition
+    on the join key, so a key's FULL history lands in one bucket;
+    inside a bucket ``pd.merge_asof`` (C-vectorized, sort + binary
+    search) does the per-key time alignment.  Per-key history must fit
+    one task — true for any per-user/per-entity stream; a single
+    pathological key with ~10^9 rows would need a time-range
+    sub-split (same seam class as the hash-join hot key).  The right
+    side must be unique per (key, ts) or the picked row is arbitrary —
+    pass ``right_prep`` to aggregate duplicates bucket-locally (exact,
+    because key rows co-locate).  Column names must be disjoint across
+    sides (the union would merge same-named columns)."""
+    if not num_buckets:
+        num_buckets = auto_partitions(mult=2, lo=32)
+    if left_cols is None:
+        left_cols = left.schema().names
+    if right_cols is None:
+        right_cols = right.schema().names
+    overlap = set(left_cols) & set(right_cols)
+    if overlap:
+        raise ValueError(f"asof_join column collision: {sorted(overlap)}")
+
+    def bucketed(ds: ray.data.Dataset, key: str, side: str) -> ray.data.Dataset:
+        def add(batch: pa.Table) -> pa.Table:
+            k = batch[key].to_numpy(zero_copy_only=False)
+            h = pd.util.hash_array(np.asarray(k)) % num_buckets
+            t = batch.append_column(
+                "__bucket", pa.array(h.astype(np.int32), pa.int32())
+            )
+            return t.append_column("__side", pa.array([side] * len(k)))
+
+        return ds.map_batches(add, batch_format="pyarrow")
+
+    both = bucketed(left, left_key, "l").union(
+        bucketed(right, right_key, "r")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "l"].reindex(columns=left_cols)
+        rg = g[g["__side"] == "r"].reindex(columns=right_cols)
+        if left_dtypes:
+            lg = lg.astype(left_dtypes)
+        if right_dtypes:
+            rg = rg.astype(right_dtypes)
+        if right_prep is not None:
+            # prep may aggregate/rename value columns; it must keep
+            # right_key/right_ts and return a stable layout even on an
+            # empty frame (named groupby aggregations do)
+            rg = right_prep(rg)
+        # stable output layout: left columns + right VALUE columns (the
+        # right key/ts are redundant with the left's, and keeping them
+        # would flip dtype per bucket — int64 when fully matched,
+        # float64 when any row missed)
+        value_cols = [
+            c for c in rg.columns if c not in (right_key, right_ts)
+        ]
+        out_cols = left_cols + value_cols
+        if lg.empty:
+            return lg.reindex(columns=out_cols)
+        if rg.empty:
+            out = lg.copy()
+            for c in value_cols:
+                out[c] = np.nan
+            return out
+        # merge_asof requires both frames globally sorted on the time
+        # column; `by=` then aligns within each key
+        lg = lg.sort_values(left_ts, kind="mergesort")
+        rg = rg.sort_values(right_ts, kind="mergesort")
+        return pd.merge_asof(
+            lg, rg, left_on=left_ts, right_on=right_ts,
+            left_by=left_key, right_by=right_key, direction=direction,
+        )[out_cols]
+
+    return both.groupby("__bucket").map_groups(
+        join_bucket, batch_format="pandas"
+    )
+
+
+def events_asof_orders(sf_dir: str) -> pa.Table:
+    """Stream-shaped as-of enrichment: each event joined to the SAME
+    user's most recent order at-or-before the event time (the
+    :func:`asof_join` custom operator; DuckDB's native ``ASOF LEFT
+    JOIN`` is the oracle).  Orders pre-aggregate to one row per
+    (custkey, orderdate) bucket-locally so the as-of pick is
+    deterministic; money follows the integer-cents convention
+    (floor(x*100+0.5) per order, then sum)."""
+    events = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    orders = _read(
+        sf_dir, "orders",
+        ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"],
+    )
+
+    def agg_orders(rg: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            rg["o_totalprice"].to_numpy(np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        return rg.assign(__cents=cents).groupby(
+            ["o_custkey", "o_orderdate"], as_index=False
+        ).agg(
+            last_orderkey=("o_orderkey", "max"),
+            last_total_cents=("__cents", "sum"),
+        )
+
+    out = asof_join(
+        events, orders, "user_id", "o_custkey", "ts", "o_orderdate",
+        left_cols=["event_id", "ts", "user_id"],
+        right_cols=["o_custkey", "o_orderdate", "o_orderkey",
+                    "o_totalprice"],
+        left_dtypes={"event_id": "int64", "user_id": "int64"},
+        right_dtypes={"o_custkey": "int64", "o_orderkey": "int64"},
+        right_prep=agg_orders,
+    )
+    df = out.to_pandas().sort_values("event_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def events_hourly(sf_dir: str) -> pa.Table:
     """Stream-shaped: tumbling 1-hour windows per event_type
     (``floor_temporal`` + grouped agg; SURVEY §2.8 — semantics stay

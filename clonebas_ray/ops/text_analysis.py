@@ -215,3 +215,65 @@ def word_census(
         partial, batch_format="pyarrow"
     )
     return partials.groupby("word").aggregate(Sum("partial_n", alias_name="n"))
+
+
+#: PII / secret patterns (RE2 syntax).  Dict order is the REDACTION
+#: order — ``pii_redact`` applies the replacements sequentially, and
+#: the DuckDB oracle chains ``regexp_replace(..., 'g')`` in the same
+#: order.  Both sides run RE2 (pyarrow.compute's re2 kernels; DuckDB's
+#: regexp_* are RE2 too), so match semantics are engine-identical —
+#: avoid constructs RE2 lacks (lookaround, backrefs).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}-\d{3,4}-\d{4}\b",
+    "secret": r"\b(?:AKIA|ASIA)[A-Z0-9]{16}\b",
+}
+
+
+def pii_scan(
+    ds: ray.data.Dataset, text_col: str = "text"
+) -> ray.data.Dataset:
+    """Append per-document PII/secret match counts
+    (``n_email/n_ipv4/n_phone/n_secret``) and a ``has_pii`` flag.
+
+    The curation stage every large-scale training-data pipeline needs
+    before publishing a corpus; the reference has no analogue (its
+    inputs are local source trees).  Fully vectorized:
+    ``pc.count_substring_regex`` is a RE2 kernel over the Arrow column
+    — no Python per row, no shuffle, embarrassingly parallel."""
+    ensure_worker_importable()
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        total = None
+        for name, pat in PII_PATTERNS.items():
+            n = pc.cast(
+                pc.count_substring_regex(batch[text_col], pat), pa.int64()
+            )
+            batch = batch.append_column(f"n_{name}", n)
+            total = n if total is None else pc.add(total, n)
+        return batch.append_column("has_pii", pc.greater(total, 0))
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def pii_redact(
+    ds: ray.data.Dataset, text_col: str = "text",
+    out_col: str = "text_redacted",
+) -> ray.data.Dataset:
+    """Replace every PII/secret match with a ``<CLASS>`` placeholder
+    (sequentially, in ``PII_PATTERNS`` order — a later class never
+    sees text a former one redacted).  RE2 global replace per Arrow
+    column; the redacted corpus streams straight to
+    ``write_parquet``."""
+    ensure_worker_importable()
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        for name, pat in PII_PATTERNS.items():
+            col = pc.replace_substring_regex(
+                col, pat, f"<{name.upper()}>"
+            )
+        return batch.append_column(out_col, col)
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
