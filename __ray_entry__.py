@@ -463,6 +463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_monthly": rel.orders_monthly,
         "user_sessions": rel.user_sessions,
         "events_asof_orders": rel.events_asof_orders,
+        "events_in_sessions": rel.events_in_sessions,
         # text / census ops (SQL-oracled)
         "word_census": _q_word_census,
         "exact_dedup": _q_exact_dedup,
@@ -653,6 +654,31 @@ SELECT e.event_id, e.ts, e.user_id,
   o.last_orderkey, o.last_total_cents
 FROM events e ASOF LEFT JOIN o
   ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""",
+        # the sess CTE is the user_sessions oracle verbatim; the range
+        # join's containment + same-user residual then matches each
+        # event to exactly its own session
+        "events_in_sessions": """
+WITH e0 AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s0 AS (
+  SELECT user_id, ts,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS session
+  FROM e0
+), sess AS (
+  SELECT user_id, min(ts) AS session_start, max(ts) AS session_end
+  FROM s0 GROUP BY user_id, session
+)
+SELECT e.event_id, e.ts, e.user_id, s.session_start, s.session_end
+FROM events e JOIN sess s
+  ON e.user_id = s.user_id
+ AND e.ts >= s.session_start AND e.ts <= s.session_end
 """,
         "simhash_text_clusters": """
 WITH RECURSIVE d0 AS (

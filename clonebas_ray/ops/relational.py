@@ -385,6 +385,177 @@ def asof_join(
     )
 
 
+def range_join(
+    points: ray.data.Dataset,
+    intervals: ray.data.Dataset,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width_us: int,
+    point_cols: list[str] | None = None,
+    interval_cols: list[str] | None = None,
+    point_dtypes: dict[str, str] | None = None,
+    interval_dtypes: dict[str, str] | None = None,
+    extra_pred=None,
+) -> ray.data.Dataset:
+    """Range (interval-containment) join — Ray Data has no native one
+    (SURVEY §2.9 custom operator): each point row joins every interval
+    row with ``lo <= point <= hi`` (inclusive both ends).
+
+    Strategy — time-bucket binning, the distributed range-join pattern
+    for when there is NO equality key to co-partition on: time splits
+    into fixed ``bucket_width_us`` buckets; an interval fans out to one
+    copy per covered bucket, a point lands in exactly ONE bucket, and
+    containment filters vectorized inside each bucket group.  Because
+    a point has exactly one bucket and interval copies are distinct
+    per bucket, no cross-bucket dedup is needed.
+
+    Partitioning assumptions (documented): interval length /
+    bucket_width bounds the fan-out — pick the width near the typical
+    interval length; one bucket's points x intervals crossproduct must
+    fit a task (the per-task tile bounds memory, but a pathological
+    hot bucket still wants a narrower width or a secondary split).
+    ``extra_pred(df) -> df`` runs after containment — e.g. an equality
+    residual like same-user — so callers can express mixed
+    equality+range predicates without a second shuffle.  Column names
+    must be disjoint across sides."""
+    if point_cols is None:
+        point_cols = points.schema().names
+    if interval_cols is None:
+        interval_cols = intervals.schema().names
+    overlap = set(point_cols) & set(interval_cols)
+    if overlap:
+        raise ValueError(f"range_join column collision: {sorted(overlap)}")
+    W = np.int64(bucket_width_us)
+
+    def _us(col: pa.ChunkedArray) -> np.ndarray:
+        return pc.cast(col, pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        ).view(np.int64)
+
+    def bucket_points(batch: pa.Table) -> pa.Table:
+        b = _us(batch[point_col]) // W
+        t = batch.append_column(
+            "__bucket", pa.array(b.astype(np.int64), pa.int64())
+        )
+        return t.append_column("__side", pa.array(["p"] * len(b)))
+
+    def expand_intervals(batch: pa.Table) -> pa.Table:
+        lo_b = _us(batch[lo_col]) // W
+        hi_b = _us(batch[hi_col]) // W
+        n_copies = (hi_b - lo_b + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(lo_b), dtype=np.int64), n_copies)
+        # per-copy bucket = lo_b + position within its own run
+        pos = np.arange(idx.size, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(n_copies)[:-1])), n_copies
+        )
+        t = batch.take(pa.array(idx))
+        t = t.append_column(
+            "__bucket", pa.array(lo_b[idx] + pos, pa.int64())
+        )
+        return t.append_column("__side", pa.array(["i"] * idx.size))
+
+    both = points.map_batches(
+        bucket_points, batch_format="pyarrow"
+    ).union(intervals.map_batches(expand_intervals, batch_format="pyarrow"))
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # dtype restore: the union null-pads the other side's columns
+        # (int64 -> float64, datetime -> NaT-bearing) — the
+        # caller-supplied maps keep every group's output layout
+        # identical, INCLUDING the 0-row frames from single-side
+        # buckets (an object-dtyped empty would poison the schema)
+        pg = g[g["__side"] == "p"].reindex(columns=point_cols)
+        ig = g[g["__side"] == "i"].reindex(columns=interval_cols)
+        if point_dtypes:
+            pg = pg.astype(point_dtypes)
+        if interval_dtypes:
+            ig = ig.astype(interval_dtypes)
+        if pg.empty or ig.empty:
+            return pd.concat(
+                [
+                    pg.iloc[0:0].reset_index(drop=True),
+                    ig.iloc[0:0].reset_index(drop=True),
+                ],
+                axis=1,
+            )
+        ts = pg[point_col].to_numpy("datetime64[us]").view(np.int64)
+        lo = ig[lo_col].to_numpy("datetime64[us]").view(np.int64)
+        hi = ig[hi_col].to_numpy("datetime64[us]").view(np.int64)
+        pi_idx: list[np.ndarray] = []
+        ii_idx: list[np.ndarray] = []
+        TILE = 4096  # bounds the in-bucket crossproduct tile
+        for s in range(0, len(ts), TILE):
+            e = min(s + TILE, len(ts))
+            m = (ts[s:e, None] >= lo[None, :]) & (
+                ts[s:e, None] <= hi[None, :]
+            )
+            a, b = np.nonzero(m)
+            pi_idx.append(a + s)
+            ii_idx.append(b)
+        pi = np.concatenate(pi_idx)
+        ii = np.concatenate(ii_idx)
+        out = pd.concat(
+            [
+                pg.iloc[pi].reset_index(drop=True),
+                ig.iloc[ii].reset_index(drop=True),
+            ],
+            axis=1,
+        )
+        if extra_pred is not None:
+            out = extra_pred(out)
+        return out
+
+    return both.groupby("__bucket").map_groups(
+        join_bucket, batch_format="pandas"
+    )
+
+
+def events_in_sessions(sf_dir: str) -> pa.Table:
+    """Mixed equality+range join via :func:`range_join`: each event
+    matched to the session interval containing it (same user, ts
+    between session bounds) — sessions come from the
+    :func:`user_sessions` sessionizer, so each event matches exactly
+    its own session and the row count must equal the event count (a
+    built-in self-check the SQL oracle shares).  The user equality is
+    deliberately expressed as the ``extra_pred`` RESIDUAL, exercising
+    the no-equality-key time-binning path; 6-hour buckets sit near
+    the typical session length."""
+    sessions = user_sessions(sf_dir)
+    sess = pa.table(
+        {
+            "s_user_id": sessions["user_id"],
+            "session_start": sessions["session_start"],
+            "session_end": sessions["session_end"],
+        }
+    )
+    events = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    out = range_join(
+        events, ray.data.from_arrow(sess),
+        "ts", "session_start", "session_end",
+        bucket_width_us=6 * 3600 * 1_000_000,
+        point_cols=["event_id", "ts", "user_id"],
+        interval_cols=["s_user_id", "session_start", "session_end"],
+        point_dtypes={
+            "event_id": "int64", "user_id": "int64",
+            "ts": "datetime64[us]",
+        },
+        interval_dtypes={
+            "s_user_id": "int64",
+            "session_start": "datetime64[us]",
+            "session_end": "datetime64[us]",
+        },
+        extra_pred=lambda df: df[df["user_id"] == df["s_user_id"]],
+    )
+    df = (
+        out.to_pandas()
+        .drop(columns=["s_user_id"])
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def events_asof_orders(sf_dir: str) -> pa.Table:
     """Stream-shaped as-of enrichment: each event joined to the SAME
     user's most recent order at-or-before the event time (the

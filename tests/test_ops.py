@@ -649,3 +649,61 @@ def test_asof_join_semantics(ray_session):
     vals = out["val"].tolist()
     assert vals[:3] == [10, 20, 35]
     assert np.isnan(vals[3])
+
+
+def test_range_join_semantics(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from clonebas_ray.ops.relational import range_join
+
+    pts = pa.table(
+        {
+            "pid": pa.array([0, 1, 2, 3], pa.int64()),
+            "ts": pa.array(
+                pd.to_datetime(
+                    ["2020-01-01 00:00", "2020-01-01 05:00",
+                     "2020-01-03 00:00", "2020-02-01 00:00"]
+                ).astype("datetime64[us]")
+            ),
+        }
+    )
+    ivs = pa.table(
+        {
+            "iid": pa.array([10, 11, 12], pa.int64()),
+            "lo": pa.array(
+                pd.to_datetime(
+                    # iid 10 spans ~2 days (many 6h buckets); its hi
+                    # boundary is INCLUSIVE and exactly hits pid 2.
+                    # iid 11 nests inside 10 -> pid 1 matches BOTH.
+                    ["2020-01-01 00:00", "2020-01-01 04:00",
+                     "2020-03-01 00:00"]
+                ).astype("datetime64[us]")
+            ),
+            "hi": pa.array(
+                pd.to_datetime(
+                    ["2020-01-03 00:00", "2020-01-01 06:00",
+                     "2020-03-02 00:00"]
+                ).astype("datetime64[us]")
+            ),
+        }
+    )
+    out = (
+        range_join(
+            ray.data.from_arrow(pts), ray.data.from_arrow(ivs),
+            "ts", "lo", "hi", bucket_width_us=6 * 3600 * 1_000_000,
+            point_dtypes={"pid": "int64", "ts": "datetime64[us]"},
+            interval_dtypes={
+                "iid": "int64", "lo": "datetime64[us]",
+                "hi": "datetime64[us]",
+            },
+        )
+        .to_pandas()
+        .sort_values(["pid", "iid"])
+        .reset_index(drop=True)
+    )
+    pairs = list(zip(out.pid, out.iid))
+    # pid 0: lo boundary inclusive on 10; pid 1: inside 10 AND 11;
+    # pid 2: hi boundary inclusive on 10 (interval spans 8+ buckets,
+    # emitted once); pid 3: matches nothing
+    assert pairs == [(0, 10), (1, 10), (1, 11), (2, 10)]
