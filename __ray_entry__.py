@@ -250,6 +250,24 @@ def _pii_fixture(sf_dir: str):
     )
 
 
+def _q_dup_ngrams(sf_dir: str):
+    _quiet()
+    from clonebas_ray.ops.text_analysis import dup_ngram_stats
+
+    out = dup_ngram_stats(_docs(sf_dir, ["doc_id", "text"]))
+    return out.select_columns(
+        ["doc_id", "dup2_frac", "dup10_frac"]
+    ).to_pandas()
+
+
+def _q_text_normalize(sf_dir: str):
+    _quiet()
+    from clonebas_ray.ops.text_analysis import text_normalize
+
+    out = text_normalize(_docs(sf_dir, ["doc_id", "text"]))
+    return out.select_columns(["doc_id", "text_norm"]).to_pandas()
+
+
 def _q_pii_scan(sf_dir: str):
     _quiet()
     from clonebas_ray.ops.text_analysis import pii_scan
@@ -480,6 +498,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "pii_scan": _q_pii_scan,
         "pii_redact": _q_pii_redact,
+        "dup_ngrams": _q_dup_ngrams,
+        "text_normalize": _q_text_normalize,
         "embed_near_dup": _q_embed_near_dup,
         "embed_near_dup_clusters": _q_embed_near_dup_clusters,
         "ivf_knn": _q_ivf_knn,
@@ -1015,6 +1035,51 @@ SELECT doc_id,
     (a, b) -> (a * 1099511628211 + b) % 2305843009213693951
   ) AS BIGINT) AS fingerprint
 FROM documents
+""",
+        "text_normalize": """
+SELECT doc_id,
+  trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))
+    AS text_norm
+FROM documents
+""",
+        # char-weighted duplicate-n-gram mass; list_slice is 1-based
+        # inclusive, range(1, k) exclusive of k — grams i = 1..len-n+1
+        "dup_ngrams": """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), g2 AS (
+  SELECT doc_id, unnest(list_transform(
+      range(1, greatest(len(toks) - 1, 0) + 1),
+      i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS gram
+  FROM t
+), c2 AS (
+  SELECT doc_id, gram, count(*) AS n, length(gram) AS L
+  FROM g2 GROUP BY doc_id, gram
+), f2 AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN n > 1 THEN n * L ELSE 0 END) AS DOUBLE)
+      / CAST(sum(n * L) AS DOUBLE) AS dup2_frac
+  FROM c2 GROUP BY doc_id
+), g10 AS (
+  SELECT doc_id, unnest(list_transform(
+      range(1, greatest(len(toks) - 9, 0) + 1),
+      i -> array_to_string(list_slice(toks, i, i + 9), ' '))) AS gram
+  FROM t
+), c10 AS (
+  SELECT doc_id, gram, count(*) AS n, length(gram) AS L
+  FROM g10 GROUP BY doc_id, gram
+), f10 AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN n > 1 THEN n * L ELSE 0 END) AS DOUBLE)
+      / CAST(sum(n * L) AS DOUBLE) AS dup10_frac
+  FROM c10 GROUP BY doc_id
+)
+SELECT t.doc_id,
+  coalesce(f2.dup2_frac, 0.0) AS dup2_frac,
+  coalesce(f10.dup10_frac, 0.0) AS dup10_frac
+FROM t LEFT JOIN f2 USING (doc_id) LEFT JOIN f10 USING (doc_id)
 """,
         # the aug CTE mirrors _pii_fixture exactly (same deterministic
         # tail per doc_id); patterns are RE2 on both engines

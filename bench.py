@@ -131,6 +131,8 @@ def run_bench() -> dict:
             "tpch_q1", "events_hourly", "word_census", "exact_dedup",
             "knn_cosine", "minhash_pairs", "simhash_text_clusters",
             "substring_dups", "embed_near_dup", "code_metrics",
+            "pii_scan", "dup_ngrams", "events_asof_orders",
+            "events_in_sessions",
         ):
             t0 = time.perf_counter()
             q[name](SF_DIR)

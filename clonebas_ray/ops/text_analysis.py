@@ -277,3 +277,90 @@ def pii_redact(
         return batch.append_column(out_col, col)
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def dup_ngram_stats(
+    ds: ray.data.Dataset, text_col: str = "text",
+    ns: tuple[int, ...] = (2, 10),
+) -> ray.data.Dataset:
+    """Gopher-style repetition filters (published Gopher/RefinedWeb
+    'duplicate n-gram' family, pinned to a deterministic char-weighted
+    definition the SQL oracle shares): per document and per n, the
+    fraction of n-gram character mass — every occurrence weighted by
+    the gram's joined length — that sits in grams occurring more than
+    once.  ``dup{n}_frac = sum(count*len for grams with count>1) /
+    sum(count*len over all grams)``; 0.0 when the doc has fewer than
+    n tokens.  Catches boilerplate/loop spam that the unique-token
+    ``rep_ratio`` in :class:`QualityScore` misses (a document cycling
+    two paragraphs has high dup10 but moderate rep_ratio).
+
+    Single stateless ``map_batches`` — linear per doc, no shuffle."""
+    ensure_worker_importable()
+    from collections import Counter
+
+    ws_re = re.compile(r"\s+")
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        cols: dict[str, list[float]] = {f"dup{n}_frac": [] for n in ns}
+        for t in texts:
+            toks = [w for w in ws_re.split(t) if w]
+            for n in ns:
+                grams = Counter(
+                    " ".join(toks[i:i + n])
+                    for i in range(len(toks) - n + 1)
+                )
+                tot = dup = 0
+                for g, c in grams.items():
+                    m = c * len(g)
+                    tot += m
+                    if c > 1:
+                        dup += m
+                cols[f"dup{n}_frac"].append(dup / tot if tot else 0.0)
+        for name, vals in cols.items():
+            batch = batch.append_column(
+                name, pa.array(vals, pa.float64())
+            )
+        return batch
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def text_normalize(
+    ds: ray.data.Dataset, text_col: str = "text",
+    out_col: str = "text_norm",
+) -> ray.data.Dataset:
+    """Canonical text normalization for dedup/training prep: Unicode
+    NFC, lowercase, whitespace runs collapsed to single spaces,
+    trimmed — in that pinned order (the DuckDB oracle chains
+    ``trim(regexp_replace(lower(nfc_normalize(..)), ..))`` the same
+    way).  All four steps are Arrow compute kernels (utf8proc + RE2)
+    — no Python per row; running it before ``exact_dedup_docs`` makes
+    byte-different-but-equivalent documents collapse."""
+    ensure_worker_importable()
+
+    import unicodedata
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        x = batch[text_col]
+        # pyarrow 16's utf8_normalize mis-binds its `form` option and
+        # returns NFD even when NFC is requested (verified: composed
+        # input comes back decomposed) — NFC runs through unicodedata,
+        # gated on a vectorized is-ascii check so the common all-ASCII
+        # block never leaves Arrow (ASCII is NFC by construction)
+        all_ascii = pc.all(pc.string_is_ascii(x)).as_py()
+        if all_ascii is False:
+            x = pa.array(
+                [
+                    s if s is None or s.isascii()
+                    else unicodedata.normalize("NFC", s)
+                    for s in x.to_pylist()
+                ],
+                pa.string(),
+            )
+        x = pc.utf8_lower(x)
+        x = pc.replace_substring_regex(x, r"\s+", " ")
+        x = pc.utf8_trim_whitespace(x)
+        return batch.append_column(out_col, x)
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

@@ -707,3 +707,73 @@ def test_range_join_semantics(ray_session):
     # pid 2: hi boundary inclusive on 10 (interval spans 8+ buckets,
     # emitted once); pid 3: matches nothing
     assert pairs == [(0, 10), (1, 10), (1, 11), (2, 10)]
+
+
+def test_dup_ngram_stats(ray_session):
+    import ray.data
+
+    from clonebas_ray.ops.text_analysis import dup_ngram_stats
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": [
+                # bigrams: "a b" x3, "b a" x2 -> every occurrence
+                # duplicated -> dup2 = 1.0; only 6 tokens -> dup10 0.0
+                "a b a b a b",
+                # all bigrams distinct -> dup2 0.0
+                "one two three four five",
+                "",  # no tokens at all
+            ],
+        }
+    )
+    out = (
+        dup_ngram_stats(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out.dup2_frac) == [1.0, 0.0, 0.0]
+    assert list(out.dup10_frac) == [0.0, 0.0, 0.0]
+
+    # a doc cycling one sentence: high dup10, while unique-token
+    # rep_ratio alone would already saturate — dup10 is the signal
+    # that survives long texts
+    spam = " ".join(["the quick brown fox jumps over lazy dogs ok now"] * 20)
+    out2 = (
+        dup_ngram_stats(
+            ray.data.from_arrow(
+                pa.table({"doc_id": pa.array([0], pa.int64()),
+                          "text": [spam]})
+            )
+        ).to_pandas()
+    )
+    assert out2.dup10_frac[0] > 0.9
+
+
+def test_text_normalize(ray_session):
+    import ray.data
+
+    from clonebas_ray.ops.text_analysis import text_normalize
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": [
+                "  HeLLo   WORLD\tCafé  ",  # NFC composes e + accent
+                "already clean",
+            ],
+        }
+    )
+    out = (
+        text_normalize(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    import unicodedata
+
+    # compare in explicit NFC — the source-file literal's own form
+    # (composed vs decomposed) must not decide the test
+    want = [unicodedata.normalize("NFC", "hello world café"),
+            "already clean"]
+    assert list(out.text_norm) == want
