@@ -268,6 +268,46 @@ def _q_text_normalize(sf_dir: str):
     return out.select_columns(["doc_id", "text_norm"]).to_pandas()
 
 
+def _q_decontaminate(sf_dir: str):
+    # benchmark fixture: every 23rd doc plays the held-out eval set
+    # (deterministic, recomputable by the SQL oracle's WHERE clause)
+    _quiet()
+    from clonebas_ray.ops.text_dedup import ngram_decontaminate
+
+    import numpy as np
+    import pyarrow as pa
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def every_23rd(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 23 == 0))
+
+    bench = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        every_23rd, batch_format="pyarrow", batch_size=None
+    )
+    out = ngram_decontaminate(docs, bench, n=8)
+    return out.select_columns(["doc_id", "n_grams", "n_hits"]).to_pandas()
+
+
+def _q_hash_split(sf_dir: str):
+    _quiet()
+    from clonebas_ray.ops.relational import hash_split
+
+    out = hash_split(_docs(sf_dir, ["doc_id"]), "doc_id")
+    return out.select_columns(["doc_id", "split"]).to_pandas()
+
+
+def _q_chunk_docs(sf_dir: str):
+    _quiet()
+    from clonebas_ray.ops.text_analysis import chunk_documents
+
+    out = chunk_documents(
+        _docs(sf_dir, ["doc_id", "text"]), max_tokens=32, stride=24
+    )
+    return out.to_pandas()
+
+
 def _q_pii_scan(sf_dir: str):
     _quiet()
     from clonebas_ray.ops.text_analysis import pii_scan
@@ -500,6 +540,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _q_pii_redact,
         "dup_ngrams": _q_dup_ngrams,
         "text_normalize": _q_text_normalize,
+        "decontaminate": _q_decontaminate,
+        "hash_split": _q_hash_split,
+        "chunk_docs": _q_chunk_docs,
         "embed_near_dup": _q_embed_near_dup,
         "embed_near_dup_clusters": _q_embed_near_dup_clusters,
         "ivf_knn": _q_ivf_knn,
@@ -1080,6 +1123,63 @@ SELECT t.doc_id,
   coalesce(f2.dup2_frac, 0.0) AS dup2_frac,
   coalesce(f10.dup10_frac, 0.0) AS dup10_frac
 FROM t LEFT JOIN f2 USING (doc_id) LEFT JOIN f10 USING (doc_id)
+""",
+        # bench set = every 23rd doc's distinct 8-grams (the Ray side
+        # matches hashed gram sequences; gram identity == joined-string
+        # identity because tokens cannot contain whitespace)
+        "decontaminate": """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, unnest(list_transform(
+      range(1, greatest(len(toks) - 7, 0) + 1),
+      i -> array_to_string(list_slice(toks, i, i + 7), ' '))) AS gram
+  FROM t
+), bench AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 23 = 0
+), h AS (
+  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+    CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_hits
+  FROM g LEFT JOIN bench b USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT t.doc_id,
+  coalesce(h.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+  coalesce(h.n_hits, CAST(0 AS BIGINT)) AS n_hits
+FROM t LEFT JOIN h USING (doc_id)
+""",
+        # md5_number_lower = the repo's pinned md5_low64 convention;
+        # buckets [0,9000) train / [9000,9500) val / [9500,10000) test
+        "hash_split": """
+SELECT doc_id,
+  CASE
+    WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 < 9000
+      THEN 'train'
+    WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 < 9500
+      THEN 'val'
+    ELSE 'test'
+  END AS split
+FROM documents
+""",
+        # window for every start in range(0, len, 24), width 32,
+        # short tails included — list_slice is 1-based inclusive
+        "chunk_docs": """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 24)) AS i
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id,
+  CAST((i - 1) // 24 AS BIGINT) AS chunk_id,
+  array_to_string(list_slice(toks, i, i + 31), ' ') AS text_chunk,
+  CAST(least(32, len(toks) - i + 1) AS BIGINT) AS n_tokens
+FROM c
 """,
         # the aug CTE mirrors _pii_fixture exactly (same deterministic
         # tail per doc_id); patterns are RE2 on both engines

@@ -132,7 +132,7 @@ def run_bench() -> dict:
             "knn_cosine", "minhash_pairs", "simhash_text_clusters",
             "substring_dups", "embed_near_dup", "code_metrics",
             "pii_scan", "dup_ngrams", "events_asof_orders",
-            "events_in_sessions",
+            "events_in_sessions", "decontaminate",
         ):
             t0 = time.perf_counter()
             q[name](SF_DIR)

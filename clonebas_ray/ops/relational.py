@@ -24,6 +24,8 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+from clonebas_ray.bootstrap import ensure_worker_importable
+
 
 def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
@@ -812,3 +814,51 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
     out["session_end"] = out["session_end"].astype("datetime64[us]")
     out["n_events"] = out["n_events"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def hash_split(
+    ds: ray.data.Dataset,
+    key_col: str,
+    splits: dict[str, float] | None = None,
+    out_col: str = "split",
+    buckets: int = 10_000,
+) -> ray.data.Dataset:
+    """Deterministic train/val/test assignment by content-stable key
+    hash: bucket = ``md5_low64(str(key)) % buckets``, split = the
+    first name whose cumulative share covers the bucket.  The same row
+    lands in the same split on every run, every cluster size, every
+    shard order — the property random ``ds.split`` lacks and training
+    pipelines need (resumable runs must not leak val rows into train).
+
+    Hash = the repo's pinned ``md5_number_lower`` convention, so the
+    assignment is reproducible in ANSI SQL (DuckDB:
+    ``md5_number_lower(CAST(key AS VARCHAR)) % buckets``).  Stateless
+    single ``map_batches``; no shuffle — each split is a later
+    ``filter`` on the label (one pass materializes all three)."""
+    ensure_worker_importable()
+    if splits is None:
+        splits = {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(splits.values())
+    names = list(splits)
+    # cumulative integer bucket bounds: split i owns [bound_{i-1}, bound_i)
+    bounds = []
+    acc = 0.0
+    for nm in names:
+        acc += splits[nm] / total
+        bounds.append(min(buckets, int(round(acc * buckets))))
+    bounds[-1] = buckets  # rounding never drops the tail bucket
+
+    from clonebas_ray.functions.murmur3 import md5_low64
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        b = np.array(
+            [md5_low64(str(k).encode()) % buckets for k in keys],
+            dtype=np.int64,
+        )
+        lab = np.searchsorted(np.asarray(bounds, dtype=np.int64), b,
+                              side="right")
+        col = pa.array([names[i] for i in lab], pa.string())
+        return batch.append_column(out_col, col)
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

@@ -364,3 +364,55 @@ def text_normalize(
         return batch.append_column(out_col, x)
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def chunk_documents(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 512,
+    stride: int | None = None,
+    chunk_col: str = "text_chunk",
+) -> ray.data.Dataset:
+    """Training-prep chunking: split each document into token windows
+    of ``max_tokens`` whitespace tokens starting every ``stride``
+    tokens (default non-overlapping ``stride = max_tokens``), rejoined
+    with single spaces (whitespace-normalizing, same convention as
+    every tokenizing op here).  Emits one row per chunk —
+    ``(id_col, chunk_id, text_chunk, n_tokens)`` — zero rows for
+    token-less docs.  The pinned window rule (a window for EVERY start
+    in ``range(0, len, stride)``, tail windows included even when
+    short) is mirrored exactly by the SQL oracle's
+    ``range(1, len+1, stride)``.
+
+    One stateless ``map_batches`` explode — linear, no shuffle; at
+    corpus scale the output block count grows ~len/stride-fold, which
+    Ray Data's streaming executor re-blocks automatically."""
+    ensure_worker_importable()
+    if stride is None:
+        stride = max_tokens
+    if stride <= 0 or max_tokens <= 0:
+        raise ValueError("max_tokens and stride must be positive")
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_id, out_cid, out_txt, out_n = [], [], [], []
+        for did, t in zip(ids, texts):
+            toks = t.split()
+            for cid, start in enumerate(range(0, len(toks), stride)):
+                w = toks[start : start + max_tokens]
+                out_id.append(did)
+                out_cid.append(cid)
+                out_txt.append(" ".join(w))
+                out_n.append(len(w))
+        return pa.table(
+            {
+                id_col: pa.array(out_id, batch[id_col].type),
+                "chunk_id": pa.array(out_cid, pa.int64()),
+                chunk_col: pa.array(out_txt, pa.string()),
+                "n_tokens": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

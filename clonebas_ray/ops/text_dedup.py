@@ -30,7 +30,7 @@ import ray.data
 
 from clonebas_ray.bootstrap import ensure_worker_importable
 
-from clonebas_ray.functions.murmur3 import hash128
+from clonebas_ray.functions.murmur3 import hash128, md5_low64
 
 
 def add_content_hash(
@@ -876,3 +876,173 @@ def simhash_text_dedup(
         high.select_columns(["sha_a", "sha_b"]).to_pandas()
     )
     return clusters_table(union_find_clusters(edge_t), tier=1)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap vs a held-out corpus)
+# ---------------------------------------------------------------------------
+
+
+def _gram_position_hashes(tok_hashes: np.ndarray, n: int) -> np.ndarray:
+    """Per-POSITION n-gram hashes (rolling polynomial over per-token
+    64-bit hashes) — the non-deduplicated sibling of
+    :func:`_shingle_hashes`, needed where gram *occurrences* count."""
+    arr = np.asarray(tok_hashes, dtype=np.uint64)
+    m = len(arr)
+    if m < n:
+        return np.empty(0, dtype=np.uint64)
+    B = np.uint64(0x100000001B3)
+    acc = np.zeros(m - n + 1, dtype=np.uint64)
+    for off in range(n):
+        acc = acc * B + arr[off : m - n + 1 + off]
+    return acc
+
+
+class _GramHashes:
+    """Whitespace-token n-gram hashes with a per-actor token cache.
+
+    Token hash = ``md5_low64`` (the repo's pinned SQL-verifiable
+    convention); gram hash = rolling polynomial over the token hashes.
+    Gram identity equals joined-string identity (tokens cannot contain
+    whitespace), so the DuckDB oracle can join raw gram STRINGS and
+    match these hashed results exactly — up to 64-bit collisions,
+    which at contamination scale only ever ADD a false-positive flag
+    (the standard accepted failure mode of hash-based decontamination;
+    ~m^2/2^65 expected collisions for m distinct grams)."""
+
+    def __init__(self, n: int, text_col: str = "text"):
+        self.n = n
+        self.text_col = text_col
+        self._md5 = md5_low64
+        self._cache: dict[str, np.uint64] = {}
+
+    def _tok_hashes(self, text: str) -> np.ndarray:
+        cache, md5 = self._cache, self._md5
+        out = []
+        for w in text.split():
+            h = cache.get(w)
+            if h is None:
+                h = np.uint64(md5(w.encode("utf-8", "surrogatepass")))
+                cache[w] = h
+            out.append(h)
+        return np.array(out, dtype=np.uint64)
+
+    def doc_grams(self, text: str) -> np.ndarray:
+        return _gram_position_hashes(self._tok_hashes(text), self.n)
+
+
+class _BenchGramExtract(_GramHashes):
+    """map_batches stage: per-batch DISTINCT gram hashes of the
+    benchmark corpus (the pre-aggregation that keeps the driver-side
+    union bounded by distinct-gram count, not corpus size)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        grams = [self.doc_grams(t) for t in batch[self.text_col].to_pylist()]
+        uniq = (
+            np.unique(np.concatenate(grams))
+            if grams else np.empty(0, dtype=np.uint64)
+        )
+        return pa.table({"gram_hash": pa.array(uniq, pa.uint64())})
+
+
+def benchmark_gram_hashes(
+    bench: ray.data.Dataset, text_col: str = "text", n: int = 13,
+) -> np.ndarray:
+    """Sorted distinct n-gram hash array of a benchmark corpus.
+
+    The benchmark side of decontamination is the SMALL side by
+    construction (held-out eval sets, not the crawl): per-batch
+    distinct extraction runs distributed, and only the hash column
+    comes back to the driver (8 bytes/gram — 10^7 distinct grams is
+    80 MB).  The array is meant to be ``ray.put`` once and shared by
+    every scan task."""
+    ensure_worker_importable()
+    parts = bench.map_batches(
+        _BenchGramExtract, fn_constructor_args=(n, text_col),
+        batch_format="pyarrow", batch_size=None, concurrency=(1, 8),
+        max_restarts=0,
+    )
+    hashes = np.concatenate(
+        [
+            b["gram_hash"].to_numpy(zero_copy_only=False)
+            for b in parts.iter_batches(batch_format="pyarrow", batch_size=None)
+        ]
+        or [np.empty(0, dtype=np.uint64)]
+    )
+    return np.unique(hashes)
+
+
+class _DecontaminateScan(_GramHashes):
+    """Stateful scan actor: one ``ray.get`` of the broadcast gram set
+    per actor (NOT per batch), one vectorized ``searchsorted``
+    membership test per batch across all docs at once."""
+
+    def __init__(self, grams_ref, n: int, text_col: str):
+        super().__init__(n, text_col)
+        self.grams = ray.get(grams_ref) if not isinstance(
+            grams_ref, np.ndarray
+        ) else grams_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        seqs = [self.doc_grams(t) for t in texts]
+        counts = np.array([len(s) for s in seqs], dtype=np.int64)
+        if counts.sum():
+            allg = np.concatenate([s for s in seqs if len(s)])
+            g = self.grams
+            if len(g):
+                idx = np.searchsorted(g, allg)
+                idx[idx == len(g)] = len(g) - 1
+                hit = g[idx] == allg
+            else:
+                hit = np.zeros(len(allg), dtype=bool)
+            cum = np.concatenate([[0], np.cumsum(hit)])
+            ends = np.cumsum(counts)
+            starts = ends - counts
+            n_hits = cum[ends] - cum[starts]
+        else:
+            n_hits = np.zeros(len(texts), dtype=np.int64)
+        batch = batch.append_column("n_grams", pa.array(counts, pa.int64()))
+        batch = batch.append_column(
+            "n_hits", pa.array(n_hits.astype(np.int64), pa.int64())
+        )
+        return batch.append_column(
+            "contaminated", pa.array(n_hits > 0, pa.bool_())
+        )
+
+
+def ngram_decontaminate(
+    docs: ray.data.Dataset,
+    bench: ray.data.Dataset | None = None,
+    *,
+    gram_hashes: np.ndarray | None = None,
+    text_col: str = "text",
+    n: int = 13,
+    concurrency: int | tuple[int, int] | None = None,
+) -> ray.data.Dataset:
+    """Benchmark decontamination: flag every document sharing at least
+    one n-token gram with a held-out benchmark corpus (the published
+    GPT-3/Llama 13-gram-overlap recipe; ``n`` defaults to 13, tests
+    pass smaller n for the short synthetic docs).
+
+    Appends ``n_grams`` (the doc's gram-position count), ``n_hits``
+    (positions whose gram appears in the benchmark set) and
+    ``contaminated`` (``n_hits > 0``).  Scale shape: the benchmark
+    gram set is collected ONCE (distinct hashes only), ``ray.put``
+    once, and each scan actor fetches it once in ``__init__`` — the
+    100-TB side streams through a single stateless-per-batch actor
+    pool with no shuffle at all.  ``batch_size=None`` (one call per
+    block) per the repo's broadcast-scan rule."""
+    ensure_worker_importable()
+    if gram_hashes is None:
+        if bench is None:
+            raise ValueError("pass either bench dataset or gram_hashes")
+        gram_hashes = benchmark_gram_hashes(bench, text_col=text_col, n=n)
+    ref = ray.put(np.ascontiguousarray(gram_hashes, dtype=np.uint64))
+    return docs.map_batches(
+        _DecontaminateScan,
+        fn_constructor_args=(ref, n, text_col),
+        batch_format="pyarrow", batch_size=None,
+        concurrency=concurrency or (1, 8),
+        max_restarts=0,
+    )

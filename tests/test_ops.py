@@ -777,3 +777,102 @@ def test_text_normalize(ray_session):
     want = [unicodedata.normalize("NFC", "hello world café"),
             "already clean"]
     assert list(out.text_norm) == want
+
+
+def test_ngram_decontaminate(ray_session):
+    import ray.data
+
+    from clonebas_ray.ops.text_dedup import (
+        benchmark_gram_hashes, ngram_decontaminate,
+    )
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": [
+            # grams (n=5): 2 of its 5 grams appear in the benchmark
+            "the quick brown fox jumps over the lazy dog",
+            "a completely different sentence with no overlap here at all",
+            # shares only 4-token runs with the benchmark -> clean
+            "xx quick brown fox jumps yy",
+            "",  # token-less: 0 grams, never contaminated
+        ],
+    }))
+    bench = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([100], pa.int64()),
+        "text": ["the quick brown fox jumps over a fence"],
+    }))
+    out = (
+        ngram_decontaminate(docs, bench, n=5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(out.n_grams) == [5, 6, 2, 0]
+    assert list(out.n_hits) == [2, 0, 0, 0]
+    assert list(out.contaminated) == [True, False, False, False]
+
+    # precomputed-set path (the 100-TB shape: build once, scan many)
+    grams = benchmark_gram_hashes(bench, n=5)
+    assert len(grams) == 4  # 8 tokens -> 4 distinct 5-grams
+    out2 = (
+        ngram_decontaminate(docs, gram_hashes=grams, n=5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(out2.n_hits) == list(out.n_hits)
+
+    # empty benchmark: nothing flags, nothing crashes
+    empty = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+    ))
+    out3 = ngram_decontaminate(docs, empty, n=5).to_pandas()
+    assert not out3.contaminated.any()
+
+
+def test_hash_split(ray_session):
+    import ray.data
+
+    from clonebas_ray.ops.relational import hash_split
+
+    t = pa.table({"doc_id": pa.array(range(2000), pa.int64())})
+    out = (
+        hash_split(ray.data.from_arrow(t), "doc_id")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    frac = out.split.value_counts(normalize=True)
+    assert set(out.split) == {"train", "val", "test"}
+    assert abs(frac["train"] - 0.9) < 0.03
+    # deterministic: a rerun (and any future run) assigns identically
+    out2 = (
+        hash_split(ray.data.from_arrow(t), "doc_id")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(out.split) == list(out2.split)
+    # hash convention pinned to md5_low64(str(key)) % 10000
+    from clonebas_ray.functions.murmur3 import md5_low64
+
+    b = md5_low64(b"7") % 10000
+    want = "train" if b < 9000 else ("val" if b < 9500 else "test")
+    assert out.split[7] == want
+
+
+def test_chunk_documents(ray_session):
+    import ray.data
+
+    from clonebas_ray.ops.text_analysis import chunk_documents
+
+    toks = [f"w{i}" for i in range(10)]
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": [" ".join(toks), ""],
+    })
+    out = (
+        chunk_documents(
+            ray.data.from_arrow(t), max_tokens=4, stride=3
+        )
+        .to_pandas().sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    # starts 0,3,6,9 -> windows [0:4],[3:7],[6:10],[9:10] (short tail kept)
+    assert list(out.doc_id) == [0, 0, 0, 0]
+    assert list(out.chunk_id) == [0, 1, 2, 3]
+    assert list(out.n_tokens) == [4, 4, 4, 1]
+    assert out.text_chunk[3] == "w9"
+    assert out.text_chunk[1] == "w3 w4 w5 w6"
