@@ -308,6 +308,81 @@ def _q_chunk_docs(sf_dir: str):
     return out.to_pandas()
 
 
+def _q_top_orders_per_customer(sf_dir: str):
+    _quiet()
+    import ray.data
+
+    from clonebas_ray.ops.relational import group_top_k
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    )
+    out = group_top_k(
+        orders, "o_custkey", "o_totalprice", 3,
+        descending=True, tie_cols=["o_orderkey"],
+    )
+    return out.select_columns(
+        ["o_custkey", "o_orderkey", "o_totalprice", "rank"]
+    ).to_pandas()
+
+
+def _q_source_caps(sf_dir: str):
+    # per-source document cap: keep the 20 docs with the smallest
+    # content-stable hash per source (the web pipeline's per-domain
+    # cap, deterministic across runs and cluster sizes)
+    _quiet()
+    import numpy as np
+    import pyarrow as pa
+
+    from clonebas_ray.functions.murmur3 import md5_low64
+    from clonebas_ray.ops.relational import group_top_k
+
+    def add_h(batch: pa.Table) -> pa.Table:
+        h = np.fromiter(
+            (md5_low64(str(d).encode()) for d in batch["doc_id"].to_pylist()),
+            dtype=np.uint64, count=batch.num_rows,
+        )
+        return batch.append_column("__h", pa.array(h, pa.uint64()))
+
+    docs = _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        add_h, batch_format="pyarrow"
+    )
+    out = group_top_k(
+        docs, "source", "__h", 20, descending=False, tie_cols=["doc_id"]
+    )
+    return out.select_columns(["source", "doc_id", "rank"]).to_pandas()
+
+
+def _q_approx_users_per_type(sf_dir: str):
+    # k=4096 >> distinct users at every sf -> the sketch is exact and
+    # count(DISTINCT) is the oracle; approximate mode is pytest-bounded
+    _quiet()
+    import ray.data
+
+    from clonebas_ray.ops.sketch import kmv_distinct
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    out = kmv_distinct(ev, "event_type", "user_id", k=4096)
+    return out.select_columns(["event_type", "ndistinct"]).to_pandas()
+
+
+def _q_value_quantiles(sf_dir: str):
+    _quiet()
+    import ray.data
+
+    from clonebas_ray.ops.sketch import group_quantiles
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return group_quantiles(
+        ev, "event_type", "value", [0.5, 0.9, 0.99]
+    ).to_pandas()
+
+
 def _q_pii_scan(sf_dir: str):
     _quiet()
     from clonebas_ray.ops.text_analysis import pii_scan
@@ -522,6 +597,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": rel.user_sessions,
         "events_asof_orders": rel.events_asof_orders,
         "events_in_sessions": rel.events_in_sessions,
+        "top_orders_per_customer": _q_top_orders_per_customer,
+        "source_caps": _q_source_caps,
+        "approx_users_per_type": _q_approx_users_per_type,
+        "value_quantiles": _q_value_quantiles,
         # text / census ops (SQL-oracled)
         "word_census": _q_word_census,
         "exact_dedup": _q_exact_dedup,
@@ -717,6 +796,48 @@ SELECT e.event_id, e.ts, e.user_id,
   o.last_orderkey, o.last_total_cents
 FROM events e ASOF LEFT JOIN o
   ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""",
+        # group_top_k == ROW_NUMBER with the identical total order
+        # (price DESC, then orderkey as the deterministic tie-break)
+        "top_orders_per_customer": """
+SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY o_custkey
+      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
+  FROM orders
+) WHERE rank <= 3
+""",
+        # per-source cap: keep the 20 smallest content-stable hashes
+        # (md5_number_lower = the repo's pinned md5_low64 convention)
+        "source_caps": """
+SELECT source, doc_id, rank FROM (
+  SELECT source, doc_id,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY source
+      ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id)
+      AS BIGINT) AS rank
+  FROM documents
+) WHERE rank <= 20
+""",
+        # k=4096 exceeds distinct users at every sf, so the KMV sketch
+        # degenerates to the exact distinct set
+        "approx_users_per_type": """
+SELECT event_type,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS ndistinct
+FROM events GROUP BY event_type
+""",
+        # quantile_disc picks an actual element (no interpolation), so
+        # the distributed-selection result is bit-identical
+        "value_quantiles": """
+SELECT event_type, CAST(0.5 AS DOUBLE) AS q,
+       quantile_disc(value, 0.5) AS value FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, CAST(0.9 AS DOUBLE),
+       quantile_disc(value, 0.9) FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, CAST(0.99 AS DOUBLE),
+       quantile_disc(value, 0.99) FROM events GROUP BY event_type
 """,
         # the sess CTE is the user_sessions oracle verbatim; the range
         # join's containment + same-user residual then matches each

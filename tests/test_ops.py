@@ -876,3 +876,106 @@ def test_chunk_documents(ray_session):
     assert list(out.n_tokens) == [4, 4, 4, 1]
     assert out.text_chunk[3] == "w9"
     assert out.text_chunk[1] == "w3 w4 w5 w6"
+
+
+def test_group_top_k(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from clonebas_ray.ops.relational import group_top_k
+
+    rng = np.random.RandomState(7)
+    n = 5000
+    df = pd.DataFrame({
+        "g": rng.randint(0, 37, n),
+        "v": rng.randint(0, 100, n).astype(float),  # heavy ties
+        "id": np.arange(n, dtype=np.int64),
+    })
+    out = (
+        group_top_k(ray.data.from_pandas(df), "g", "v", 3,
+                    descending=True, tie_cols=["id"])
+        .to_pandas().sort_values(["g", "rank"]).reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .groupby("g").head(3)
+        .sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    want["rank"] = (want.groupby("g").cumcount() + 1).astype("int64")
+    got = out[["g", "v", "id", "rank"]]
+    want = want[["g", "v", "id", "rank"]].astype(got.dtypes.to_dict())
+    assert got.equals(want)
+    # every group has >= 3 rows at n=5000/37 groups -> 3 per group
+    assert len(out) == 37 * 3
+
+
+def test_kmv_distinct(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from clonebas_ray.ops.sketch import kmv_distinct
+
+    rng = np.random.RandomState(11)
+    ev = pd.DataFrame({
+        "t": np.repeat(["a", "b", "c"], 400),
+        "u": np.concatenate([
+            rng.randint(0, 50, 400), rng.randint(0, 500, 400),
+            rng.randint(0, 7, 400),
+        ]),
+    })
+    # exact mode: k exceeds every group's cardinality
+    kd = (
+        kmv_distinct(ray.data.from_pandas(ev), "t", "u", k=4096)
+        .to_pandas().sort_values("t").reset_index(drop=True)
+    )
+    truth = ev.groupby("t")["u"].nunique()
+    assert list(kd.ndistinct) == [truth["a"], truth["b"], truth["c"]]
+    assert kd.exact.all()
+    # approximate mode: bounded relative error (stderr ~ 1/sqrt(k-2),
+    # 0.25 is ~4 sigma at k=256)
+    big = pd.DataFrame({"t": "x", "u": np.arange(20000)})
+    ka = kmv_distinct(ray.data.from_pandas(big), "t", "u", k=256).to_pandas()
+    assert not ka.exact[0]
+    assert abs(ka.ndistinct[0] - 20000) / 20000 < 0.25
+
+
+def test_group_quantiles(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from clonebas_ray.ops.sketch import group_quantiles
+
+    rng = np.random.RandomState(7)
+    ev = pd.DataFrame({
+        "t": rng.choice(list("abcde"), 30000),
+        "v": rng.randn(30000) * 100,
+    })
+    con = duckdb.connect()
+    con.register("ev", ev)
+    want = con.sql("""
+        SELECT t, 0.5 AS q, quantile_disc(v, 0.5) AS value FROM ev GROUP BY t
+        UNION ALL SELECT t, 0.9, quantile_disc(v, 0.9) FROM ev GROUP BY t
+        UNION ALL SELECT t, 0.99, quantile_disc(v, 0.99) FROM ev GROUP BY t
+        ORDER BY t, q""").df().astype({"q": "float64", "value": "float64"})
+    got = group_quantiles(
+        ray.data.from_pandas(ev), "t", "v", [0.5, 0.9, 0.99]
+    ).to_pandas().reset_index(drop=True)
+    assert (got.value.to_numpy() == want.value.to_numpy()).all()
+    # tiny gather_cap forces the multi-round histogram refinement path
+    got2 = group_quantiles(
+        ray.data.from_pandas(ev), "t", "v", [0.5, 0.9, 0.99], gather_cap=4
+    ).to_pandas().reset_index(drop=True)
+    assert (got2.value.to_numpy() == want.value.to_numpy()).all()
+    # rank-convention edge cases where float ceil(q*n) over-shoots the
+    # exact-arithmetic ceil DuckDB uses (q*n integral, float product
+    # epsilon-above): q=0.28 n=150, q=0.07 n=100
+    for n, q in [(150, 0.28), (100, 0.07), (9, 0.9), (10, 0.2)]:
+        vals = rng.randn(n)
+        d = pd.DataFrame({"t": "z", "v": vals})
+        g = group_quantiles(ray.data.from_pandas(d), "t", "v", [q]).to_pandas()
+        con2 = duckdb.connect()
+        con2.register("d", d)
+        w = con2.sql(f"SELECT quantile_disc(v, {q}) x FROM d").fetchone()[0]
+        assert g.value[0] == w, (n, q)
