@@ -308,6 +308,14 @@ def _q_chunk_docs(sf_dir: str):
     return out.to_pandas()
 
 
+def _q_dup_spans(sf_dir: str):
+    _quiet()
+    from clonebas_ray.ops.text_dedup import exact_dup_spans
+
+    out = exact_dup_spans(_docs(sf_dir, ["doc_id", "text"]), min_len=25)
+    return out.to_pandas()
+
+
 def _q_top_orders_per_customer(sf_dir: str):
     _quiet()
     import ray.data
@@ -620,6 +628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngrams": _q_dup_ngrams,
         "text_normalize": _q_text_normalize,
         "decontaminate": _q_decontaminate,
+        "dup_spans": _q_dup_spans,
         "hash_split": _q_hash_split,
         "chunk_docs": _q_chunk_docs,
         "embed_near_dup": _q_embed_near_dup,
@@ -796,6 +805,39 @@ SELECT e.event_id, e.ts, e.user_id,
   o.last_orderkey, o.last_total_cents
 FROM events e ASOF LEFT JOIN o
   ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""",
+        # exact dup spans: window strings join directly (the Ray side
+        # matches 64-bit window hashes — collision-negligible twin);
+        # gaps-and-islands mirrors the interval-union merge (break
+        # when the position gap exceeds L=25, touching spans merge)
+        "dup_spans": """
+WITH t AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+), pos AS (
+  SELECT doc_id, text,
+    unnest(range(1, greatest(n - 25 + 2, 1))) AS i
+  FROM t
+), w AS (
+  SELECT doc_id, i, substr(text, CAST(i AS INT), 25) AS win FROM pos
+), dup AS (
+  SELECT win FROM w GROUP BY win HAVING count(*) >= 2
+), hits AS (
+  SELECT w.doc_id, w.i FROM w JOIN dup USING (win)
+), isl AS (
+  SELECT doc_id, i,
+    CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+           OR i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 25
+         THEN 1 ELSE 0 END AS brk
+  FROM hits
+), grp AS (
+  SELECT doc_id, i,
+    sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS UNBOUNDED PRECEDING) AS s
+  FROM isl
+)
+SELECT doc_id, CAST(min(i) - 1 AS BIGINT) AS span_start,
+       CAST(max(i) - min(i) + 25 AS BIGINT) AS span_len
+FROM grp GROUP BY doc_id, s
 """,
         # group_top_k == ROW_NUMBER with the identical total order
         # (price DESC, then orderkey as the deterministic tie-break)

@@ -133,7 +133,7 @@ def run_bench() -> dict:
             "substring_dups", "embed_near_dup", "code_metrics",
             "pii_scan", "dup_ngrams", "events_asof_orders",
             "events_in_sessions", "decontaminate",
-            "top_orders_per_customer", "value_quantiles",
+            "top_orders_per_customer", "value_quantiles", "dup_spans",
         ):
             t0 = time.perf_counter()
             q[name](SF_DIR)

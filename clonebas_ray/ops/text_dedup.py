@@ -1046,3 +1046,138 @@ def ngram_decontaminate(
         concurrency=concurrency or (1, 8),
         max_restarts=0,
     )
+
+
+# ---------------------------------------------------------------------------
+# exact duplicate-substring spans (suffix-array-equivalent window method)
+# ---------------------------------------------------------------------------
+
+
+def _char_window_hashes(text: str, L: int) -> np.ndarray:
+    """One 64-bit rolling-polynomial hash per L-char window (the
+    vectorized poly kernel shared with WinnowFingerprints), splitmix64
+    finalized.  Hash equality stands in for window-string equality —
+    collisions can only ADD a false duplicate flag (~m²/2⁶⁵ for m
+    distinct windows; the standard accepted failure mode of the
+    hash-based variant of suffix-array dedup)."""
+    n = len(text) - L + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    codes = np.frombuffer(
+        text.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+    ).astype(np.uint64)
+    B = np.uint64(0x100000001B3)
+    acc = np.zeros(n, dtype=np.uint64)
+    for off in range(L):
+        acc = acc * B + codes[off : n + off]
+    return _mix64(acc)
+
+
+def exact_dup_spans(
+    docs: ray.data.Dataset,
+    min_len: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Exact duplicated-substring spans >= ``min_len`` chars — the
+    window-hash equivalent of suffix-array substring deduplication
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): any substring of length >= L duplicated anywhere
+    in the corpus (cross-doc OR within-doc repeats both count)
+    contains a duplicated L-char window, so marking duplicated windows
+    and unioning their [p, p+L) intervals per doc yields exactly the
+    duplicated-coverage spans.  Emits one row per maximal span:
+    ``(id_col, span_start, span_len)`` (0-based char offsets;
+    touching intervals merge — coverage-union semantics, pinned and
+    mirrored by the SQL oracle's gaps-and-islands).
+
+    Scale shape (contrast with the winnowing sampler above, which
+    trades exactness for O(n/w) selected fingerprints): two streaming
+    passes over content + one shuffle of per-batch-DISTINCT window
+    hashes.  Pass 1 pre-aggregates (hash, count) per batch, hash-
+    partitions, and keeps only hashes with a global count >= 2; the
+    dup-hash set (bounded by DISTINCT duplicated windows, not corpus
+    size) broadcasts once via ``ray.put``; pass 2 rescans content with
+    one vectorized ``searchsorted`` per doc and merges hit positions
+    into spans.  No content ever shuffles."""
+    ensure_worker_importable()
+    from clonebas_ray.ops.relational import auto_partitions
+
+    P = auto_partitions()
+    src = docs.select_columns([id_col, text_col]).materialize()
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        hs = [
+            _char_window_hashes(t, min_len)
+            for t in batch[text_col].to_pylist()
+        ]
+        allh = (
+            np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
+        )
+        h, c = np.unique(allh, return_counts=True)
+        hp = (
+            (h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(52)
+        ) % np.uint64(P)
+        return pa.table(
+            {
+                "h": pa.array(h, pa.uint64()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+                "hp": pa.array(hp.astype(np.int32), pa.int32()),
+            }
+        )
+
+    def dup_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # equal hashes never split across partitions -> a local sum is
+        # the global count
+        tot = g.groupby("h", sort=False)["c"].sum()
+        return pd.DataFrame({"h": tot.index[tot >= 2].to_numpy(dtype=np.uint64)})
+
+    dup = (
+        src.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("hp")
+        .map_groups(dup_in_partition, batch_format="pandas")
+    )
+    dup_h = np.sort(
+        np.concatenate(
+            [
+                b["h"].to_numpy(zero_copy_only=False)
+                for b in dup.iter_batches(batch_format="pyarrow",
+                                          batch_size=None)
+            ]
+            or [np.empty(0, dtype=np.uint64)]
+        )
+    )
+    dup_ref = ray.put(np.ascontiguousarray(dup_h))
+
+    def emit_spans(batch: pa.Table) -> pa.Table:
+        d = ray.get(dup_ref)
+        out_id, out_s, out_l = [], [], []
+        ids = batch[id_col].to_pylist()
+        for did, t in zip(ids, batch[text_col].to_pylist()):
+            h = _char_window_hashes(t, min_len)
+            if not len(h) or not len(d):
+                continue
+            idx = np.searchsorted(d, h)
+            idx[idx == len(d)] = len(d) - 1
+            pos = np.nonzero(d[idx] == h)[0]
+            if not len(pos):
+                continue
+            # union the [p, p+L) intervals: break where the gap > L
+            brk = np.nonzero(np.diff(pos) > min_len)[0]
+            starts = np.concatenate([[0], brk + 1])
+            ends = np.concatenate([brk, [len(pos) - 1]])
+            for s_i, e_i in zip(starts, ends):
+                out_id.append(did)
+                out_s.append(int(pos[s_i]))
+                out_l.append(int(pos[e_i]) + min_len - int(pos[s_i]))
+        return pa.table(
+            {
+                id_col: pa.array(out_id, batch[id_col].type),
+                "span_start": pa.array(out_s, pa.int64()),
+                "span_len": pa.array(out_l, pa.int64()),
+            }
+        )
+
+    return src.map_batches(
+        emit_spans, batch_format="pyarrow", batch_size=None,
+    )

@@ -979,3 +979,40 @@ def test_group_quantiles(ray_session):
         con2.register("d", d)
         w = con2.sql(f"SELECT quantile_disc(v, {q}) x FROM d").fetchone()[0]
         assert g.value[0] == w, (n, q)
+
+
+def test_exact_dup_spans(ray_session):
+    import ray.data
+
+    from clonebas_ray.ops.text_dedup import exact_dup_spans
+
+    shared = "0123456789abcdefghij"  # 20 chars, L=10 windows all dup
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": [
+            "XXXX" + shared + "YYYY",          # dup span in the middle
+            "PQRS" + shared + "TUVW",          # same shared block
+            "zzzz" * 10,                        # within-doc repeat only
+            "all unique here, no repeats!",     # clean (27 chars)
+        ],
+    }))
+    out = (
+        exact_dup_spans(docs, min_len=10)
+        .to_pandas().sort_values(["doc_id", "span_start"])
+        .reset_index(drop=True)
+    )
+    by_doc = {d: g for d, g in out.groupby("doc_id")}
+    # docs 0/1: exactly the 20-char shared block, at offset 4
+    for d in (0, 1):
+        g = by_doc[d]
+        assert len(g) == 1
+        assert int(g.span_start.iloc[0]) == 4
+        assert int(g.span_len.iloc[0]) == 20
+    # doc 2: "zzzz"*10 -> every window duplicated within the doc,
+    # one maximal span covering the whole 40 chars
+    g = by_doc[2]
+    assert len(g) == 1
+    assert int(g.span_start.iloc[0]) == 0
+    assert int(g.span_len.iloc[0]) == 40
+    # doc 3: clean
+    assert 3 not in by_doc
