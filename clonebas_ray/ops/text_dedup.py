@@ -931,20 +931,6 @@ class _GramHashes:
         return _gram_position_hashes(self._tok_hashes(text), self.n)
 
 
-class _BenchGramExtract(_GramHashes):
-    """map_batches stage: per-batch DISTINCT gram hashes of the
-    benchmark corpus (the pre-aggregation that keeps the driver-side
-    union bounded by distinct-gram count, not corpus size)."""
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        grams = [self.doc_grams(t) for t in batch[self.text_col].to_pylist()]
-        uniq = (
-            np.unique(np.concatenate(grams))
-            if grams else np.empty(0, dtype=np.uint64)
-        )
-        return pa.table({"gram_hash": pa.array(uniq, pa.uint64())})
-
-
 def benchmark_gram_hashes(
     bench: ray.data.Dataset, text_col: str = "text", n: int = 13,
 ) -> np.ndarray:
@@ -955,12 +941,22 @@ def benchmark_gram_hashes(
     distinct extraction runs distributed, and only the hash column
     comes back to the driver (8 bytes/gram — 10^7 distinct grams is
     80 MB).  The array is meant to be ``ray.put`` once and shared by
-    every scan task."""
+    every scan task.  Plain task pool (no actor ramp): the per-block
+    DISTINCT reduction is the pre-aggregation that keeps the driver
+    union bounded by distinct-gram count, not corpus size."""
     ensure_worker_importable()
+
+    def extract(batch: pa.Table) -> pa.Table:
+        gh = _GramHashes(n, text_col)
+        grams = [gh.doc_grams(t) for t in batch[text_col].to_pylist()]
+        uniq = (
+            np.unique(np.concatenate(grams))
+            if grams else np.empty(0, dtype=np.uint64)
+        )
+        return pa.table({"gram_hash": pa.array(uniq, pa.uint64())})
+
     parts = bench.map_batches(
-        _BenchGramExtract, fn_constructor_args=(n, text_col),
-        batch_format="pyarrow", batch_size=None, concurrency=(1, 8),
-        max_restarts=0,
+        extract, batch_format="pyarrow", batch_size=None,
     )
     hashes = np.concatenate(
         [
@@ -973,23 +969,25 @@ def benchmark_gram_hashes(
 
 
 class _DecontaminateScan(_GramHashes):
-    """Stateful scan actor: one ``ray.get`` of the broadcast gram set
-    per actor (NOT per batch), one vectorized ``searchsorted``
-    membership test per batch across all docs at once."""
+    """Scan kernel (plain task, one call per block): ``ray.get`` of
+    the broadcast gram set resolves zero-copy from the node-local
+    object store, then one vectorized ``searchsorted`` membership test
+    covers all docs in the block at once."""
 
     def __init__(self, grams_ref, n: int, text_col: str):
         super().__init__(n, text_col)
-        self.grams = ray.get(grams_ref) if not isinstance(
-            grams_ref, np.ndarray
-        ) else grams_ref
+        self.grams_ref = grams_ref
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        grams = self.grams_ref
+        if not isinstance(grams, np.ndarray):
+            grams = ray.get(grams)
         texts = batch[self.text_col].to_pylist()
         seqs = [self.doc_grams(t) for t in texts]
         counts = np.array([len(s) for s in seqs], dtype=np.int64)
         if counts.sum():
             allg = np.concatenate([s for s in seqs if len(s)])
-            g = self.grams
+            g = grams
             if len(g):
                 idx = np.searchsorted(g, allg)
                 idx[idx == len(g)] = len(g) - 1
@@ -1029,22 +1027,21 @@ def ngram_decontaminate(
     (positions whose gram appears in the benchmark set) and
     ``contaminated`` (``n_hits > 0``).  Scale shape: the benchmark
     gram set is collected ONCE (distinct hashes only), ``ray.put``
-    once, and each scan actor fetches it once in ``__init__`` — the
-    100-TB side streams through a single stateless-per-batch actor
-    pool with no shuffle at all.  ``batch_size=None`` (one call per
-    block) per the repo's broadcast-scan rule."""
+    once, and each scan task resolves it zero-copy from its node's
+    object store — the 100-TB side streams through one shuffle-free
+    task pool (no actor ramp; the kernel holds no state worth an
+    actor).  ``batch_size=None`` (one call per block) per the repo's
+    broadcast-scan rule."""
     ensure_worker_importable()
     if gram_hashes is None:
         if bench is None:
             raise ValueError("pass either bench dataset or gram_hashes")
         gram_hashes = benchmark_gram_hashes(bench, text_col=text_col, n=n)
     ref = ray.put(np.ascontiguousarray(gram_hashes, dtype=np.uint64))
+    kw = {"concurrency": concurrency} if concurrency else {}
     return docs.map_batches(
-        _DecontaminateScan,
-        fn_constructor_args=(ref, n, text_col),
-        batch_format="pyarrow", batch_size=None,
-        concurrency=concurrency or (1, 8),
-        max_restarts=0,
+        _DecontaminateScan(ref, n, text_col),
+        batch_format="pyarrow", batch_size=None, **kw,
     )
 
 
@@ -1078,6 +1075,7 @@ def exact_dup_spans(
     min_len: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize_input: bool = False,
 ) -> ray.data.Dataset:
     """Exact duplicated-substring spans >= ``min_len`` chars — the
     window-hash equivalent of suffix-array substring deduplication
@@ -1099,12 +1097,20 @@ def exact_dup_spans(
     dup-hash set (bounded by DISTINCT duplicated windows, not corpus
     size) broadcasts once via ``ray.put``; pass 2 rescans content with
     one vectorized ``searchsorted`` per doc and merges hit positions
-    into spans.  No content ever shuffles."""
+    into spans.  No content ever shuffles.
+
+    The input graph executes twice (both passes need content).  For
+    the normal read→project input that means two streaming reads —
+    strictly cheaper at corpus scale than materializing content into
+    the object store; pass ``materialize_input=True`` only when the
+    upstream is nondeterministic or expensive to recompute."""
     ensure_worker_importable()
     from clonebas_ray.ops.relational import auto_partitions
 
     P = auto_partitions()
-    src = docs.select_columns([id_col, text_col]).materialize()
+    src = docs.select_columns([id_col, text_col])
+    if materialize_input:
+        src = src.materialize()
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         hs = [
