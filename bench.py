@@ -286,10 +286,149 @@ def run_block_smoke() -> dict:
     }
 
 
+def _ensure_doc_corpus(n_docs: int) -> str:
+    """Deterministic 1M-doc text corpus (seed 42), sharded parquet.
+
+    Structure: ~60 unique tokens per doc from a 50k vocab; every 10th
+    doc carries a shared 30-token boilerplate block (substring-dup
+    mass), every 97th doc is an exact copy of its predecessor (whole-
+    doc dup spans + exact-dedup hits).  Dup-hash volume therefore
+    stays realistic (bounded by the planted dup mass, not the corpus)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import numpy as np
+
+    path = os.path.join(BENCH_DIR, f"docs_{n_docs}")
+    if os.path.isdir(path):
+        return path
+    rng = np.random.RandomState(42)
+    vocab = np.array([f"w{i:05d}" for i in range(50000)], dtype=object)
+    boiler = " ".join(vocab[rng.randint(0, 50000, 30)])
+    os.makedirs(path + ".tmp", exist_ok=True)
+    n_shards = max(32, n_docs // 25000)
+    per = (n_docs + n_shards - 1) // n_shards
+    doc_id = 0
+    for s in range(n_shards):
+        cnt = min(per, n_docs - s * per)
+        if cnt <= 0:
+            break
+        lens = rng.randint(40, 80, cnt)
+        idx = rng.randint(0, 50000, int(lens.sum()))
+        texts, off = [], 0
+        for i in range(cnt):
+            toks = vocab[idx[off:off + lens[i]]]
+            off += lens[i]
+            t = " ".join(toks)
+            gid = doc_id + i
+            if gid % 10 == 0:
+                t = t[: len(t) // 2] + " " + boiler + " " + t[len(t) // 2:]
+            if gid % 97 == 0 and texts:
+                t = texts[-1]
+            texts.append(t)
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(
+                    np.arange(doc_id, doc_id + cnt, dtype=np.int64)),
+                "text": pa.array(texts, pa.string()),
+            }),
+            f"{path}.tmp/part-{s:05d}.parquet", row_group_size=4096,
+        )
+        doc_id += cnt
+    os.replace(path + ".tmp", path)
+    return path
+
+
+def run_text_smoke() -> dict:
+    """1M-doc scale smoke for the text-corpus operators added beyond
+    the reference (exact dup spans, benchmark decontamination, exact
+    dedup): wall time + driver RSS — the at-scale evidence recorded in
+    BASELINE.md."""
+    import logging
+    import resource
+
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from clonebas_ray.ops.text_dedup import (
+        exact_dedup_docs, exact_dup_spans, ngram_decontaminate,
+    )
+
+    n_docs = int(os.environ.get("GRAFT_TEXT_SMOKE_DOCS", "1000000"))
+    t0 = time.perf_counter()
+    path = _ensure_doc_corpus(n_docs)
+    gen_s = time.perf_counter() - t0
+    corpus_mb = sum(
+        os.path.getsize(os.path.join(path, f)) for f in os.listdir(path)
+    ) / 1e6
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def docs():
+        return ray.data.read_parquet(path, columns=["doc_id", "text"])
+
+    t0 = time.perf_counter()
+    spans = exact_dup_spans(docs(), min_len=120)
+    n_spans = spans.count()
+    spans_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    bench = docs().map_batches(
+        lambda b: b.filter(
+            pc.equal(pc.mod(b["doc_id"], 9973), pa.scalar(0))
+        ),
+        batch_format="pyarrow", batch_size=None,
+    )
+    decon = ngram_decontaminate(docs(), bench, n=13)
+    n_contam = int(sum(
+        b.to_pandas()["c"].sum()
+        for b in decon.map_batches(
+            lambda b: pa.table({"c": pa.array(
+                [pc.sum(pc.cast(b["contaminated"], pa.int64())).as_py() or 0],
+                pa.int64())}),
+            batch_format="pyarrow", batch_size=None,
+        ).iter_batches(batch_format="pyarrow")
+    ))
+    decon_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_dedup = exact_dedup_docs(docs()).count()
+    dedup_s = time.perf_counter() - t0
+
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    ray.shutdown()
+    return {
+        "metric": "text_ops_1m_smoke_sec",
+        "value": round(spans_s + decon_s + dedup_s, 3),
+        "unit": "sec",
+        "n_docs": n_docs,
+        "corpus_mb": round(corpus_mb, 1),
+        "num_cpus": NUM_CPUS,
+        "gen_s": round(gen_s, 1),
+        "dup_spans_s": round(spans_s, 2),
+        "n_spans": n_spans,
+        "decontaminate_s": round(decon_s, 2),
+        "n_contaminated": n_contam,
+        "exact_dedup_s": round(dedup_s, 2),
+        "n_dedup_keep": n_dedup,
+        "driver_rss_gb": round(rss_gb, 2),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--block-smoke" in sys.argv:
         print(json.dumps(run_block_smoke()))
+    elif "--text-smoke" in sys.argv:
+        print(json.dumps(run_text_smoke()))
     else:
         print(json.dumps(run_bench()))

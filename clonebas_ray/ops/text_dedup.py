@@ -1051,12 +1051,19 @@ def ngram_decontaminate(
 
 
 def _char_window_hashes(text: str, L: int) -> np.ndarray:
-    """One 64-bit rolling-polynomial hash per L-char window (the
-    vectorized poly kernel shared with WinnowFingerprints), splitmix64
-    finalized.  Hash equality stands in for window-string equality —
-    collisions can only ADD a false duplicate flag (~m²/2⁶⁵ for m
-    distinct windows; the standard accepted failure mode of the
-    hash-based variant of suffix-array dedup)."""
+    """One 64-bit rolling-polynomial hash per L-char window
+    (``H(i) = Σ_t c[i+t]·B^(L-1-t) mod 2⁶⁴``), splitmix64 finalized.
+    Hash equality stands in for window-string equality — collisions
+    can only ADD a false duplicate flag (~m²/2⁶⁵ for m distinct
+    windows; the standard accepted failure mode of the hash-based
+    variant of suffix-array dedup).
+
+    Two mathematically identical evaluation paths: L fused vector ops
+    for short windows, and for large L an O(len) prefix form —
+    ``H(i) = B^(L-1+i)·(S(i+L) − S(i))`` with
+    ``S(k) = Σ_{j<k} c[j]·B^(−j)`` (B is odd, so B⁻¹ mod 2⁶⁴ exists;
+    numpy uint64 wraps give exact mod-2⁶⁴ arithmetic) — so a 500-char
+    dedup window costs the same ~6 vector passes as a 50-char one."""
     n = len(text) - L + 1
     if n <= 0:
         return np.empty(0, dtype=np.uint64)
@@ -1064,9 +1071,22 @@ def _char_window_hashes(text: str, L: int) -> np.ndarray:
         text.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
     ).astype(np.uint64)
     B = np.uint64(0x100000001B3)
-    acc = np.zeros(n, dtype=np.uint64)
-    for off in range(L):
-        acc = acc * B + codes[off : n + off]
+    if L <= 32:
+        acc = np.zeros(n, dtype=np.uint64)
+        for off in range(L):
+            acc = acc * B + codes[off : n + off]
+        return _mix64(acc)
+    m = len(codes)
+    binv = np.uint64(pow(0x100000001B3, -1, 1 << 64))
+    invpow = np.ones(m, dtype=np.uint64)
+    np.cumprod(np.full(m - 1, binv, dtype=np.uint64), out=invpow[1:])
+    s = np.zeros(m + 1, dtype=np.uint64)
+    np.cumsum(codes * invpow, out=s[1:])
+    bpow = np.ones(n, dtype=np.uint64)
+    if n > 1:
+        np.cumprod(np.full(n - 1, B, dtype=np.uint64), out=bpow[1:])
+    scale = np.uint64(pow(0x100000001B3, L - 1, 1 << 64))
+    acc = (s[L : L + n] - s[:n]) * (bpow * scale)
     return _mix64(acc)
 
 
