@@ -586,6 +586,91 @@ def _q_block_clusters(sf_dir: str):
         return res.clusters.to_pandas()
 
 
+def _q_heavy_hitter_users(sf_dir: str):
+    # capacity 4096 >> distinct users at every sf -> the MG summary is
+    # exact (err_ub 0) and GROUP BY + ROW_NUMBER is the oracle; the
+    # truncating regime is pytest-bounded (test_round3_ops)
+    _quiet()
+    import ray.data
+
+    from clonebas_ray.ops.sketch import heavy_hitters
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    out = heavy_hitters(ev, "event_type", "user_id", top=5, capacity=4096)
+    return out.select_columns(
+        ["event_type", "user_id", "count_lo", "rank"]
+    ).to_pandas()
+
+
+def _q_running_totals(sf_dir: str):
+    # per-customer running spend: integer-cents running sum (exact,
+    # order-free) + ROW_NUMBER + LAG, the repo's window-op surface
+    _quiet()
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from clonebas_ray.ops.relational import group_window
+
+    def add_cents(batch: pa.Table) -> pa.Table:
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        cents = np.floor(p * 100 + 0.5).astype(np.int64)
+        return batch.append_column("cents", pa.array(cents, pa.int64()))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(add_cents, batch_format="pyarrow")
+    out = group_window(
+        orders, "o_custkey", ["o_orderdate", "o_orderkey"],
+        value_col="cents", lag_cols=["o_orderkey"],
+    )
+    return out.select_columns(
+        ["o_custkey", "o_orderkey", "rn", "cum_cents", "prev_o_orderkey"]
+    ).to_pandas()
+
+
+def _q_incremental_dedup(sf_dir: str):
+    # cross-run dedup fixture: docs with doc_id % 3 == 0 play the
+    # already-accepted corpus (seeded into a fresh hash store), the
+    # rest arrive as the new snapshot and dedup against store + self
+    _quiet()
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+
+    from clonebas_ray.state.hashstore import (
+        build_hash_store, incremental_dedup,
+    )
+
+    def seen_part(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 3 == 0))
+
+    def new_part(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 3 != 0))
+
+    with tempfile.TemporaryDirectory() as td:
+        store = f"{td}/store"
+        build_hash_store(
+            _docs(sf_dir, ["doc_id", "text"]).map_batches(
+                seen_part, batch_format="pyarrow", batch_size=None
+            ),
+            store, n_shards=16,
+        )
+        out = incremental_dedup(
+            _docs(sf_dir, ["doc_id", "text"]).map_batches(
+                new_part, batch_format="pyarrow", batch_size=None
+            ),
+            store,
+        )
+        return out.to_pandas()
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from clonebas_ray.ops import relational as rel
 
@@ -609,6 +694,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_caps": _q_source_caps,
         "approx_users_per_type": _q_approx_users_per_type,
         "value_quantiles": _q_value_quantiles,
+        "heavy_hitter_users": _q_heavy_hitter_users,
+        "running_totals": _q_running_totals,
+        "incremental_dedup": _q_incremental_dedup,
         # text / census ops (SQL-oracled)
         "word_census": _q_word_census,
         "exact_dedup": _q_exact_dedup,
@@ -880,6 +968,50 @@ SELECT event_type, CAST(0.9 AS DOUBLE),
 UNION ALL
 SELECT event_type, CAST(0.99 AS DOUBLE),
        quantile_disc(value, 0.99) FROM events GROUP BY event_type
+""",
+        # capacity covers all distinct users -> MG counts are exact;
+        # tie-break pinned to (count DESC, value ASC)
+        "heavy_hitter_users": """
+WITH c AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, user_id
+)
+SELECT event_type, user_id, cnt AS count_lo, rank FROM (
+  SELECT event_type, user_id, cnt,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY cnt DESC, user_id) AS rank
+  FROM c
+) WHERE rank <= 5
+""",
+        # integer-cents running sum (exact under any addition order);
+        # COALESCE(-1) keeps the lag column BIGINT on both sides
+        "running_totals": """
+SELECT o_custkey, o_orderkey,
+  ROW_NUMBER() OVER w AS rn,
+  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w
+       AS BIGINT) AS cum_cents,
+  COALESCE(LAG(o_orderkey) OVER w, -1) AS prev_o_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+        # md5_number_lower % 2^63 = the hash store's pinned int64
+        # content hash; NOT IN = the store anti-join, ROW_NUMBER = the
+        # first-occurrence (min doc_id) rule within the new snapshot
+        "incremental_dedup": """
+WITH seen AS (
+  SELECT DISTINCT CAST(md5_number_lower(text) % 9223372036854775808
+                       AS BIGINT) AS h
+  FROM documents WHERE doc_id % 3 = 0
+), nd AS (
+  SELECT doc_id, CAST(md5_number_lower(text) % 9223372036854775808
+                      AS BIGINT) AS h
+  FROM documents WHERE doc_id % 3 <> 0
+)
+SELECT doc_id, h FROM (
+  SELECT doc_id, h,
+    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+  FROM nd WHERE h NOT IN (SELECT h FROM seen)
+) WHERE rn = 1
 """,
         # the sess CTE is the user_sessions oracle verbatim; the range
         # join's containment + same-user residual then matches each

@@ -917,3 +917,66 @@ def group_top_k(
         .groupby("__bucket")
         .map_groups(finish, batch_format="pandas")
     )
+
+
+def group_window(
+    ds: ray.data.Dataset,
+    key_cols: str | list[str],
+    order_cols: list[str],
+    value_col: str | None = None,
+    lag_cols: list[str] | None = None,
+    lag_fill: int = -1,
+    num_buckets: int = 0,
+) -> ray.data.Dataset:
+    """Per-group ordered running-window columns — the cumulative
+    window operator (running account totals, event sequence numbers,
+    previous-row deltas) SQL writes as ``... OVER (PARTITION BY keys
+    ORDER BY order_cols)``.
+
+    Emits, per input row: ``rn`` = 1-based ROW_NUMBER, ``cum_<value>``
+    = running sum of ``value_col`` (pass an INTEGER column — e.g. the
+    repo's pinned price-cents convention — so the running sum is exact
+    and order-of-addition-free, bit-matching any SQL engine), and
+    ``prev_<c>`` = LAG(c) for each lag col (``lag_fill`` replaces the
+    first row's null, keeping int64 columns int64 end-to-end instead
+    of null-coerced float64 — the union dtype trap).
+
+    Determinism contract: ``order_cols`` must totally order each group
+    (include a unique id last).
+
+    Scale shape: running state makes a pre-shuffle combiner impossible
+    (every row's output depends on all earlier rows), so the exchange
+    ships each row once — the floor for any windowed computation.
+    Groups are hash-bucketed (a group never splits; parallelism =
+    buckets, not groups) and each bucket sorts only its own rows: no
+    global sort, no driver materialization."""
+    ensure_worker_importable()
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    lags = list(lag_cols or [])
+    if num_buckets <= 0:
+        num_buckets = auto_partitions(mult=2, lo=32)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        kh = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
+        out = df.copy()
+        out["__bucket"] = (kh % np.uint64(num_buckets)).astype(np.int32)
+        return out
+
+    def window(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = bucket.sort_values(keys + order_cols, kind="mergesort")
+        g = out.groupby(keys, sort=False)
+        out["rn"] = (g.cumcount() + 1).astype("int64")
+        if value_col is not None:
+            out[f"cum_{value_col}"] = (
+                g[value_col].cumsum().astype("int64")
+            )
+        for c in lags:
+            prev = g[c].shift(1)
+            out[f"prev_{c}"] = prev.fillna(lag_fill).astype(out[c].dtype)
+        return out.drop(columns="__bucket")
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(window, batch_format="pandas")
+    )

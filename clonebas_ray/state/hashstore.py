@@ -1,0 +1,205 @@
+"""Cross-run incremental exact dedup against a persistent hash store.
+
+A 100-TB training corpus is not ingested once: new crawl snapshots
+arrive continuously and must be deduplicated against everything
+already accepted — without re-reading the accepted corpus.  The
+reference has no such concept (single-shot runs); this is the
+extension-surface op a continuous pipeline needs (SURVEY §2.9,
+LLM-pipeline tier).
+
+Design — a *sharded hash store* on disk:
+
+* the store is a directory of ``shard-SSSSS/part-*.parquet`` files,
+  each holding one uint-ish ``h`` column (int64, the repo's pinned
+  ``md5_low64 % 2^63`` content-hash convention, SQL-recomputable as
+  ``md5_number_lower(text) % 9223372036854775808``);
+* a row's shard is ``h % n_shards`` (recorded in ``manifest.json``),
+  so dedup of a new batch against a 10¹²-hash store touches exactly
+  ``1/n_shards`` of the store per task — each task reads ONE shard
+  directory, never the store;
+* :func:`incremental_dedup` ships only ``(id, h)`` through its single
+  shuffle (content never moves), anti-joins each shard group against
+  its shard files with a vectorized ``np.isin``, keeps the first
+  occurrence (min id) per new hash, and — with ``update=True`` —
+  appends the kept hashes to the shard as a NEW part file written
+  tmp-then-rename (atomic: a crashed run never tears a shard, and the
+  next run simply re-deduplicates and re-appends idempotently);
+* append-only part files make the store resumable and auditable: each
+  run's contribution is its own file set, named by a deterministic
+  content hash (re-running the same input rewrites the same file name
+  — no duplicate growth).
+
+Scale shape: exchange volume is 16 bytes/row regardless of document
+size; store I/O per task is one shard; driver holds nothing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from clonebas_ray.bootstrap import ensure_worker_importable
+from clonebas_ray.functions.murmur3 import md5_low64
+
+_MOD = 1 << 63  # int64-safe range; SQL twin: % 9223372036854775808
+
+
+def content_hash64(texts: list[str]) -> np.ndarray:
+    """Pinned content hash: ``md5_low64(utf8) % 2^63`` as int64."""
+    return np.fromiter(
+        (md5_low64(t.encode("utf-8")) % _MOD for t in texts),
+        dtype=np.int64,
+        count=len(texts),
+    )
+
+
+def _manifest_path(store_dir: str) -> str:
+    return os.path.join(store_dir, "manifest.json")
+
+
+def init_store(store_dir: str, n_shards: int = 64) -> None:
+    """Create an empty store (idempotent; existing manifest wins so a
+    store's shard count can never silently change under its data)."""
+    os.makedirs(store_dir, exist_ok=True)
+    if os.path.exists(_manifest_path(store_dir)):
+        return
+    tmp = _manifest_path(store_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"n_shards": int(n_shards), "hash": "md5_low64_mod63"}, f)
+    os.replace(tmp, _manifest_path(store_dir))
+
+
+def store_n_shards(store_dir: str) -> int:
+    with open(_manifest_path(store_dir)) as f:
+        return int(json.load(f)["n_shards"])
+
+
+def _shard_dir(store_dir: str, shard: int) -> str:
+    return os.path.join(store_dir, f"shard-{shard:05d}")
+
+
+def _read_shard_hashes(store_dir: str, shard: int) -> np.ndarray:
+    d = _shard_dir(store_dir, shard)
+    if not os.path.isdir(d):
+        return np.empty(0, dtype=np.int64)
+    parts = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    tables = [pq.read_table(p, columns=["h"]) for p in parts]
+    return pa.concat_tables(tables)["h"].to_numpy(zero_copy_only=False)
+
+
+def _append_shard(store_dir: str, shard: int, hashes: np.ndarray) -> None:
+    """Atomic, idempotent append: the part file is named by the hash
+    of its (sorted, distinct) content, so the same contribution from a
+    re-run lands on the same name instead of growing the store."""
+    if len(hashes) == 0:
+        return
+    hashes = np.unique(hashes)
+    d = _shard_dir(store_dir, shard)
+    os.makedirs(d, exist_ok=True)
+    tag = hashlib.md5(hashes.tobytes()).hexdigest()[:16]
+    dst = os.path.join(d, f"part-{tag}.parquet")
+    if os.path.exists(dst):
+        return
+    tmp = dst + f".tmp-{os.getpid()}"
+    pq.write_table(pa.table({"h": pa.array(hashes, pa.int64())}), tmp)
+    os.replace(tmp, dst)
+
+
+def build_hash_store(
+    ds: ray.data.Dataset,
+    store_dir: str,
+    text_col: str = "text",
+    n_shards: int = 64,
+) -> None:
+    """Seed a store with every content hash in ``ds`` (one shuffle of
+    ``h`` alone; per-shard groups write their own shard files)."""
+    ensure_worker_importable()
+    init_store(store_dir, n_shards)
+    n = store_n_shards(store_dir)
+
+    def to_hashes(batch: pa.Table) -> pa.Table:
+        h = content_hash64(batch[text_col].to_pylist())
+        return pa.table(
+            {
+                "h": pa.array(h, pa.int64()),
+                "s": pa.array(h % n, pa.int64()),
+            }
+        )
+
+    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+        shard = int(g["s"].iloc[0])
+        _append_shard(store_dir, shard, g["h"].to_numpy(dtype=np.int64))
+        return pd.DataFrame({"s": [shard]})
+
+    (
+        ds.map_batches(to_hashes, batch_format="pyarrow")
+        .groupby("s")
+        .map_groups(write_shard, batch_format="pandas")
+        .materialize()
+    )
+
+
+def incremental_dedup(
+    ds: ray.data.Dataset,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    update: bool = False,
+) -> ray.data.Dataset:
+    """Exact dedup of ``ds`` against the store AND within itself.
+
+    Returns ``(id_col, h)`` for the kept rows: hashes absent from the
+    store, first occurrence (min ``id_col``) per hash within the new
+    data.  ``update=True`` also appends the kept hashes to the store
+    (atomic per shard), so the next snapshot deduplicates against this
+    one.  The caller semi-joins the kept ids back to the full rows
+    (content never enters the shuffle).
+
+    Oracle (ANSI SQL): anti-join on ``md5_number_lower(text) %
+    9223372036854775808`` plus ``ROW_NUMBER() OVER (PARTITION BY h
+    ORDER BY id) = 1``."""
+    ensure_worker_importable()
+    n = store_n_shards(store_dir)
+
+    def to_keys(batch: pa.Table) -> pa.Table:
+        h = content_hash64(batch[text_col].to_pylist())
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "h": pa.array(h, pa.int64()),
+                "s": pa.array(h % n, pa.int64()),
+            }
+        )
+
+    def dedup_shard(g: pd.DataFrame) -> pd.DataFrame:
+        shard = int(g["s"].iloc[0])
+        seen = _read_shard_hashes(store_dir, shard)
+        h = g["h"].to_numpy(dtype=np.int64)
+        fresh = g[~np.isin(h, seen)] if len(seen) else g
+        # first occurrence per hash: min id wins (deterministic)
+        fresh = fresh.sort_values([ "h", id_col ], kind="mergesort")
+        keep = fresh.drop_duplicates(subset="h", keep="first")
+        if update:
+            _append_shard(
+                store_dir, shard, keep["h"].to_numpy(dtype=np.int64)
+            )
+        return keep[[id_col, "h"]]
+
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(to_keys, batch_format="pyarrow")
+        .groupby("s")
+        .map_groups(dedup_shard, batch_format="pandas")
+    )

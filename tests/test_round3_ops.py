@@ -1,0 +1,208 @@
+"""Round-3 additions: cross-run incremental dedup (hash store),
+Misra-Gries heavy hitters, and per-group running-window columns."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup / hash store
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def snap_ds(ray_session):
+    import ray.data
+
+    texts = [f"document body number {i % 6}" for i in range(12)]
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(12), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    )
+
+
+def test_incremental_dedup_two_snapshots(ray_session, snap_ds, tmp_path):
+    import ray.data
+
+    from clonebas_ray.state.hashstore import (
+        build_hash_store, incremental_dedup,
+    )
+
+    store = str(tmp_path / "store")
+    seen = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([100, 101], pa.int64()),
+                  "text": pa.array(["document body number 0",
+                                    "document body number 1"], pa.string())})
+    )
+    build_hash_store(seen, store, n_shards=8)
+
+    kept = incremental_dedup(snap_ds, store, update=True).to_pandas()
+    # 6 distinct bodies, 2 already in the store -> 4 survive,
+    # each at its first (min doc_id) occurrence: ids 2,3,4,5
+    assert sorted(kept["doc_id"]) == [2, 3, 4, 5]
+
+    # second run of the SAME snapshot after update=True: nothing new
+    again = incremental_dedup(snap_ds, store, update=True).to_pandas()
+    assert len(again) == 0
+
+
+def test_hashstore_append_idempotent(ray_session, snap_ds, tmp_path):
+    import os
+
+    from clonebas_ray.state.hashstore import build_hash_store
+
+    store = str(tmp_path / "store2")
+    build_hash_store(snap_ds, store, n_shards=4)
+
+    def n_parts():
+        total = 0
+        for d in os.listdir(store):
+            p = os.path.join(store, d)
+            if os.path.isdir(p):
+                total += len(os.listdir(p))
+        return total
+
+    first = n_parts()
+    assert first > 0
+    # same contribution re-runs onto the same file names: no growth
+    build_hash_store(snap_ds, store, n_shards=4)
+    assert n_parts() == first
+
+
+def test_incremental_dedup_matches_antijoin_semantics(ray_session, tmp_path):
+    """Pinned semantics vs a plain pandas replay: anti-join on content
+    hash + first-occurrence-by-min-id within the new snapshot."""
+    import ray.data
+
+    from clonebas_ray.state.hashstore import (
+        build_hash_store, content_hash64, incremental_dedup,
+    )
+
+    rng = np.random.RandomState(7)
+    old = [f"old text {i}" for i in range(20)]
+    new_ids = list(range(50))
+    new_texts = [
+        old[rng.randint(20)] if rng.rand() < 0.3
+        else f"new text {rng.randint(25)}"
+        for _ in new_ids
+    ]
+    store = str(tmp_path / "store3")
+    build_hash_store(
+        ray.data.from_arrow(pa.table({"text": pa.array(old, pa.string())})),
+        store, n_shards=8,
+    )
+    got = incremental_dedup(
+        ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(new_ids, pa.int64()),
+                      "text": pa.array(new_texts, pa.string())})
+        ),
+        store,
+    ).to_pandas().sort_values("doc_id")
+
+    df = pd.DataFrame({"doc_id": new_ids, "h": content_hash64(new_texts)})
+    seen = set(content_hash64(old).tolist())
+    df = df[~df["h"].isin(seen)]
+    want = df.sort_values(["h", "doc_id"]).drop_duplicates("h")
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters (Misra-Gries)
+# ---------------------------------------------------------------------------
+
+
+def _hh_frame(out) -> pd.DataFrame:
+    df = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+    return df.sort_values(["grp", "rank"]).reset_index(drop=True)
+
+
+def test_heavy_hitters_exact_when_capacity_covers(ray_session):
+    import ray.data
+
+    from clonebas_ray.ops.sketch import heavy_hitters
+
+    vals = (["a"] * 50 + ["b"] * 30 + ["c"] * 15 + ["d"] * 5)
+    ds = ray.data.from_arrow(
+        pa.table({"grp": pa.array(["g"] * 100, pa.string()),
+                  "v": pa.array(vals, pa.string())})
+    )
+    out = _hh_frame(heavy_hitters(ds, "grp", "v", top=3, capacity=16))
+    assert list(out["v"]) == ["a", "b", "c"]
+    assert list(out["count_lo"]) == [50, 30, 15]
+    assert (out["err_ub"] == 0).all()
+    assert out["exact"].all()
+
+
+def test_heavy_hitters_bounds_under_truncation(ray_session):
+    """capacity << distinct: every reported count_lo must lower-bound
+    the true count and count_lo+err_ub must upper-bound it, and the
+    top-1 item (true count >> N/capacity) must always survive."""
+    import ray.data
+
+    from clonebas_ray.ops.sketch import heavy_hitters
+
+    rng = np.random.RandomState(3)
+    tail = [f"t{rng.randint(500)}" for _ in range(2000)]
+    vals = ["hot"] * 600 + tail
+    true = pd.Series(vals).value_counts()
+    ds = ray.data.from_arrow(
+        pa.table({"grp": pa.array(["g"] * len(vals), pa.string()),
+                  "v": pa.array(vals, pa.string())})
+    ).repartition(8)
+    out = _hh_frame(heavy_hitters(ds, "grp", "v", top=5, capacity=32))
+    assert out.iloc[0]["v"] == "hot"
+    for _, r in out.iterrows():
+        t = int(true[r["v"]])
+        assert r["count_lo"] <= t <= r["count_lo"] + r["err_ub"]
+    assert not out["exact"].any()
+
+
+def test_heavy_hitters_grouped(ray_session):
+    import ray.data
+
+    from clonebas_ray.ops.sketch import heavy_hitters
+
+    ds = ray.data.from_arrow(pa.table({
+        "grp": pa.array(["x"] * 6 + ["y"] * 4, pa.string()),
+        "v": pa.array(["p", "p", "p", "q", "q", "r",
+                       "s", "s", "t", "t"], pa.string()),
+    }))
+    out = _hh_frame(heavy_hitters(ds, "grp", "v", top=2, capacity=8))
+    x = out[out["grp"] == "x"]
+    assert list(x["v"]) == ["p", "q"] and list(x["count_lo"]) == [3, 2]
+    y = out[out["grp"] == "y"]
+    # tie (s=2, t=2) broken by value ascending
+    assert list(y["v"]) == ["s", "t"]
+
+
+# ---------------------------------------------------------------------------
+# group_window (running totals / row numbers / lag)
+# ---------------------------------------------------------------------------
+
+
+def test_group_window_matches_pandas(ray_session):
+    import ray.data
+
+    from clonebas_ray.ops.relational import group_window
+
+    rng = np.random.RandomState(11)
+    n = 400
+    df = pd.DataFrame({
+        "k": rng.randint(0, 13, n).astype(np.int64),
+        "ord": rng.permutation(n).astype(np.int64),
+        "amt": rng.randint(1, 1000, n).astype(np.int64),
+    })
+    ds = ray.data.from_pandas(df).repartition(6)
+    got = (
+        group_window(ds, "k", ["ord"], value_col="amt", lag_cols=["ord"])
+        .to_pandas().sort_values(["k", "ord"]).reset_index(drop=True)
+    )
+    want = df.sort_values(["k", "ord"]).reset_index(drop=True)
+    g = want.groupby("k", sort=False)
+    want["rn"] = g.cumcount() + 1
+    want["cum_amt"] = g["amt"].cumsum()
+    want["prev_ord"] = g["ord"].shift(1).fillna(-1).astype(np.int64)
+    for c in ("rn", "cum_amt", "prev_ord"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
