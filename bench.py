@@ -134,6 +134,7 @@ def run_bench() -> dict:
             "pii_scan", "dup_ngrams", "events_asof_orders",
             "events_in_sessions", "decontaminate",
             "top_orders_per_customer", "value_quantiles", "dup_spans",
+            "heavy_hitter_users", "running_totals", "incremental_dedup",
         ):
             t0 = time.perf_counter()
             q[name](SF_DIR)
@@ -380,12 +381,17 @@ def run_text_smoke() -> dict:
     n_spans = spans.count()
     spans_s = time.perf_counter() - t0
 
+    import numpy as np
+
+    def _mod_filter(m: int, r: int):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % m == r))
+        return f
+
     t0 = time.perf_counter()
     bench = docs().map_batches(
-        lambda b: b.filter(
-            pc.equal(pc.mod(b["doc_id"], 9973), pa.scalar(0))
-        ),
-        batch_format="pyarrow", batch_size=None,
+        _mod_filter(9973, 0), batch_format="pyarrow", batch_size=None,
     )
     decon = ngram_decontaminate(docs(), bench, n=13)
     n_contam = int(sum(
@@ -403,6 +409,28 @@ def run_text_smoke() -> dict:
     n_dedup = exact_dedup_docs(docs()).count()
     dedup_s = time.perf_counter() - t0
 
+    # cross-run incremental dedup: seed the store with the even half
+    # (one snapshot), dedup the odd half (the next snapshot) against
+    # store + self — both passes ship only (id, hash)
+    import shutil
+
+    from clonebas_ray.state.hashstore import (
+        build_hash_store, incremental_dedup,
+    )
+
+    store = os.path.join(BENCH_DIR, f"hashstore_{n_docs}")
+    shutil.rmtree(store, ignore_errors=True)
+
+    def half(parity: int):
+        return docs().map_batches(
+            _mod_filter(2, parity), batch_format="pyarrow", batch_size=None,
+        )
+
+    t0 = time.perf_counter()
+    build_hash_store(half(0), store, n_shards=256)
+    n_incr = incremental_dedup(half(1), store, update=True).count()
+    incr_s = time.perf_counter() - t0
+
     rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     ray.shutdown()
     return {
@@ -419,6 +447,8 @@ def run_text_smoke() -> dict:
         "n_contaminated": n_contam,
         "exact_dedup_s": round(dedup_s, 2),
         "n_dedup_keep": n_dedup,
+        "incremental_dedup_s": round(incr_s, 2),
+        "n_incremental_keep": n_incr,
         "driver_rss_gb": round(rss_gb, 2),
     }
 
