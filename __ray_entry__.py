@@ -586,6 +586,20 @@ def _q_block_clusters(sf_dir: str):
         return res.clusters.to_pandas()
 
 
+def _q_stratified_sample(sf_dir: str):
+    # training-mix fixture: keep all English, half German, a quarter
+    # Spanish, a tenth French, no Chinese — deterministic nested
+    # hash sampling (see relational.stratified_sample docstring)
+    _quiet()
+    from clonebas_ray.ops.relational import stratified_sample
+
+    out = stratified_sample(
+        _docs(sf_dir, ["doc_id", "lang"]), "lang", "doc_id",
+        {"en": 1.0, "de": 0.5, "es": 0.25, "fr": 0.1, "zh": 0.0},
+    )
+    return out.select_columns(["doc_id", "lang"]).to_pandas()
+
+
 def _q_heavy_hitter_users(sf_dir: str):
     # capacity 4096 >> distinct users at every sf -> the MG summary is
     # exact (err_ub 0) and GROUP BY + ROW_NUMBER is the oracle; the
@@ -695,6 +709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_users_per_type": _q_approx_users_per_type,
         "value_quantiles": _q_value_quantiles,
         "heavy_hitter_users": _q_heavy_hitter_users,
+        "stratified_sample": _q_stratified_sample,
         "running_totals": _q_running_totals,
         "incremental_dedup": _q_incremental_dedup,
         # text / census ops (SQL-oracled)
@@ -968,6 +983,19 @@ SELECT event_type, CAST(0.9 AS DOUBLE),
 UNION ALL
 SELECT event_type, CAST(0.99 AS DOUBLE),
        quantile_disc(value, 0.99) FROM events GROUP BY event_type
+""",
+        # per-stratum keep thresholds = round(frac * 10000) on the
+        # pinned md5 bucket of the key (nested, deterministic)
+        "stratified_sample": """
+SELECT doc_id, lang FROM documents
+WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 <
+  CASE lang
+    WHEN 'en' THEN 10000
+    WHEN 'de' THEN 5000
+    WHEN 'es' THEN 2500
+    WHEN 'fr' THEN 1000
+    ELSE 0
+  END
 """,
         # capacity covers all distinct users -> MG counts are exact;
         # tie-break pinned to (count DESC, value ASC)

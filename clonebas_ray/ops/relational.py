@@ -980,3 +980,48 @@ def group_window(
         .groupby("__bucket")
         .map_groups(window, batch_format="pandas")
     )
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    strata_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+    default: float = 1.0,
+    buckets: int = 10_000,
+) -> ray.data.Dataset:
+    """Deterministic per-stratum subsampling by content-stable key
+    hash — the training-mix operator ("25% of web, 100% of wiki, no
+    low-quality tier").  A row keeps iff ``md5_low64(str(key)) %
+    buckets < round(frac(stratum) * buckets)``; strata missing from
+    ``fractions`` use ``default``.
+
+    Properties a random sampler lacks, all load-bearing for training
+    pipelines: the same row gets the same verdict on every run, every
+    cluster size, every shard order (resumable runs never double- or
+    under-sample); samples are NESTED (the 10% sample is a subset of
+    the 20% sample — raising a mixture weight only ADDs rows, so data
+    ablations share their common prefix); and the assignment is
+    reproducible in ANSI SQL (``md5_number_lower(CAST(key AS VARCHAR))
+    % buckets``, the repo's pinned hash convention).  Stateless single
+    ``map_batches``; no shuffle."""
+    ensure_worker_importable()
+    from clonebas_ray.functions.murmur3 import md5_low64
+
+    thr = {s: min(buckets, int(round(f * buckets)))
+           for s, f in fractions.items()}
+    dthr = min(buckets, int(round(default * buckets)))
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        strata = batch[strata_col].to_pylist()
+        keep = pa.array(
+            [
+                md5_low64(str(k).encode()) % buckets < thr.get(s, dthr)
+                for k, s in zip(keys, strata)
+            ],
+            pa.bool_(),
+        )
+        return batch.filter(keep)
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

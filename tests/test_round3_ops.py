@@ -206,3 +206,37 @@ def test_group_window_matches_pandas(ray_session):
     want["prev_ord"] = g["ord"].shift(1).fillna(-1).astype(np.int64)
     for c in ("rn", "cum_amt", "prev_ord"):
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_deterministic_and_nested(ray_session):
+    import ray.data
+
+    from clonebas_ray.ops.relational import stratified_sample
+
+    n = 4000
+    tbl = pa.table({
+        "id": pa.array(range(n), pa.int64()),
+        "src": pa.array(["a" if i % 2 else "b" for i in range(n)],
+                        pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl)
+    s20 = stratified_sample(ds, "src", "id", {"a": 0.2, "b": 1.0})
+    got = s20.to_pandas()
+    a20 = set(got[got["src"] == "a"]["id"])
+    # b keeps everything, a keeps ~20%
+    assert (got["src"] == "b").sum() == n // 2
+    assert 0.12 * n / 2 < len(a20) < 0.28 * n / 2
+    # deterministic: re-run identical
+    again = stratified_sample(ds, "src", "id", {"a": 0.2, "b": 1.0})
+    assert set(again.to_pandas()["id"]) == set(got["id"])
+    # nested: the 10% sample is a subset of the 20% sample
+    a10 = stratified_sample(ds, "src", "id", {"a": 0.1, "b": 0.0})
+    assert set(a10.to_pandas()["id"]) <= a20
+    # default fraction applies to unlisted strata
+    only_b = stratified_sample(ds, "src", "id", {"a": 0.0}, default=1.0)
+    assert set(only_b.to_pandas()["src"]) == {"b"}
