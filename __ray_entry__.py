@@ -586,6 +586,14 @@ def _q_block_clusters(sf_dir: str):
         return res.clusters.to_pandas()
 
 
+def _q_tfidf_terms(sf_dir: str):
+    _quiet()
+    from clonebas_ray.ops.text_analysis import tfidf_top_terms
+
+    out = tfidf_top_terms(_docs(sf_dir, ["doc_id", "text"]), k=3)
+    return out.to_pandas()
+
+
 def _q_stratified_sample(sf_dir: str):
     # training-mix fixture: keep all English, half German, a quarter
     # Spanish, a tenth French, no Chinese — deterministic nested
@@ -710,6 +718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": _q_value_quantiles,
         "heavy_hitter_users": _q_heavy_hitter_users,
         "stratified_sample": _q_stratified_sample,
+        "tfidf_terms": _q_tfidf_terms,
         "running_totals": _q_running_totals,
         "incremental_dedup": _q_incremental_dedup,
         # text / census ops (SQL-oracled)
@@ -983,6 +992,37 @@ SELECT event_type, CAST(0.9 AS DOUBLE),
 UNION ALL
 SELECT event_type, CAST(0.99 AS DOUBLE),
        quantile_disc(value, 0.99) FROM events GROUP BY event_type
+""",
+        # score = tf * ln((N+1)/(df+1)) in that exact float op order
+        # (the pipeline evaluates ln with scalar libm per vocab entry
+        # for this reason); ties pinned (score DESC, term ASC)
+        "tfidf_terms": """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), w AS (
+  SELECT doc_id, unnest(toks) AS term FROM t
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM w GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM w GROUP BY term
+), n AS (
+  SELECT count(*) AS nd FROM documents
+), s AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+    CAST(tf.tf AS DOUBLE)
+      * ln((n.nd + 1) / CAST(df.df + 1 AS DOUBLE)) AS score
+  FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, term, tf, score, rank FROM (
+  SELECT doc_id, term, tf, score,
+    ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, term) AS rank
+  FROM s
+) WHERE rank <= 3
 """,
         # per-stratum keep thresholds = round(frac * 10000) on the
         # pinned md5 bucket of the key (nested, deterministic)

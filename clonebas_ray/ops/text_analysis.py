@@ -416,3 +416,135 @@ def chunk_documents(
         )
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def tfidf_top_terms(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_df: int = 1,
+) -> ray.data.Dataset:
+    """Per-document top-``k`` TF-IDF terms (keyword extraction /
+    topicality features for quality filtering).
+
+    Pinned conventions (SQL-recomputable): terms = whitespace tokens,
+    ``score = tf * ln((N+1) / (df+1))`` evaluated in exactly that
+    float op order, top-``k`` by (score DESC, term ASC) with 1-based
+    ``rank`` — tie scores are bit-identical on both sides because
+    equal (tf, df) gives the identical double.
+
+    Two passes: (1) per-batch per-doc term counts (one row per
+    (doc, term) — a doc lives in one row, so its counts are exact
+    in-batch) reduce to the document-frequency table; (2) the DF table
+    ships ONCE via ``ray.put`` (sorted term array + counts,
+    ``np.searchsorted`` per block — no per-batch rebuild) and each
+    words block scores + selects its own docs' top-k locally: no
+    shuffle at all beyond the small DF aggregation.
+
+    Scale note: the broadcast assumes the (``min_df``-pruned) vocab
+    fits a worker heap — at 10⁷ terms that is ~200 MB, fine; for a
+    100-TB corpus raise ``min_df`` (hapax terms are ~half the vocab
+    and can never beat a real top-k term for any doc that holds ≥ k
+    repeated terms — but CAN appear in the output for short docs, so
+    ``min_df > 1`` is a documented approximation, not free)."""
+    ensure_worker_importable()
+    from collections import Counter
+
+    import ray
+
+    def term_counts(batch: pa.Table) -> pa.Table:
+        ids, terms, tfs = [], [], []
+        for i, t in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            c = Counter(t.split())
+            ids.extend([i] * len(c))
+            terms.extend(c.keys())
+            tfs.extend(c.values())
+        return pa.table(
+            {
+                id_col: pa.array(ids, batch[id_col].type),
+                "term": pa.array(terms, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        )
+
+    words = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(term_counts, batch_format="pyarrow")
+        .materialize()  # consumed twice (DF pass + scoring pass)
+    )
+    n_docs = ds.count()
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        # one row per (doc, term) upstream -> row count per term = df
+        vc = pd.Series(b["term"].to_pylist()).value_counts()
+        return pa.table(
+            {
+                "term": pa.array(vc.index.to_numpy(dtype=object),
+                                 pa.string()),
+                "c": pa.array(vc.to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    def df_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"term": [g["term"].iloc[0]], "df": [np.int64(g["c"].sum())]}
+        )
+
+    df_ds = (
+        words.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(df_merge, batch_format="pandas")
+    )
+    df_tab = pa.concat_tables(
+        [ray.get(r) for r in df_ds.to_arrow_refs()]
+    )
+    order = pc.sort_indices(df_tab["term"].combine_chunks())
+    terms_sorted = df_tab["term"].combine_chunks().take(order)
+    dfs_sorted = df_tab["df"].combine_chunks().take(order).to_numpy(
+        zero_copy_only=False
+    )
+    if min_df > 1:
+        keep = dfs_sorted >= min_df
+        terms_sorted = terms_sorted.filter(pa.array(keep))
+        dfs_sorted = dfs_sorted[keep]
+    # IDF once per vocab entry with SCALAR libm log: numpy's
+    # vectorized np.log rounds the last ulp differently from std::log,
+    # which would break bit-parity with the SQL oracle's ln()
+    import math
+
+    idf_sorted = np.fromiter(
+        (math.log((n_docs + 1) / (d + 1.0)) for d in dfs_sorted.tolist()),
+        dtype=np.float64, count=len(dfs_sorted),
+    )
+    ref = ray.put(
+        (np.asarray(terms_sorted.to_pylist(), dtype=object), idf_sorted)
+    )
+
+    def score(b: pa.Table) -> pd.DataFrame:
+        ts, idfv = ray.get(ref)
+        bt = np.asarray(b["term"].to_pylist(), dtype=object)
+        idx = np.searchsorted(ts, bt)
+        ok = (idx < len(ts))
+        ok &= np.where(ok, ts[np.minimum(idx, len(ts) - 1)] == bt, False)
+        out = pd.DataFrame(
+            {
+                id_col: np.asarray(b[id_col].to_pylist())[ok],
+                "term": bt[ok],
+                "tf": b["tf"].to_numpy(zero_copy_only=False)[ok],
+            }
+        )
+        out["score"] = out["tf"].to_numpy(dtype=np.float64) * idfv[idx[ok]]
+        out = out.sort_values(
+            [id_col, "score", "term"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        out = out.groupby(id_col, sort=False).head(k)
+        out["rank"] = (
+            out.groupby(id_col, sort=False).cumcount() + 1
+        ).astype("int64")
+        return out[[id_col, "term", "tf", "score", "rank"]]
+
+    return words.map_batches(score, batch_format="pyarrow")

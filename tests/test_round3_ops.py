@@ -240,3 +240,70 @@ def test_stratified_sample_deterministic_and_nested(ray_session):
     # default fraction applies to unlisted strata
     only_b = stratified_sample(ds, "src", "id", {"a": 0.0}, default=1.0)
     assert set(only_b.to_pandas()["src"]) == {"b"}
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_top_terms_matches_replay(ray_session):
+    import math
+
+    import ray.data
+
+    from clonebas_ray.ops.text_analysis import tfidf_top_terms
+
+    texts = [
+        "apple banana apple cherry",
+        "banana banana date",
+        "cherry date egg egg egg",
+        "apple",
+        "",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ).repartition(3)
+    got = (
+        tfidf_top_terms(ds, k=2).to_pandas()
+        .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    )
+
+    # plain replay with the pinned conventions
+    n = len(texts)
+    docs = [t.split() for t in texts]
+    df = {}
+    for toks in docs:
+        for term in set(toks):
+            df[term] = df.get(term, 0) + 1
+    rows = []
+    for i, toks in enumerate(docs):
+        tf = pd.Series(toks).value_counts() if toks else pd.Series(dtype=int)
+        scored = sorted(
+            ((-(int(c) * math.log((n + 1) / (df[t] + 1.0))), t)
+             for t, c in tf.items())
+        )
+        for r, (negs, t) in enumerate(scored[:2], 1):
+            rows.append((i, t, -negs, r))
+    want = pd.DataFrame(rows, columns=["doc_id", "term", "score", "rank"])
+    assert len(got) == len(want)
+    assert list(got["term"]) == list(want["term"])
+    assert list(got["rank"]) == list(want["rank"])
+    assert np.allclose(got["score"], want["score"], rtol=0, atol=0)
+    # doc 4 (empty) contributes no rows
+    assert 4 not in set(got["doc_id"])
+
+
+def test_tfidf_min_df_prunes(ray_session):
+    import ray.data
+
+    from clonebas_ray.ops.text_analysis import tfidf_top_terms
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["shared rare1", "shared rare2"],
+                                   pa.string())})
+    )
+    out = tfidf_top_terms(ds, k=3, min_df=2).to_pandas()
+    assert set(out["term"]) == {"shared"}
