@@ -55,9 +55,16 @@ def exact_dedup_docs(
     content, keeping the smallest id as representative.
 
     Pattern: hash in ``map_batches`` → per-batch partial (min id,
-    count) → small ``groupby`` merge — full rows never shuffle.
+    count) → hash-BUCKETED merge (a vectorized pandas groupby per
+    bucket, not one ``map_groups`` call per distinct hash — at 10⁶
+    distinct contents the per-group path paid ~990k Python calls and
+    dominated the 1M smoke at 71 s; bucketed it's 2.5 s).  Full rows
+    never shuffle.
     """
     ensure_worker_importable()
+    from clonebas_ray.ops.relational import auto_partitions
+
+    P = auto_partitions()
     hashed = add_content_hash(ds, text_col)
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -68,23 +75,28 @@ def exact_dedup_docs(
             .reset_index()
         )
         g.columns = ["content_hash", "rep_id", "n_dups"]
+        kh = pd.util.hash_pandas_object(
+            g["content_hash"], index=False
+        ).to_numpy()
+        g["__bucket"] = (kh % np.uint64(P)).astype(np.int32)
         return pa.Table.from_pandas(
             g, preserve_index=False
         ).replace_schema_metadata(None)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "content_hash": [g["content_hash"].iloc[0]],
-                "rep_id": [g["rep_id"].min()],
-                "n_dups": [g["n_dups"].sum()],
-            }
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("content_hash", sort=False)
+            .agg(rep_id=("rep_id", "min"), n_dups=("n_dups", "sum"))
+            .reset_index()
         )
+        out["rep_id"] = out["rep_id"].astype(g["rep_id"].dtype)
+        out["n_dups"] = out["n_dups"].astype("int64")
+        return out
 
     return (
         hashed.map_batches(partial, batch_format="pyarrow")
-        .groupby("content_hash")
-        .map_groups(merge, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
     )
 
 
@@ -1159,7 +1171,12 @@ def exact_dup_spans(
         return pd.DataFrame({"h": tot.index[tot >= 2].to_numpy(dtype=np.uint64)})
 
     dup = (
-        src.map_batches(partial_counts, batch_format="pyarrow")
+        # batch_size=None: one partial per BLOCK, so the np.unique
+        # pre-aggregation sees the whole block's windows — repeated
+        # boilerplate collapses before the shuffle instead of after
+        src.map_batches(
+            partial_counts, batch_format="pyarrow", batch_size=None
+        )
         .groupby("hp")
         .map_groups(dup_in_partition, batch_format="pandas")
     )
