@@ -1124,8 +1124,10 @@ def exact_dup_spans(
     Scale shape (contrast with the winnowing sampler above, which
     trades exactness for O(n/w) selected fingerprints): two streaming
     passes over content + one shuffle of per-batch-DISTINCT window
-    hashes.  Pass 1 pre-aggregates (hash, count) per batch, hash-
-    partitions, and keeps only hashes with a global count >= 2; the
+    hashes.  Pass 1 pre-aggregates per block, packs each block's
+    per-partition distinct-hash sets into binary blobs (one row per
+    block×partition — the exchange is byte-bound, not row-bound), and
+    keeps only hashes with a global count >= 2; the
     dup-hash set (bounded by DISTINCT duplicated windows, not corpus
     size) broadcasts once via ``ray.put``; pass 2 rescans content with
     one vectorized ``searchsorted`` per doc and merges hit positions
@@ -1144,7 +1146,18 @@ def exact_dup_spans(
     if materialize_input:
         src = src.materialize()
 
-    def partial_counts(batch: pa.Table) -> pa.Table:
+    def partial_blobs(batch: pa.Table) -> pa.Table:
+        # One row per (block, partition), NOT one row per distinct
+        # hash: Ray's sort-based groupby exchange pays per ROW (arrow
+        # sort/take on the key column), so shipping ~300M distinct
+        # window hashes as individual rows made the shuffle — not the
+        # hash kernel — ~94% of the 1M-doc smoke's wall time.  Packing
+        # each block's per-partition hash set into a binary blob moves
+        # the same bytes through ~n_blocks×P rows instead, making the
+        # exchange byte-bound.  ``ones`` carries hashes with local
+        # count == 1 (global dup iff seen in >= 2 blocks of this
+        # partition), ``mult`` hashes already duplicated inside the
+        # block (global dup unconditionally).
         hs = [
             _char_window_hashes(t, min_len)
             for t in batch[text_col].to_pylist()
@@ -1154,31 +1167,58 @@ def exact_dup_spans(
         )
         h, c = np.unique(allh, return_counts=True)
         hp = (
-            (h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(52)
-        ) % np.uint64(P)
+            ((h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(52))
+            % np.uint64(P)
+        ).astype(np.int32)
+        order = np.argsort(hp, kind="stable")
+        h_s, c_s, hp_s = h[order], c[order], hp[order]
+        uniq, starts = np.unique(hp_s, return_index=True)
+        ends = np.append(starts[1:], len(hp_s))
+        ones, mult = [], []
+        for s0, e0 in zip(starts, ends):
+            single = c_s[s0:e0] == 1
+            seg = h_s[s0:e0]
+            ones.append(seg[single].tobytes())
+            mult.append(seg[~single].tobytes())
         return pa.table(
             {
-                "h": pa.array(h, pa.uint64()),
-                "c": pa.array(c.astype(np.int64), pa.int64()),
-                "hp": pa.array(hp.astype(np.int32), pa.int32()),
+                "hp": pa.array(uniq, pa.int32()),
+                "ones": pa.array(ones, pa.large_binary()),
+                "mult": pa.array(mult, pa.large_binary()),
             }
         )
 
-    def dup_in_partition(g: pd.DataFrame) -> pd.DataFrame:
-        # equal hashes never split across partitions -> a local sum is
-        # the global count
-        tot = g.groupby("h", sort=False)["c"].sum()
-        return pd.DataFrame({"h": tot.index[tot >= 2].to_numpy(dtype=np.uint64)})
+    def dup_in_partition(g: pa.Table) -> pa.Table:
+        # equal hashes never split across partitions -> global count
+        # >= 2 iff duplicated inside one block (mult) or present in
+        # >= 2 blocks' singleton sets (equal sorted neighbors).
+        # pyarrow format: the pandas conversion of the blob columns
+        # alone cost ~25 s at the 1M-doc scale
+        ones = np.sort(
+            np.concatenate(
+                [np.frombuffer(b.as_py(), dtype=np.uint64)
+                 for b in g["ones"]]
+            )
+        )
+        rep = ones[1:][ones[1:] == ones[:-1]] if len(ones) else ones
+        mult = np.concatenate(
+            [np.frombuffer(b.as_py(), dtype=np.uint64)
+             for b in g["mult"]]
+        )
+        return pa.table(
+            {"h": pa.array(np.unique(np.concatenate([rep, mult])),
+                           pa.uint64())}
+        )
 
     dup = (
         # batch_size=None: one partial per BLOCK, so the np.unique
         # pre-aggregation sees the whole block's windows — repeated
         # boilerplate collapses before the shuffle instead of after
         src.map_batches(
-            partial_counts, batch_format="pyarrow", batch_size=None
+            partial_blobs, batch_format="pyarrow", batch_size=None
         )
         .groupby("hp")
-        .map_groups(dup_in_partition, batch_format="pandas")
+        .map_groups(dup_in_partition, batch_format="pyarrow")
     )
     dup_h = np.sort(
         np.concatenate(
