@@ -316,6 +316,30 @@ def _q_dup_spans(sf_dir: str):
     return out.to_pandas()
 
 
+def _q_segment_dedup(sf_dir: str):
+    """Paragraph-grain dedup + doc reconstruction (RefinedWeb/Dolma
+    paragraph dedup; boundary pinned to 10-token segments on the
+    single-line synthetic corpus)."""
+    _quiet()
+    from clonebas_ray.ops.text_dedup import segment_dedup
+
+    out = segment_dedup(_docs(sf_dir, ["doc_id", "text"]), seg_tokens=10)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style cluster-scoped embedding dedup, SQL-verifiable
+    anchor-codebook mode (kmeans mode is pytest-bounded)."""
+    _quiet()
+    import ray.data
+
+    from clonebas_ray.ops.similarity import semantic_dedup
+
+    vecs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = semantic_dedup(vecs, threshold=0.3, n_lists=16)
+    return out.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+
 def _q_top_orders_per_customer(sf_dir: str):
     _quiet()
     import ray.data
@@ -741,6 +765,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_normalize": _q_text_normalize,
         "decontaminate": _q_decontaminate,
         "dup_spans": _q_dup_spans,
+        "segment_dedup": _q_segment_dedup,
+        "semantic_dedup": _q_semantic_dedup,
         "hash_split": _q_hash_split,
         "chunk_docs": _q_chunk_docs,
         "embed_near_dup": _q_embed_near_dup,
@@ -1209,6 +1235,57 @@ WITH RECURSIVE p AS (
 )
 SELECT id AS vec_id, min(lbl) AS cluster_id
 FROM reach GROUP BY id ORDER BY vec_id
+""",
+        "segment_dedup": r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+), segs AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(t[(i-1)*10+1:i*10], ' ') AS seg
+  FROM toks, unnest(range(1, CAST(ceil(len(t)/10.0) AS BIGINT)+1)) AS r(i)
+), ranked AS (
+  SELECT doc_id, idx, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) AS rn
+  FROM segs
+), agg AS (
+  SELECT doc_id, count(*) AS n_segs,
+         CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+         COALESCE(string_agg(seg, ' ' ORDER BY idx)
+                  FILTER (WHERE rn = 1), '') AS text
+  FROM ranked GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.n_segs, 0) AS n_segs,
+       COALESCE(a.n_kept, 0) AS n_kept, COALESCE(a.text, '') AS text
+FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+""",
+        "semantic_dedup": """
+WITH a AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS anchor_id,
+         embedding AS ae
+  FROM embeddings ORDER BY vec_id LIMIT 16
+), asg AS (
+  SELECT e.vec_id, a.anchor_id,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY round(list_cosine_similarity(CAST(a.ae AS DOUBLE[]),
+                          CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                    a.anchor_id) AS rn
+  FROM embeddings e CROSS JOIN a
+), lists AS (
+  SELECT vec_id, anchor_id AS list_id FROM asg WHERE rn = 1
+), dup AS (
+  SELECT DISTINCT x.vec_id
+  FROM lists x JOIN lists y
+    ON y.list_id = x.list_id AND y.vec_id < x.vec_id
+  JOIN embeddings ex ON ex.vec_id = x.vec_id
+  JOIN embeddings ey ON ey.vec_id = y.vec_id
+  WHERE list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]),
+                               CAST(ey.embedding AS DOUBLE[])) >= 0.3
+)
+SELECT l.vec_id, l.list_id, (d.vec_id IS NULL) AS keep
+FROM lists l LEFT JOIN dup d ON d.vec_id = l.vec_id
+ORDER BY l.vec_id
 """,
         "embed_near_dup": """
 WITH p AS (

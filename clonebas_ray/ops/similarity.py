@@ -472,3 +472,130 @@ def embedding_near_dup_pairs_lsh(
     out = pd.DataFrame({"vec_a": a, "vec_b": b, "cosine": df["cosine"].to_numpy()})
     out = out.drop_duplicates(["vec_a", "vec_b"]).sort_values(["vec_a", "vec_b"])
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def _lowest_id_vectors(
+    vectors: ray.data.Dataset, k: int, id_col: str, emb_col: str
+) -> np.ndarray:
+    """Normalized embeddings of the ``k`` smallest ids — each block
+    emits only its local k smallest (a combiner), the driver merges
+    ``num_blocks * k`` rows, never the dataset."""
+
+    def local_min(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        idx = np.argsort(
+            batch[id_col].to_numpy(zero_copy_only=False)
+        )[:k]
+        return batch.take(pa.array(idx, pa.int64()))
+
+    parts = vectors.select_columns([id_col, emb_col]).map_batches(
+        local_min, batch_format="pyarrow", batch_size=None
+    )
+    tabs = [
+        b for b in parts.iter_batches(batch_format="pyarrow",
+                                      batch_size=None)
+        if b.num_rows
+    ]
+    merged = pa.concat_tables(tabs)
+    idx = np.argsort(merged[id_col].to_numpy(zero_copy_only=False))[:k]
+    merged = merged.take(pa.array(idx, pa.int64()))
+    return _normalize(_batch_embeddings(merged, emb_col))
+
+
+def semantic_dedup(
+    vectors: ray.data.Dataset,
+    threshold: float = 0.3,
+    n_lists: int = 16,
+    codebook: str = "anchors",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    tile: int = 2048,
+) -> ray.data.Dataset:
+    """SemDeDup-style cluster-scoped semantic dedup (Abbas et al.
+    2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication"): partition the embedding space into
+    ``n_lists`` clusters, then mark every vector that has a LOWER-id
+    neighbor in the SAME cluster with cosine >= ``threshold`` as a
+    semantic duplicate (``keep = false``).  The keep rule is the
+    order-independent "exists earlier" variant (the paper's greedy
+    kept-set walk is order-dependent and unparallelizable; with the
+    exists-earlier rule every cluster resolves in one pass and the
+    kept set is a superset of any greedy walk's).
+
+    ``codebook='anchors'`` pins the cluster centers to the ``n_lists``
+    smallest-id vectors — fully SQL-expressible, so the whole pipeline
+    (assignment argmax incl. the ``(round(cos,6) desc, anchor asc)``
+    tiebreak, and the keep rule on raw cosine) is DuckDB-oracle-
+    verifiable.  ``codebook='kmeans'`` reuses the IVF codebook
+    (:func:`train_codebook`) — the production path, same shape, not
+    SQL-pinnable.  Cross-cluster near-dups are missed by design
+    (that's SemDeDup's accuracy/cost trade; raise ``n_lists`` slower
+    than N so mean cluster size grows and recall rises).
+
+    Scale shape: one broadcast (centroids), one shuffle (embeddings
+    hash-partitioned by cluster id — exactly SemDeDup's layout), and a
+    per-cluster tiled lower-triangle matmul (``tile`` rows vs all
+    earlier rows, peak ``tile * cluster_size`` floats per task).
+    Returns a Dataset ``(id_col, list_id, keep)``."""
+    ensure_worker_importable()
+    vectors = vectors.materialize()
+    if codebook == "anchors":
+        cents = _lowest_id_vectors(vectors, n_lists, id_col, emb_col)
+    elif codebook == "kmeans":
+        cents = train_codebook(
+            vectors, n_lists=n_lists,
+            sample_rows=max(4096, 8 * n_lists), emb_col=emb_col,
+        )
+    else:
+        raise ValueError(f"unknown codebook {codebook!r}")
+    c_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(
+                "list_id", pa.array([], pa.int64())
+            )
+        c = ray.get(c_ref)
+        emb = _normalize(_batch_embeddings(batch, emb_col))
+        # argmax on (round(cos,6) desc, anchor asc): the rounded
+        # tiebreak is the knn precedent that hash-matches DuckDB
+        cos = np.round(emb @ c.T, 6)
+        lists = np.argmax(cos, axis=1)  # np.argmax takes the FIRST max
+        return batch.append_column(
+            "list_id", pa.array(lists.astype(np.int64), pa.int64())
+        )
+
+    assigned = vectors.select_columns([id_col, emb_col]).map_batches(
+        assign, batch_format="pyarrow", batch_size=None
+    )
+
+    def dedup_list(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        g = g.take(pa.array(order, pa.int64()))
+        ids = ids[order]
+        emb = _normalize(_batch_embeddings(g, emb_col))
+        m = len(ids)
+        keep = np.ones(m, dtype=bool)
+        for s in range(0, m, tile):
+            e = min(s + tile, m)
+            sims = emb[s:e] @ emb[:e].T  # rows s..e vs all ids <= them
+            lower = (
+                np.arange(s, e)[:, None] > np.arange(e)[None, :]
+            )
+            keep[s:e] = ~((sims >= threshold) & lower).any(axis=1)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "list_id": pa.array(
+                    g["list_id"].to_numpy(zero_copy_only=False),
+                    pa.int64(),
+                ),
+                "keep": pa.array(keep, pa.bool_()),
+            }
+        )
+
+    return assigned.groupby("list_id").map_groups(
+        dedup_list, batch_format="pyarrow"
+    )

@@ -1264,3 +1264,188 @@ def exact_dup_spans(
     return src.map_batches(
         emit_spans, batch_format="pyarrow", batch_size=None,
     )
+
+
+def segment_dedup(
+    docs: ray.data.Dataset,
+    seg_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Paragraph-grain exact dedup with document reconstruction — the
+    corpus-level paragraph dedup of RefinedWeb / Dolma, adapted to the
+    single-line synthetic corpus by pinning the paragraph boundary to
+    every ``seg_tokens`` whitespace tokens (a real corpus would split
+    on blank lines upstream and pass the paragraphs through the same
+    machinery; identity is exact string equality either way).
+
+    Pinned semantics (mirrored by the SQL oracle): tokens are the
+    non-empty whitespace splits; segment ``idx`` (1-based) covers
+    tokens ``[(idx-1)*S, idx*S)`` with a short final segment kept; a
+    segment occurrence is KEPT iff it is the global first occurrence
+    of its exact text, ordered by ``(doc_id, idx)`` — later repeats
+    drop whether cross-doc or within-doc.  Emits one row per input
+    doc: ``(id_col, n_segs, n_kept, text)`` where ``text`` re-joins
+    the kept segments with single spaces ('' when everything dropped).
+
+    Scale shape: segments are ~10²-10³× coarser than char windows, so
+    unlike :func:`exact_dup_spans` the exchange ships one row per
+    block-DISTINCT segment hash carrying the block-local min
+    ``(doc_id, idx)`` and count; the per-partition merge keeps only
+    globally duplicated hashes, whose winner table (bounded by
+    DISTINCT duplicated segments, not corpus size) broadcasts once via
+    ``ray.put``; pass 2 rescans content and rebuilds docs with one
+    ``searchsorted`` per doc.  Content never shuffles; the input graph
+    executes twice (both passes need it), like exact_dup_spans."""
+    ensure_worker_importable()
+    from clonebas_ray.ops.relational import auto_partitions
+
+    P = auto_partitions()
+    src = docs.select_columns([id_col, text_col])
+    id_type = pa.int64()
+
+    def _doc_segments(text: str) -> list[str]:
+        toks = text.split()
+        return [
+            " ".join(toks[j * seg_tokens:(j + 1) * seg_tokens])
+            for j in range((len(toks) + seg_tokens - 1) // seg_tokens)
+        ]
+
+    def _seg_hashes(segs: list[str]) -> np.ndarray:
+        return np.fromiter(
+            (md5_low64(s.encode()) for s in segs),
+            dtype=np.uint64, count=len(segs),
+        )
+
+    _PARTIAL_SCHEMA = pa.schema(
+        [("hp", pa.int32()), ("h", pa.uint64()), ("d", pa.int64()),
+         ("i", pa.int64()), ("c", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hs, ds, is_ = [], [], []
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        for did, t in zip(ids, batch[text_col].to_pylist()):
+            segs = _doc_segments(t)
+            if not segs:
+                continue
+            hs.append(_seg_hashes(segs))
+            ds.append(np.full(len(segs), did, np.int64))
+            is_.append(np.arange(1, len(segs) + 1, dtype=np.int64))
+        if not hs:
+            return _PARTIAL_SCHEMA.empty_table()
+        h = np.concatenate(hs)
+        d = np.concatenate(ds)
+        i = np.concatenate(is_)
+        # block-local collapse: one row per distinct hash carrying the
+        # local min (doc_id, idx) + count, so repeated boilerplate
+        # segments shrink before the shuffle
+        order = np.lexsort((i, d, h))
+        h, d, i = h[order], d[order], i[order]
+        uh, starts, counts = np.unique(
+            h, return_index=True, return_counts=True
+        )
+        hp = (
+            ((uh * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(52))
+            % np.uint64(P)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "hp": pa.array(hp, pa.int32()),
+                "h": pa.array(uh, pa.uint64()),
+                "d": pa.array(d[starts], pa.int64()),
+                "i": pa.array(i[starts], pa.int64()),
+                "c": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def dup_winners(g: pa.Table) -> pa.Table:
+        # equal hashes never split across partitions: the per-hash
+        # count sum is global, and the lexsort-first row is the global
+        # min (doc_id, idx) winner
+        h = g["h"].to_numpy(zero_copy_only=False)
+        d = g["d"].to_numpy(zero_copy_only=False)
+        i = g["i"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, d, h))
+        h, d, i, c = h[order], d[order], i[order], c[order]
+        uh, starts = np.unique(h, return_index=True)
+        tot = np.add.reduceat(c, starts) if len(c) else c
+        dupm = tot >= 2
+        return pa.table(
+            {
+                "h": pa.array(uh[dupm], pa.uint64()),
+                "win_d": pa.array(d[starts][dupm], pa.int64()),
+                "win_i": pa.array(i[starts][dupm], pa.int64()),
+            }
+        )
+
+    dup = (
+        src.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("hp")
+        .map_groups(dup_winners, batch_format="pyarrow")
+    )
+    wh_parts, wd_parts, wi_parts = [], [], []
+    for b in dup.iter_batches(batch_format="pyarrow", batch_size=None):
+        wh_parts.append(b["h"].to_numpy(zero_copy_only=False))
+        wd_parts.append(b["win_d"].to_numpy(zero_copy_only=False))
+        wi_parts.append(b["win_i"].to_numpy(zero_copy_only=False))
+    wh = (
+        np.concatenate(wh_parts) if wh_parts else np.empty(0, np.uint64)
+    )
+    wd = (
+        np.concatenate(wd_parts) if wd_parts else np.empty(0, np.int64)
+    )
+    wi = (
+        np.concatenate(wi_parts) if wi_parts else np.empty(0, np.int64)
+    )
+    order = np.argsort(wh)
+    win_ref = ray.put(
+        (
+            np.ascontiguousarray(wh[order]),
+            np.ascontiguousarray(wd[order]),
+            np.ascontiguousarray(wi[order]),
+        )
+    )
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        wh, wd, wi = ray.get(win_ref)
+        out_id, out_n, out_k, out_t = [], [], [], []
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        for did, t in zip(ids, batch[text_col].to_pylist()):
+            segs = _doc_segments(t)
+            n = len(segs)
+            if n == 0:
+                out_id.append(did)
+                out_n.append(0)
+                out_k.append(0)
+                out_t.append("")
+                continue
+            h = _seg_hashes(segs)
+            if len(wh):
+                pos = np.searchsorted(wh, h)
+                pos[pos == len(wh)] = len(wh) - 1
+                isdup = wh[pos] == h
+                keep = ~isdup | (
+                    (wd[pos] == did)
+                    & (wi[pos] == np.arange(1, n + 1, dtype=np.int64))
+                )
+            else:
+                keep = np.ones(n, dtype=bool)
+            kept = [s for s, k in zip(segs, keep) if k]
+            out_id.append(did)
+            out_n.append(n)
+            out_k.append(len(kept))
+            out_t.append(" ".join(kept))
+        return pa.table(
+            {
+                id_col: pa.array(out_id, id_type),
+                "n_segs": pa.array(out_n, pa.int64()),
+                "n_kept": pa.array(out_k, pa.int64()),
+                "text": pa.array(out_t, pa.string()),
+            }
+        )
+
+    return src.map_batches(
+        rebuild, batch_format="pyarrow", batch_size=None,
+    )

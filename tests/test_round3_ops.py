@@ -307,3 +307,168 @@ def test_tfidf_min_df_prunes(ray_session):
     )
     out = tfidf_top_terms(ds, k=3, min_df=2).to_pandas()
     assert set(out["term"]) == {"shared"}
+
+
+# ---------------------------------------------------------------------------
+# segment-grain (paragraph) dedup with reconstruction
+# ---------------------------------------------------------------------------
+
+
+def test_segment_dedup_first_occurrence_wins(ray_session):
+    import ray.data
+
+    from clonebas_ray.ops.text_dedup import segment_dedup
+
+    seg = "a b c"  # 3-token segment at seg_tokens=3
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    [
+                        f"{seg} x y z",        # first occurrence kept
+                        f"{seg} p q",          # cross-doc repeat drops
+                        f"u v w {seg}",        # later idx repeat drops
+                        "",                    # empty doc survives as row
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    out = (
+        segment_dedup(docs, seg_tokens=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["text"].tolist() == [
+        "a b c x y z", "p q", "u v w", "",
+    ]
+    assert out["n_segs"].tolist() == [2, 2, 2, 0]
+    assert out["n_kept"].tolist() == [2, 1, 1, 0]
+
+
+def test_segment_dedup_within_doc_repeat(ray_session):
+    import ray.data
+
+    from clonebas_ray.ops.text_dedup import segment_dedup
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([7], pa.int64()),
+                # segments: "a b" | "a b" | "c" -> second "a b" drops
+                "text": pa.array(["a b a b c"], pa.string()),
+            }
+        )
+    )
+    out = segment_dedup(docs, seg_tokens=2).to_pandas()
+    assert out.loc[0, "text"] == "a b c"
+    assert out.loc[0, "n_segs"] == 3 and out.loc[0, "n_kept"] == 2
+
+
+def test_segment_dedup_whitespace_normalizes(ray_session):
+    import ray.data
+
+    from clonebas_ray.ops.text_dedup import segment_dedup
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                # differing whitespace, identical token segments
+                "text": pa.array(["a  b   c", "a b\tc"], pa.string()),
+            }
+        )
+    )
+    out = (
+        segment_dedup(docs, seg_tokens=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["text"].tolist() == ["a b c", ""]
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def _toy_vectors():
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(40, 8))
+    # plant near-duplicates: vectors 30..39 copy 0..9 with tiny noise
+    base[30:] = base[:10] + rng.normal(scale=1e-4, size=(10, 8))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(40), pa.int64()),
+                "embedding": pa.array(
+                    [row.astype(np.float32).tolist() for row in base],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    ), base
+
+
+def test_semantic_dedup_single_list_matches_brute(ray_session):
+    from clonebas_ray.ops.similarity import semantic_dedup
+
+    ds, base = _toy_vectors()
+    tau = 0.9
+    out = (
+        semantic_dedup(ds, threshold=tau, n_lists=1)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    x = base.astype(np.float32).astype(np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    sims = x @ x.T
+    expect = [
+        not (sims[i, :i] >= tau).any() for i in range(len(x))
+    ]
+    assert out["keep"].tolist() == expect
+    # the planted copies all have an earlier near-identical twin
+    assert not out.loc[out.vec_id >= 30, "keep"].any()
+
+
+def test_semantic_dedup_kmeans_mode_runs_and_is_deterministic(ray_session):
+    from clonebas_ray.ops.similarity import semantic_dedup
+
+    ds, _ = _toy_vectors()
+    a = (
+        semantic_dedup(ds, threshold=0.9, n_lists=4, codebook="kmeans")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        semantic_dedup(ds, threshold=0.9, n_lists=4, codebook="kmeans")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # cluster-scoped dedup can only miss cross-cluster dups, never
+    # drop a vector the single-list (global) rule keeps
+    glob = (
+        semantic_dedup(ds, threshold=0.9, n_lists=1)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert (a["keep"] | ~glob["keep"]).all()
+
+
+def test_semantic_dedup_rejects_unknown_codebook(ray_session):
+    from clonebas_ray.ops.similarity import semantic_dedup
+
+    ds, _ = _toy_vectors()
+    with pytest.raises(ValueError):
+        semantic_dedup(ds, codebook="nope")
