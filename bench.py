@@ -135,6 +135,7 @@ def run_bench() -> dict:
             "events_in_sessions", "decontaminate",
             "top_orders_per_customer", "value_quantiles", "dup_spans",
             "heavy_hitter_users", "running_totals", "incremental_dedup",
+            "segment_dedup", "semantic_dedup",
         ):
             t0 = time.perf_counter()
             q[name](SF_DIR)
@@ -409,6 +410,20 @@ def run_text_smoke() -> dict:
     n_dedup = exact_dedup_docs(docs()).count()
     dedup_s = time.perf_counter() - t0
 
+    from clonebas_ray.ops.text_dedup import segment_dedup
+
+    t0 = time.perf_counter()
+    seg = segment_dedup(docs(), seg_tokens=10)
+    n_seg_kept = int(sum(
+        b.to_pandas()["k"].sum()
+        for b in seg.map_batches(
+            lambda b: pa.table({"k": pa.array(
+                [pc.sum(b["n_kept"]).as_py() or 0], pa.int64())}),
+            batch_format="pyarrow", batch_size=None,
+        ).iter_batches(batch_format="pyarrow")
+    ))
+    seg_s = time.perf_counter() - t0
+
     # cross-run incremental dedup: seed the store with the even half
     # (one snapshot), dedup the odd half (the next snapshot) against
     # store + self — both passes ship only (id, hash)
@@ -447,8 +462,113 @@ def run_text_smoke() -> dict:
         "n_contaminated": n_contam,
         "exact_dedup_s": round(dedup_s, 2),
         "n_dedup_keep": n_dedup,
+        "segment_dedup_s": round(seg_s, 2),
+        "n_segments_kept": n_seg_kept,
         "incremental_dedup_s": round(incr_s, 2),
         "n_incremental_keep": n_incr,
+        "driver_rss_gb": round(rss_gb, 2),
+    }
+
+
+def _ensure_vec_corpus(n_vecs: int, dim: int = 32) -> str:
+    """Deterministic 1M-vector corpus (seed 42), sharded parquet.
+    Every 200th vector (g % 200 == 0, g > 0, same shard as g-1) is a
+    near-copy of its predecessor (cosine > 0.999) — the planted
+    semantic-dup families the smoke's recall check recomputes."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(BENCH_DIR, f"vecs_{n_vecs}x{dim}")
+    if os.path.isdir(path):
+        return path
+    os.makedirs(path + ".tmp", exist_ok=True)
+    n_shards = max(32, n_vecs // 25000)
+    per = (n_vecs + n_shards - 1) // n_shards
+    for s in range(n_shards):
+        start = s * per
+        cnt = min(per, n_vecs - start)
+        if cnt <= 0:
+            break
+        rng = np.random.RandomState(42 + s)
+        m = rng.standard_normal((cnt, dim)).astype(np.float32)
+        g = np.arange(start, start + cnt)
+        twins = np.nonzero((g % 200 == 0) & (g > start))[0]
+        m[twins] = m[twins - 1] + rng.standard_normal(
+            (len(twins), dim)).astype(np.float32) * 1e-3
+        pq.write_table(
+            pa.table({
+                "vec_id": pa.array(g, pa.int64()),
+                "embedding": pa.array(
+                    [row.tolist() for row in m],
+                    pa.list_(pa.float32())),
+            }),
+            f"{path}.tmp/part-{s:05d}.parquet",
+        )
+    os.replace(path + ".tmp", path)
+    return path
+
+
+def run_semdedup_smoke() -> dict:
+    """1M-vector scale smoke for semantic_dedup (kmeans codebook,
+    sqrt(N) lists — SemDeDup's own layout): wall time, driver RSS,
+    and recall on the planted near-copy twins (each twin has an
+    earlier cosine>0.999 predecessor, so the exists-earlier rule must
+    drop it whenever the codebook puts the pair in one cluster —
+    cluster-boundary splits are SemDeDup's documented recall knob)."""
+    import resource
+
+    import numpy as np
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from clonebas_ray.ops.similarity import semantic_dedup
+
+    n_vecs = int(os.environ.get("GRAFT_SEMDEDUP_VECS", "1000000"))
+    path = _ensure_vec_corpus(n_vecs)
+    vecs = ray.data.read_parquet(path)
+    n_lists = int(np.sqrt(n_vecs))
+
+    t0 = time.perf_counter()
+    out = semantic_dedup(
+        vecs, threshold=0.95, n_lists=n_lists, codebook="kmeans",
+    )
+    dropped = []
+    n_keep = 0
+    for b in out.iter_batches(batch_format="pyarrow", batch_size=None):
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        keep = b["keep"].to_numpy(zero_copy_only=False)
+        n_keep += int(keep.sum())
+        dropped.append(ids[~keep])
+    wall = time.perf_counter() - t0
+    dropped = np.sort(np.concatenate(dropped)) if dropped else np.empty(0)
+
+    # planted twins: g % 200 == 0, g > 0, same shard as g-1
+    n_shards = max(32, n_vecs // 25000)
+    per = (n_vecs + n_shards - 1) // n_shards
+    g = np.arange(200, n_vecs, 200)
+    g = g[(g % per) != 0]
+    hit = np.isin(g, dropped)
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    ray.shutdown()
+    return {
+        "metric": "semdedup_1m_smoke_sec",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "n_vecs": n_vecs,
+        "n_lists": n_lists,
+        "num_cpus": NUM_CPUS,
+        "n_kept": n_keep,
+        "n_dropped": int(len(dropped)),
+        "planted_twins": int(len(g)),
+        "planted_recall": round(float(hit.mean()), 4),
         "driver_rss_gb": round(rss_gb, 2),
     }
 
@@ -460,5 +580,7 @@ if __name__ == "__main__":
         print(json.dumps(run_block_smoke()))
     elif "--text-smoke" in sys.argv:
         print(json.dumps(run_text_smoke()))
+    elif "--semdedup-smoke" in sys.argv:
+        print(json.dumps(run_semdedup_smoke()))
     else:
         print(json.dumps(run_bench()))

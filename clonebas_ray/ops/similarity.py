@@ -311,6 +311,45 @@ def _pair_block_task(
     )
 
 
+@ray.remote
+def _flag_earlier_neighbor_task(
+    ta: pa.Table, tb: pa.Table, same: bool, threshold: float,
+    id_col: str, emb_col: str,
+) -> np.ndarray:
+    """Ids (from either block) that have a LOWER-id neighbor with
+    cosine >= threshold on the other block (or within the block when
+    ``same``) — the decomposed form of semantic_dedup's exists-earlier
+    rule: OR-ing these flags over all block pairs of a cluster equals
+    the single-task per-cluster scan exactly."""
+    ia = ta[id_col].to_numpy(zero_copy_only=False)
+    ib = tb[id_col].to_numpy(zero_copy_only=False)
+    ea = _normalize(_batch_embeddings(ta, emb_col))
+    eb = ea if same else _normalize(_batch_embeddings(tb, emb_col))
+    if same:
+        ib = ia
+    flagged = []
+    for i0 in range(0, len(ia), _COS_TILE):
+        i1 = min(i0 + _COS_TILE, len(ia))
+        for j0 in range(0, len(ib), _COS_TILE):
+            j1 = min(j0 + _COS_TILE, len(ib))
+            if same and j0 > i0:
+                break  # (i,j) and (j,i) tiles are symmetric here
+            cos = ea[i0:i1] @ eb[j0:j1].T
+            hit = cos >= threshold
+            if same and i0 == j0:
+                np.fill_diagonal(hit, False)
+            earlier_j = ib[j0:j1][None, :] < ia[i0:i1][:, None]
+            a_flag = (hit & earlier_j).any(axis=1)
+            if a_flag.any():
+                flagged.append(ia[i0:i1][a_flag])
+            b_flag = (hit & ~earlier_j).any(axis=0)
+            if b_flag.any():
+                flagged.append(ib[j0:j1][b_flag])
+    if not flagged:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(flagged))
+
+
 def embedding_near_dup_pairs(
     vectors: ray.data.Dataset,
     threshold: float = 0.95,
@@ -511,6 +550,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     tile: int = 2048,
+    max_group: int = 16384,
 ) -> ray.data.Dataset:
     """SemDeDup-style cluster-scoped semantic dedup (Abbas et al.
     2023, "SemDeDup: Data-efficient learning at web-scale through
@@ -537,7 +577,16 @@ def semantic_dedup(
     hash-partitioned by cluster id — exactly SemDeDup's layout), and a
     per-cluster tiled lower-triangle matmul (``tile`` rows vs all
     earlier rows, peak ``tile * cluster_size`` floats per task).
-    Returns a Dataset ``(id_col, list_id, keep)``."""
+    Clusters larger than ``max_group`` (skewed codebooks put the
+    corpus's boilerplate mass in a few cells) skip the one-task-per-
+    group shuffle and run the DECOMPOSED form instead: the
+    exists-earlier rule is order-independent, so it equals an OR of
+    per-block-pair flags — one bounded Ray task per block pair of the
+    cluster (:func:`_flag_earlier_neighbor_task`), dropped ids
+    (dup-bounded) broadcast back over the cluster's blocks.  Identical
+    output, wall time scales with (cluster/blocks)^2 tasks instead of
+    one O(m^2) straggler.  Returns a Dataset
+    ``(id_col, list_id, keep)``."""
     ensure_worker_importable()
     vectors = vectors.materialize()
     if codebook == "anchors":
@@ -568,7 +617,23 @@ def semantic_dedup(
 
     assigned = vectors.select_columns([id_col, emb_col]).map_batches(
         assign, batch_format="pyarrow", batch_size=None
-    )
+    ).materialize()
+
+    # route hot clusters to the decomposed block-pair path: map_groups
+    # hands a whole cluster to ONE task, so a skewed cluster would run
+    # O(m^2) single-threaded there.  The exists-earlier rule is
+    # order-independent, hence an OR over block-pair flags — exact.
+    sizes: dict[int, int] = {}
+    for b in assigned.select_columns(["list_id"]).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        u, c = np.unique(
+            b["list_id"].to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        for k, v in zip(u, c):
+            sizes[int(k)] = sizes.get(int(k), 0) + int(v)
+    hot = sorted(k for k, v in sizes.items() if v > max_group)
 
     def dedup_list(g: pa.Table) -> pa.Table:
         ids = g[id_col].to_numpy(zero_copy_only=False)
@@ -596,6 +661,80 @@ def semantic_dedup(
             }
         )
 
-    return assigned.groupby("list_id").map_groups(
-        dedup_list, batch_format="pyarrow"
+    if not hot:
+        return assigned.groupby("list_id").map_groups(
+            dedup_list, batch_format="pyarrow"
+        )
+
+    hot_arr = np.array(hot, dtype=np.int64)
+
+    def _split(keep_hot: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = np.isin(
+                b["list_id"].to_numpy(zero_copy_only=False), hot_arr
+            )
+            return b.filter(pa.array(m if keep_hot else ~m))
+        return f
+
+    cold_out = (
+        assigned.map_batches(
+            _split(False), batch_format="pyarrow", batch_size=None
+        )
+        .groupby("list_id")
+        .map_groups(dedup_list, batch_format="pyarrow")
+    )
+
+    hot_tabs = []
+    for h in hot:
+        sub = assigned.map_batches(
+            lambda b, _h=h: b.filter(
+                pa.array(
+                    b["list_id"].to_numpy(zero_copy_only=False) == _h
+                )
+            ),
+            batch_format="pyarrow", batch_size=None,
+        ).materialize()
+        refs = [r for r in sub.to_arrow_refs()]
+        flags = ray.get(
+            [
+                _flag_earlier_neighbor_task.remote(
+                    refs[i], refs[j], i == j, threshold, id_col, emb_col
+                )
+                for i in range(len(refs))
+                for j in range(i + 1)
+            ]
+        )
+        dropped = (
+            np.unique(np.concatenate(flags))
+            if flags else np.empty(0, np.int64)
+        )
+        drop_ref = ray.put(np.ascontiguousarray(dropped))
+
+        def hot_keep(b: pa.Table, _h=h, _d=drop_ref) -> pa.Table:
+            d = ray.get(_d)
+            ids = b[id_col].to_numpy(zero_copy_only=False)
+            keep = ~np.isin(ids, d)
+            return pa.table(
+                {
+                    id_col: pa.array(ids, pa.int64()),
+                    "list_id": pa.array(
+                        np.full(len(ids), _h, np.int64), pa.int64()
+                    ),
+                    "keep": pa.array(keep, pa.bool_()),
+                }
+            )
+
+        hot_tabs.append(
+            sub.map_batches(
+                hot_keep, batch_format="pyarrow", batch_size=None
+            )
+        )
+
+    out = cold_out
+    for t in hot_tabs:
+        out = out.union(t)
+    # normalize the unioned blocks to one arrow schema (mixed block
+    # formats after union break downstream groupbys — CLAUDE.md)
+    return out.map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=None
     )

@@ -472,3 +472,23 @@ def test_semantic_dedup_rejects_unknown_codebook(ray_session):
     ds, _ = _toy_vectors()
     with pytest.raises(ValueError):
         semantic_dedup(ds, codebook="nope")
+
+
+def test_semantic_dedup_hot_list_path_is_exact(ray_session):
+    """Forcing every cluster through the decomposed block-pair path
+    (max_group=4, many small blocks) must reproduce the map_groups
+    path bit-for-bit — the exists-earlier rule is order-independent."""
+    from clonebas_ray.ops.similarity import semantic_dedup
+
+    ds, _ = _toy_vectors()
+    kw = dict(threshold=0.9, n_lists=4)
+    base = (
+        semantic_dedup(ds, **kw)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    hot = (
+        semantic_dedup(ds, max_group=4, **kw)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(base, hot)
+    assert not base.loc[base.vec_id >= 30, "keep"].any()
