@@ -717,6 +717,46 @@ def _q_incremental_dedup(sf_dir: str):
         return out.to_pandas()
 
 
+def _q_incremental_neardup(sf_dir: str):
+    # cross-run NEAR-dup fixture (sigstore): docs with doc_id % 3 == 0
+    # play the accepted corpus (seeded into a fresh signature store),
+    # the rest arrive as the new snapshot and are flagged iff some
+    # accepted doc has exact shingle-Jaccard >= 0.5 (LSH candidates,
+    # blob-verified — store-only semantics, no in-snapshot pairing)
+    _quiet()
+    import tempfile
+
+    import pyarrow as pa
+
+    from clonebas_ray.state.sigstore import (
+        build_sig_store, incremental_neardup,
+    )
+
+    def part(m):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array((ids % 3 == 0) == m))
+        return f
+
+    with tempfile.TemporaryDirectory() as td:
+        store = f"{td}/sigstore"
+        build_sig_store(
+            _docs(sf_dir, ["doc_id", "text"]).map_batches(
+                part(True), batch_format="pyarrow", batch_size=None
+            ),
+            store, n_shards=16,
+        )
+        out = incremental_neardup(
+            _docs(sf_dir, ["doc_id", "text"]).map_batches(
+                part(False), batch_format="pyarrow", batch_size=None
+            ),
+            store, threshold=0.5,
+        )
+        return (
+            out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from clonebas_ray.ops import relational as rel
 
@@ -745,6 +785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_terms": _q_tfidf_terms,
         "running_totals": _q_running_totals,
         "incremental_dedup": _q_incremental_dedup,
+        "incremental_neardup": _q_incremental_neardup,
         # text / census ops (SQL-oracled)
         "word_census": _q_word_census,
         "exact_dedup": _q_exact_dedup,
@@ -1106,6 +1147,38 @@ SELECT doc_id, h FROM (
     ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
   FROM nd WHERE h NOT IN (SELECT h FROM seen)
 ) WHERE rn = 1
+""",
+        "incremental_neardup": r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+         WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(t) - 3),
+                i -> array_to_string(t[i:i+4], ' ')))
+    END AS s
+  FROM toks
+), e_new AS (
+  SELECT doc_id, unnest(s) AS sng FROM sh WHERE doc_id % 3 <> 0
+), e_seen AS (
+  SELECT doc_id, unnest(s) AS sng FROM sh WHERE doc_id % 3 = 0
+), sz AS (SELECT doc_id, len(s) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS nid, b.doc_id AS sid, count(*) AS i
+  FROM e_new a JOIN e_seen b ON a.sng = b.sng
+  GROUP BY 1, 2
+), hits AS (
+  SELECT DISTINCT nid FROM inter
+  JOIN sz sa ON sa.doc_id = nid
+  JOIN sz sb ON sb.doc_id = sid
+  WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
+)
+SELECT d.doc_id, (h.nid IS NOT NULL) AS near_dup
+FROM documents d LEFT JOIN hits h ON h.nid = d.doc_id
+WHERE d.doc_id % 3 <> 0 ORDER BY d.doc_id
 """,
         # the sess CTE is the user_sessions oracle verbatim; the range
         # join's containment + same-user residual then matches each

@@ -492,3 +492,106 @@ def test_semantic_dedup_hot_list_path_is_exact(ray_session):
     )
     pd.testing.assert_frame_equal(base, hot)
     assert not base.loc[base.vec_id >= 30, "keep"].any()
+
+
+# ---------------------------------------------------------------------------
+# cross-run incremental NEAR-dup (signature store)
+# ---------------------------------------------------------------------------
+
+
+def _sig_docs(ids, texts):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    )
+
+
+def test_incremental_neardup_flags_and_chains(ray_session, tmp_path):
+    from clonebas_ray.state.sigstore import (
+        build_sig_store, incremental_neardup,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog "
+            "again and again for fun")
+    near = ("the quick brown fox jumps over the lazy dog "
+            "again and again for profit")
+    novel = ("nothing shared here at all truly novel words "
+             "entirely different content")
+    store = str(tmp_path / "sig")
+    build_sig_store(_sig_docs([100, 101], [base, "unrelated filler "
+                    "words with zero overlap anywhere at all ok"]),
+                    store, n_shards=8)
+
+    out = (
+        incremental_neardup(
+            _sig_docs([1, 2, 3], [near, novel, base]),
+            store, threshold=0.5, update=True,
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["near_dup"].tolist() == [True, False, True]
+
+    # after update=True the kept doc is accepted: a re-arrival of the
+    # same snapshot is now fully flagged (store-only semantics)
+    again = (
+        incremental_neardup(
+            _sig_docs([1, 2, 3], [near, novel, base]),
+            store, threshold=0.5,
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert again["near_dup"].tolist() == [True, True, True]
+
+
+def test_sigstore_append_idempotent(ray_session, tmp_path):
+    import os
+
+    from clonebas_ray.state.sigstore import build_sig_store
+
+    store = str(tmp_path / "sig2")
+    docs = _sig_docs(
+        list(range(6)),
+        [f"document number {i} with some shared boilerplate words "
+         f"attached here" for i in range(6)],
+    )
+    build_sig_store(docs, store, n_shards=4)
+
+    def n_parts():
+        total = 0
+        for sub in ("bands", "shingles"):
+            root = os.path.join(store, sub)
+            for d, _, files in os.walk(root):
+                total += sum(f.endswith(".parquet") for f in files)
+        return total
+
+    first = n_parts()
+    build_sig_store(docs, store, n_shards=4)  # same contribution
+    assert n_parts() == first
+
+
+def test_incremental_neardup_short_doc_domains(ray_session, tmp_path):
+    """< k-token docs carry ONE whole-sequence shingle: identical
+    short docs flag, different short docs don't, and a short doc can
+    never match a long doc (the single shingle has < k tokens, a
+    k-gram has exactly k)."""
+    from clonebas_ray.state.sigstore import (
+        build_sig_store, incremental_neardup,
+    )
+
+    long_doc = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                "kappa lambda mu")
+    store = str(tmp_path / "sig3")
+    build_sig_store(
+        _sig_docs([100, 101], ["alpha beta gamma", long_doc]),
+        store, n_shards=4,
+    )
+    out = (
+        incremental_neardup(
+            _sig_docs([1, 2, 3],
+                      ["alpha beta gamma",   # == short accepted doc
+                       "alpha beta delta",   # different short doc
+                       "alpha beta"]),       # prefix of one, still no
+            store, threshold=0.5,
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["near_dup"].tolist() == [True, False, False]
