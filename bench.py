@@ -446,6 +446,29 @@ def run_text_smoke() -> dict:
     n_incr = incremental_dedup(half(1), store, update=True).count()
     incr_s = time.perf_counter() - t0
 
+    # cross-run NEAR-dup (sigstore): seed even half, screen odd half
+    from clonebas_ray.state.sigstore import (
+        build_sig_store, incremental_neardup,
+    )
+
+    sig_store = os.path.join(BENCH_DIR, f"sigstore_{n_docs}")
+    shutil.rmtree(sig_store, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_sig_store(half(0), sig_store, n_shards=64)
+    sig_build_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    nd = incremental_neardup(half(1), sig_store, threshold=0.5)
+    n_flagged = int(sum(
+        b.to_pandas()["c"].sum()
+        for b in nd.map_batches(
+            lambda b: pa.table({"c": pa.array(
+                [pc.sum(pc.cast(b["near_dup"], pa.int64())).as_py() or 0],
+                pa.int64())}),
+            batch_format="pyarrow", batch_size=None,
+        ).iter_batches(batch_format="pyarrow")
+    ))
+    sig_flag_s = time.perf_counter() - t0
+
     rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     ray.shutdown()
     return {
@@ -466,6 +489,9 @@ def run_text_smoke() -> dict:
         "n_segments_kept": n_seg_kept,
         "incremental_dedup_s": round(incr_s, 2),
         "n_incremental_keep": n_incr,
+        "sig_build_s": round(sig_build_s, 2),
+        "neardup_flag_s": round(sig_flag_s, 2),
+        "n_neardup_flagged": n_flagged,
         "driver_rss_gb": round(rss_gb, 2),
     }
 

@@ -291,12 +291,29 @@ def incremental_neardup(
     text_col: str = "text",
     update: bool = False,
     concurrency: int | tuple[int, int] = (1, 8),
+    max_bucket: int = 128,
 ) -> ray.data.Dataset:
     """Flag each new doc with an accepted near-duplicate: returns one
     row per input doc ``(id_col, near_dup bool)`` where ``near_dup``
     iff some STORED doc has exact shingle-set Jaccard >= threshold
     (candidates from shared LSH band buckets, verified on the stored
     blobs — the same band/verify split as ``minhash_lsh_pairs``).
+
+    ``max_bucket`` is the boilerplate guard: a band value matching
+    more than this many STORE docs is skipped for candidate
+    generation.  SUB-threshold shared runs (cookie banners, license
+    headers — legitimately kept, so they accumulate in the store
+    across snapshots) occasionally pin a whole band's slots, and each
+    such band value pairs every carrier of the run on both sides —
+    measured 1M-doc smoke: >10^7 raw candidates from one 30-token run
+    carried by 10% of docs, vs ~10^4 true near-dups.  An ABOVE-
+    threshold pair shares ~``n_bands * threshold^rows_per_band`` band
+    values in expectation, overwhelmingly minhashed from doc-SPECIFIC
+    shingles, so skipping the hot values costs recall only for pairs
+    whose every shared band is boilerplate-pinned — the standard LSH
+    bucket-size cap trade.  Verification-scale oracle parity is
+    unaffected (store buckets at sf scale are family-sized, far under
+    the cap).
 
     ``update=True`` appends the unflagged docs' bands + blobs AFTER
     the flag pass completes (the decision never sees its own run's
@@ -331,7 +348,7 @@ def incremental_neardup(
         lo = np.searchsorted(sk, nk, side="left")
         hi = np.searchsorted(sk, nk, side="right")
         cnt = hi - lo
-        rows = np.nonzero(cnt)[0]
+        rows = np.nonzero((cnt > 0) & (cnt <= max_bucket))[0]
         if not len(rows):
             return pa.table(
                 {"nid": pa.array([], pa.int64()),
@@ -403,16 +420,29 @@ def incremental_neardup(
     )
 
     def verify(g: pa.Table) -> pa.Table:
+        # the same (nid, sid) pair reaches here once per shared band
+        # SHARD — drop duplicates before paying a blob Jaccard each
         sid = g["sid"].to_numpy(zero_copy_only=False)
         nid = g["nid"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sid, nid))
+        dup = np.zeros(len(order), dtype=bool)
+        if len(order) > 1:
+            dup[1:] = (
+                (nid[order[1:]] == nid[order[:-1]])
+                & (sid[order[1:]] == sid[order[:-1]])
+            )
+        keep_rows = order[~dup]
         blobs = g["blob"].to_pylist()
-        own = {i: b for i, s, b in zip(nid, sid, blobs) if s == -1}
+        own = {
+            nid[r]: blobs[r] for r in keep_rows if sid[r] == -1
+        }
         flagged = set()
-        for i, s, b in zip(nid, sid, blobs):
+        for r in keep_rows:
+            i, s = nid[r], sid[r]
             if s == -1 or i in flagged:
                 continue
             mine = own.get(i)
-            if mine is not None and _blob_jaccard(mine, b) >= threshold:
+            if mine is not None and _blob_jaccard(mine, blobs[r]) >= threshold:
                 flagged.add(i)
         out = np.fromiter(flagged, dtype=np.int64, count=len(flagged))
         return pa.table({"nid": pa.array(np.sort(out), pa.int64())})
