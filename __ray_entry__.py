@@ -316,6 +316,17 @@ def _q_dup_spans(sf_dir: str):
     return out.to_pandas()
 
 
+def _q_cut_dup_spans(sf_dir: str):
+    """Substring-dedup REMOVAL action (Lee et al. 2022, strict
+    all-occurrences variant): splice every duplicated >=25-char span
+    out of each document."""
+    _quiet()
+    from clonebas_ray.ops.text_dedup import cut_dup_spans
+
+    out = cut_dup_spans(_docs(sf_dir, ["doc_id", "text"]), min_len=25)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_segment_dedup(sf_dir: str):
     """Paragraph-grain dedup + doc reconstruction (RefinedWeb/Dolma
     paragraph dedup; boundary pinned to 10-token segments on the
@@ -338,6 +349,16 @@ def _q_semantic_dedup(sf_dir: str):
     vecs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     out = semantic_dedup(vecs, threshold=0.3, n_lists=16)
     return out.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+
+def _q_corpus_filter(sf_dir: str):
+    """Dolma-style one-pass tagger+mixer: language/quality/length/
+    repetition gates folded into keep + reason bitmask."""
+    _quiet()
+    from clonebas_ray.ops.text_analysis import corpus_filter
+
+    out = corpus_filter(_docs(sf_dir, ["doc_id", "text"]))
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_top_orders_per_customer(sf_dir: str):
@@ -807,6 +828,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "dup_spans": _q_dup_spans,
         "segment_dedup": _q_segment_dedup,
+        "cut_dup_spans": _q_cut_dup_spans,
+        "corpus_filter": _q_corpus_filter,
         "semantic_dedup": _q_semantic_dedup,
         "hash_split": _q_hash_split,
         "chunk_docs": _q_chunk_docs,
@@ -1017,6 +1040,61 @@ WITH t AS (
 SELECT doc_id, CAST(min(i) - 1 AS BIGINT) AS span_start,
        CAST(max(i) - min(i) + 25 AS BIGINT) AS span_len
 FROM grp GROUP BY doc_id, s
+""",
+        "cut_dup_spans": """
+WITH t AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+), pos AS (
+  SELECT doc_id, text,
+    unnest(range(1, greatest(n - 25 + 2, 1))) AS i
+  FROM t
+), w AS (
+  SELECT doc_id, i, substr(text, CAST(i AS INT), 25) AS win FROM pos
+), dup AS (
+  SELECT win FROM w GROUP BY win HAVING count(*) >= 2
+), hits AS (
+  SELECT w.doc_id, w.i FROM w JOIN dup USING (win)
+), isl AS (
+  SELECT doc_id, i,
+    CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+           OR i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 25
+         THEN 1 ELSE 0 END AS brk
+  FROM hits
+), grp AS (
+  SELECT doc_id, i,
+    sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS UNBOUNDED PRECEDING) AS s
+  FROM isl
+), spans AS (
+  SELECT doc_id, CAST(min(i) - 1 AS BIGINT) AS a,
+         CAST(max(i) - 1 + 25 AS BIGINT) AS b
+  FROM grp GROUP BY doc_id, s
+), segs AS (
+  SELECT doc_id,
+    COALESCE(lag(b) OVER (PARTITION BY doc_id ORDER BY a), 0) AS ka,
+    a AS kb
+  FROM spans
+), tails AS (
+  SELECT d.doc_id, COALESCE(max(s.b), 0) AS ka,
+         length(d.text) AS kb
+  FROM documents d LEFT JOIN spans s USING (doc_id)
+  GROUP BY d.doc_id, length(d.text)
+), kept AS (
+  SELECT * FROM segs UNION ALL SELECT * FROM tails
+), cut AS (
+  SELECT doc_id, CAST(sum(b - a) AS BIGINT) AS n_cut
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(string_agg(
+    substr(d.text, CAST(k.ka + 1 AS INT), CAST(k.kb - k.ka AS INT)),
+    '' ORDER BY k.ka), '') AS text,
+  COALESCE(c.n_cut, 0) AS n_cut
+FROM documents d
+JOIN kept k USING (doc_id)
+LEFT JOIN cut c USING (doc_id)
+GROUP BY d.doc_id, d.text, c.n_cut
+ORDER BY d.doc_id
 """,
         # group_top_k == ROW_NUMBER with the identical total order
         # (price DESC, then orderkey as the deterministic tie-break)
@@ -1332,6 +1410,96 @@ WITH toks AS (
 SELECT d.doc_id, COALESCE(a.n_segs, 0) AS n_segs,
        COALESCE(a.n_kept, 0) AS n_kept, COALESCE(a.text, '') AS text
 FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+""",
+        "corpus_filter": r"""
+WITH lt AS (
+  SELECT doc_id,
+    list_transform(regexp_extract_all(text, '[a-zA-Z'']+'), w -> lower(w))
+      AS toks
+  FROM documents
+), lh AS (
+  SELECT doc_id, len(toks) AS lnt,
+    len(list_filter(toks, w -> w IN
+      ('the','and','of','to','a','in','is','it','that','for'))) AS h_en,
+    len(list_filter(toks, w -> w IN
+      ('der','die','das','und','ist','nicht','ein','zu','mit'))) AS h_de,
+    len(list_filter(toks, w -> w IN
+      ('el','la','de','que','y','en','un','es','por','los'))) AS h_es,
+    len(list_filter(toks, w -> w IN
+      ('le','la','de','et','un','est','que','pour','dans'))) AS h_fr,
+    len(list_filter(toks, w -> w IN
+      ('il','di','che','e','la','per','un','non','sono','con'))) AS h_it,
+    len(list_filter(toks, w -> w IN
+      ('o','de','que','e','do','da','em','um','para','com'))) AS h_pt,
+    len(list_filter(toks, w -> w IN
+      ('de','het','een','van','en','in','is','dat','op','niet'))) AS h_nl
+  FROM lt
+), lm AS (
+  SELECT *, greatest(h_en, h_de, h_es, h_fr, h_it, h_pt, h_nl) AS best
+  FROM lh
+), L AS (
+  SELECT doc_id,
+    CASE WHEN lnt = 0 OR best = 0 THEN 'und'
+         WHEN h_en = best THEN 'en'
+         WHEN h_de = best THEN 'de'
+         WHEN h_es = best THEN 'es'
+         WHEN h_fr = best THEN 'fr'
+         WHEN h_it = best THEN 'it'
+         WHEN h_pt = best THEN 'pt'
+         ELSE 'nl' END AS lang_pred
+  FROM lm
+), qt AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), qm AS (
+  SELECT doc_id, len(toks) AS nt,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE list_sum(list_transform(toks, w -> length(w)))
+              / CAST(len(toks) AS DOUBLE) END AS mwl,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE len(list_filter(toks, w -> lower(w) IN
+                ('the','and','of','to','a','in','is','it','that','for')))
+              / CAST(len(toks) AS DOUBLE) END AS sr,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE 1.0 - (len(list_distinct(toks))
+                     / CAST(len(toks) AS DOUBLE)) END AS rep
+  FROM qt
+), Q AS (
+  SELECT doc_id, nt,
+    ((CASE WHEN nt < 10 OR nt > 100000 THEN 0.2 ELSE 1.0 END
+      * CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.5 END)
+     * least(1.0, 0.2 + sr * 4)) * (1.0 - least(0.8, rep)) AS quality
+  FROM qm
+), g10 AS (
+  SELECT doc_id, unnest(list_transform(
+      range(1, greatest(len(toks) - 9, 0) + 1),
+      i -> array_to_string(list_slice(toks, i, i + 9), ' '))) AS gram
+  FROM qt
+), c10 AS (
+  SELECT doc_id, gram, count(*) AS n, length(gram) AS Lg
+  FROM g10 GROUP BY doc_id, gram
+), D AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN n > 1 THEN n * Lg ELSE 0 END) AS DOUBLE)
+      / CAST(sum(n * Lg) AS DOUBLE) AS dup10_frac
+  FROM c10 GROUP BY doc_id
+), R AS (
+  SELECT doc.doc_id, L.lang_pred, Q.quality,
+    COALESCE(D.dup10_frac, 0.0) AS dup10_frac,
+    CAST((CASE WHEN L.lang_pred <> 'en' THEN 1 ELSE 0 END)
+       + (CASE WHEN Q.quality < 0.5 THEN 2 ELSE 0 END)
+       + (CASE WHEN Q.nt < 20 THEN 4 ELSE 0 END)
+       + (CASE WHEN COALESCE(D.dup10_frac, 0.0) > 0.2 THEN 8 ELSE 0 END)
+      AS BIGINT) AS reasons
+  FROM documents doc
+  JOIN L ON L.doc_id = doc.doc_id
+  JOIN Q ON Q.doc_id = doc.doc_id
+  LEFT JOIN D ON D.doc_id = doc.doc_id
+)
+SELECT doc_id, lang_pred, quality, dup10_frac, reasons,
+       (reasons = 0) AS keep
+FROM R ORDER BY doc_id
 """,
         "semantic_dedup": """
 WITH a AS (

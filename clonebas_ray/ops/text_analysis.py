@@ -548,3 +548,106 @@ def tfidf_top_terms(
         return out[[id_col, "term", "tf", "score", "rank"]]
 
     return words.map_batches(score, batch_format="pyarrow")
+
+
+class CorpusFilter:
+    """Dolma-style tagger + mixer in ONE pass: computes language ID,
+    quality score and duplicate-10-gram mass per document (the three
+    tagger families above) and folds them into a keep decision plus a
+    reason bitmask — the composite filter stage a training-data
+    pipeline actually runs, expressed as a single actor-pool
+    ``map_batches`` so the text is read once, not once per tagger.
+
+    Reason bits (set = gate FAILED): 1 language not allowed, 2 quality
+    below ``min_quality``, 4 fewer than ``min_tokens`` whitespace
+    tokens, 8 duplicate-10-gram char mass above ``max_dup10``.
+    ``keep`` iff no bit set.  All four signals reuse the exact pinned
+    kernels of :class:`LanguageId` / :class:`QualityScore` /
+    :func:`dup_ngram_stats`, so the whole composite is
+    DuckDB-oracle-verifiable with zero new float conventions."""
+
+    REASON_LANG = 1
+    REASON_QUALITY = 2
+    REASON_LENGTH = 4
+    REASON_REPETITION = 8
+
+    def __init__(self, text_col: str = "text",
+                 allowed_langs: tuple[str, ...] = ("en",),
+                 min_quality: float = 0.5, min_tokens: int = 20,
+                 max_dup10: float = 0.2):
+        self.text_col = text_col
+        self.allowed = frozenset(allowed_langs)
+        self.min_quality = min_quality
+        self.min_tokens = min_tokens
+        self.max_dup10 = max_dup10
+        self._lang = LanguageId(text_col)
+        self._qual = QualityScore(text_col)
+        self._ws_re = re.compile(r"\s+")
+
+    def _dup10(self, texts: list[str]) -> list[float]:
+        from collections import Counter
+
+        out = []
+        for t in texts:
+            toks = [w for w in self._ws_re.split(t) if w]
+            grams = Counter(
+                " ".join(toks[i:i + 10])
+                for i in range(len(toks) - 9)
+            )
+            tot = dup = 0
+            for g, c in grams.items():
+                m = c * len(g)
+                tot += m
+                if c > 1:
+                    dup += m
+            out.append(dup / tot if tot else 0.0)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tagged = self._qual(self._lang(batch))
+        texts = batch[self.text_col].to_pylist()
+        dup10 = self._dup10(texts)
+        langs = tagged["lang_pred"].to_pylist()
+        quality = tagged["quality"].to_numpy(zero_copy_only=False)
+        nt = tagged["n_tokens"].to_numpy(zero_copy_only=False)
+        reasons = np.zeros(len(texts), dtype=np.int64)
+        reasons += self.REASON_LANG * np.fromiter(
+            (l not in self.allowed for l in langs),
+            dtype=np.int64, count=len(langs),
+        )
+        reasons += self.REASON_QUALITY * (
+            quality < self.min_quality
+        ).astype(np.int64)
+        reasons += self.REASON_LENGTH * (
+            nt < self.min_tokens
+        ).astype(np.int64)
+        d10 = np.asarray(dup10, dtype=np.float64)
+        reasons += self.REASON_REPETITION * (
+            d10 > self.max_dup10
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_pred": tagged["lang_pred"],
+                "quality": pa.array(quality, pa.float64()),
+                "dup10_frac": pa.array(d10, pa.float64()),
+                "reasons": pa.array(reasons, pa.int64()),
+                "keep": pa.array(reasons == 0, pa.bool_()),
+            }
+        )
+
+
+def corpus_filter(
+    ds: ray.data.Dataset,
+    concurrency: int | tuple[int, int] = (1, 8),
+    **kwargs,
+) -> ray.data.Dataset:
+    """One-pass composite corpus filter — see :class:`CorpusFilter`."""
+    ensure_worker_importable()
+    return ds.map_batches(
+        CorpusFilter,
+        fn_constructor_kwargs=kwargs,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        max_restarts=0,
+    )

@@ -1102,49 +1102,14 @@ def _char_window_hashes(text: str, L: int) -> np.ndarray:
     return _mix64(acc)
 
 
-def exact_dup_spans(
-    docs: ray.data.Dataset,
-    min_len: int = 50,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    materialize_input: bool = False,
-) -> ray.data.Dataset:
-    """Exact duplicated-substring spans >= ``min_len`` chars — the
-    window-hash equivalent of suffix-array substring deduplication
-    (Lee et al. 2022, "Deduplicating Training Data Makes Language
-    Models Better"): any substring of length >= L duplicated anywhere
-    in the corpus (cross-doc OR within-doc repeats both count)
-    contains a duplicated L-char window, so marking duplicated windows
-    and unioning their [p, p+L) intervals per doc yields exactly the
-    duplicated-coverage spans.  Emits one row per maximal span:
-    ``(id_col, span_start, span_len)`` (0-based char offsets;
-    touching intervals merge — coverage-union semantics, pinned and
-    mirrored by the SQL oracle's gaps-and-islands).
-
-    Scale shape (contrast with the winnowing sampler above, which
-    trades exactness for O(n/w) selected fingerprints): two streaming
-    passes over content + one shuffle of per-batch-DISTINCT window
-    hashes.  Pass 1 pre-aggregates per block, packs each block's
-    per-partition distinct-hash sets into binary blobs (one row per
-    block×partition — the exchange is byte-bound, not row-bound), and
-    keeps only hashes with a global count >= 2; the
-    dup-hash set (bounded by DISTINCT duplicated windows, not corpus
-    size) broadcasts once via ``ray.put``; pass 2 rescans content with
-    one vectorized ``searchsorted`` per doc and merges hit positions
-    into spans.  No content ever shuffles.
-
-    The input graph executes twice (both passes need content).  For
-    the normal read→project input that means two streaming reads —
-    strictly cheaper at corpus scale than materializing content into
-    the object store; pass ``materialize_input=True`` only when the
-    upstream is nondeterministic or expensive to recompute."""
-    ensure_worker_importable()
+def _dup_window_broadcast(src: ray.data.Dataset, min_len: int,
+                          text_col: str):
+    """Sorted array of globally duplicated ``min_len``-char window
+    hashes, broadcast once via ``ray.put`` — the shared pass 1 of
+    :func:`exact_dup_spans` and :func:`cut_dup_spans`."""
     from clonebas_ray.ops.relational import auto_partitions
 
     P = auto_partitions()
-    src = docs.select_columns([id_col, text_col])
-    if materialize_input:
-        src = src.materialize()
 
     def partial_blobs(batch: pa.Table) -> pa.Table:
         # One row per (block, partition), NOT one row per distinct
@@ -1230,19 +1195,69 @@ def exact_dup_spans(
             or [np.empty(0, dtype=np.uint64)]
         )
     )
-    dup_ref = ray.put(np.ascontiguousarray(dup_h))
+    return ray.put(np.ascontiguousarray(dup_h))
+
+
+def _dup_positions(d: np.ndarray, t: str, min_len: int) -> np.ndarray:
+    """Sorted positions p in ``t`` whose window [p, p+min_len) is a
+    globally duplicated window (``d`` = the broadcast sorted dup-hash
+    array)."""
+    h = _char_window_hashes(t, min_len)
+    if not len(h) or not len(d):
+        return np.empty(0, dtype=np.int64)
+    idx = np.searchsorted(d, h)
+    idx[idx == len(d)] = len(d) - 1
+    return np.nonzero(d[idx] == h)[0].astype(np.int64)
+
+
+def exact_dup_spans(
+    docs: ray.data.Dataset,
+    min_len: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize_input: bool = False,
+) -> ray.data.Dataset:
+    """Exact duplicated-substring spans >= ``min_len`` chars — the
+    window-hash equivalent of suffix-array substring deduplication
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): any substring of length >= L duplicated anywhere
+    in the corpus (cross-doc OR within-doc repeats both count)
+    contains a duplicated L-char window, so marking duplicated windows
+    and unioning their [p, p+L) intervals per doc yields exactly the
+    duplicated-coverage spans.  Emits one row per maximal span:
+    ``(id_col, span_start, span_len)`` (0-based char offsets;
+    touching intervals merge — coverage-union semantics, pinned and
+    mirrored by the SQL oracle's gaps-and-islands).
+
+    Scale shape (contrast with the winnowing sampler above, which
+    trades exactness for O(n/w) selected fingerprints): two streaming
+    passes over content + one shuffle of per-batch-DISTINCT window
+    hashes.  Pass 1 pre-aggregates per block, packs each block's
+    per-partition distinct-hash sets into binary blobs (one row per
+    block×partition — the exchange is byte-bound, not row-bound), and
+    keeps only hashes with a global count >= 2; the
+    dup-hash set (bounded by DISTINCT duplicated windows, not corpus
+    size) broadcasts once via ``ray.put``; pass 2 rescans content with
+    one vectorized ``searchsorted`` per doc and merges hit positions
+    into spans.  No content ever shuffles.
+
+    The input graph executes twice (both passes need content).  For
+    the normal read→project input that means two streaming reads —
+    strictly cheaper at corpus scale than materializing content into
+    the object store; pass ``materialize_input=True`` only when the
+    upstream is nondeterministic or expensive to recompute."""
+    ensure_worker_importable()
+    src = docs.select_columns([id_col, text_col])
+    if materialize_input:
+        src = src.materialize()
+    dup_ref = _dup_window_broadcast(src, min_len, text_col)
 
     def emit_spans(batch: pa.Table) -> pa.Table:
         d = ray.get(dup_ref)
         out_id, out_s, out_l = [], [], []
         ids = batch[id_col].to_pylist()
         for did, t in zip(ids, batch[text_col].to_pylist()):
-            h = _char_window_hashes(t, min_len)
-            if not len(h) or not len(d):
-                continue
-            idx = np.searchsorted(d, h)
-            idx[idx == len(d)] = len(d) - 1
-            pos = np.nonzero(d[idx] == h)[0]
+            pos = _dup_positions(d, t, min_len)
             if not len(pos):
                 continue
             # union the [p, p+L) intervals: break where the gap > L
@@ -1263,6 +1278,69 @@ def exact_dup_spans(
 
     return src.map_batches(
         emit_spans, batch_format="pyarrow", batch_size=None,
+    )
+
+
+def cut_dup_spans(
+    docs: ray.data.Dataset,
+    min_len: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize_input: bool = False,
+) -> ray.data.Dataset:
+    """The REMOVAL action over :func:`exact_dup_spans`' coverage: per
+    doc, splice out every character inside a duplicated span (the
+    strict all-occurrences variant of Lee et al. 2022's substring
+    dedup — no survivor copy; pipelines wanting one canonical copy
+    compose with :func:`exact_dedup_docs` / :func:`segment_dedup`
+    upstream).  Emits one row per input doc ``(id_col, text, n_cut)``
+    where ``text`` is the concatenation of the non-duplicated
+    segments and ``n_cut`` the removed char count; a fully-duplicated
+    doc keeps an empty string.
+
+    Same two-pass shape and shared pass 1
+    (:func:`_dup_window_broadcast`) as exact_dup_spans; pass 2 splices
+    instead of emitting spans.  No content ever shuffles."""
+    ensure_worker_importable()
+    src = docs.select_columns([id_col, text_col])
+    if materialize_input:
+        src = src.materialize()
+    dup_ref = _dup_window_broadcast(src, min_len, text_col)
+
+    def splice(batch: pa.Table) -> pa.Table:
+        d = ray.get(dup_ref)
+        out_id, out_t, out_c = [], [], []
+        ids = batch[id_col].to_pylist()
+        for did, t in zip(ids, batch[text_col].to_pylist()):
+            pos = _dup_positions(d, t, min_len)
+            out_id.append(did)
+            if not len(pos):
+                out_t.append(t)
+                out_c.append(0)
+                continue
+            # merge [p, p+L) coverage exactly like emit_spans
+            brk = np.nonzero(np.diff(pos) > min_len)[0]
+            starts = pos[np.concatenate([[0], brk + 1])]
+            ends = pos[np.concatenate([brk, [len(pos) - 1]])] + min_len
+            kept = []
+            prev = 0
+            for a, b in zip(starts, ends):
+                kept.append(t[prev:a])
+                prev = b
+            kept.append(t[prev:])
+            cut = int((ends - starts).sum())
+            out_t.append("".join(kept))
+            out_c.append(cut)
+        return pa.table(
+            {
+                id_col: pa.array(out_id, batch[id_col].type),
+                "text": pa.array(out_t, pa.string()),
+                "n_cut": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    return src.map_batches(
+        splice, batch_format="pyarrow", batch_size=None,
     )
 
 

@@ -595,3 +595,77 @@ def test_incremental_neardup_short_doc_domains(ray_session, tmp_path):
         ).to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     assert out["near_dup"].tolist() == [True, False, False]
+
+
+# ---------------------------------------------------------------------------
+# composite corpus filter (taggers + mixer)
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_filter_reason_bits(ray_session):
+    from clonebas_ray.ops.text_analysis import CorpusFilter, corpus_filter
+
+    good = ("the cat sat on the mat and it was a good day for the "
+            "cat to sit on a mat in the sun and the breeze was nice")
+    short = "the cat sat"
+    german = ("der hund ist nicht zu hause und die katze ist mit der "
+              "maus in der küche und das ist ein gutes haus für die tiere "
+              "und der tag ist gut")
+    reps = " ".join(
+        ["the cat sat on the mat and it was a good day today ok"] * 5
+    )
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([good, short, german, reps], pa.string()),
+        }
+    )
+    import ray.data
+
+    out = (
+        corpus_filter(ray.data.from_arrow(docs))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert bool(out.loc[0, "keep"]) and out.loc[0, "reasons"] == 0
+    assert out.loc[1, "reasons"] & CorpusFilter.REASON_LENGTH
+    assert out.loc[2, "reasons"] & CorpusFilter.REASON_LANG
+    assert out.loc[3, "reasons"] & CorpusFilter.REASON_REPETITION
+    assert not out.loc[1:, "keep"].any()
+
+
+def test_cut_dup_spans_splices_all_occurrences(ray_session):
+    import ray.data
+
+    from clonebas_ray.ops.text_dedup import cut_dup_spans, exact_dup_spans
+
+    dup = "0123456789abcdefghij"  # 20 chars, >= min_len=10 window
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    [
+                        f"XX{dup}KLMNOPQRSTUV",
+                        f"kqzwrtyuplsd{dup}WW",
+                        dup,                    # fully duplicated
+                        "totally unique text with nothing shared",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    out = (
+        cut_dup_spans(docs, min_len=10)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["text"].tolist() == [
+        "XXKLMNOPQRSTUV", "kqzwrtyuplsdWW", "",
+        "totally unique text with nothing shared",
+    ]
+    assert out["n_cut"].tolist() == [20, 20, 20, 0]
+    # invariant: chars cut == total span coverage per doc
+    spans = exact_dup_spans(docs, min_len=10).to_pandas()
+    per_doc = spans.groupby("doc_id")["span_len"].sum()
+    for _, r in out.iterrows():
+        assert r["n_cut"] == per_doc.get(r["doc_id"], 0)
