@@ -778,6 +778,42 @@ def _q_incremental_neardup(sf_dir: str):
         )
 
 
+def _q_incremental_semdedup(sf_dir: str):
+    # cross-run SEMANTIC near-dup fixture (vecstore): vectors with
+    # vec_id % 3 == 0 play the accepted corpus (codebook = its 16
+    # lowest-id vectors, pinned at store init), the rest arrive as the
+    # new snapshot and are flagged iff some accepted vector in the
+    # SAME list has cosine >= 0.3
+    _quiet()
+    import tempfile
+
+    import pyarrow as pa
+    import ray.data
+
+    from clonebas_ray.state.vecstore import (
+        build_vec_store, incremental_semantic_dedup,
+    )
+
+    def part(m):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["vec_id"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array((ids % 3 == 0) == m))
+        return f
+
+    def vecs(m):
+        return ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet"
+        ).map_batches(part(m), batch_format="pyarrow", batch_size=None)
+
+    with tempfile.TemporaryDirectory() as td:
+        store = f"{td}/vecstore"
+        build_vec_store(vecs(True), store, n_shards=16, n_lists=16)
+        out = incremental_semantic_dedup(vecs(False), store, threshold=0.3)
+        return (
+            out.to_pandas().sort_values("vec_id").reset_index(drop=True)
+        )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from clonebas_ray.ops import relational as rel
 
@@ -807,6 +843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_totals": _q_running_totals,
         "incremental_dedup": _q_incremental_dedup,
         "incremental_neardup": _q_incremental_neardup,
+        "incremental_semdedup": _q_incremental_semdedup,
         # text / census ops (SQL-oracled)
         "word_census": _q_word_census,
         "exact_dedup": _q_exact_dedup,
@@ -1257,6 +1294,33 @@ inter AS (
 SELECT d.doc_id, (h.nid IS NOT NULL) AS near_dup
 FROM documents d LEFT JOIN hits h ON h.nid = d.doc_id
 WHERE d.doc_id % 3 <> 0 ORDER BY d.doc_id
+""",
+        "incremental_semdedup": """
+WITH a AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS anchor_id,
+         embedding AS ae
+  FROM embeddings WHERE vec_id % 3 = 0 ORDER BY vec_id LIMIT 16
+), asg AS (
+  SELECT e.vec_id, a.anchor_id,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY round(list_cosine_similarity(CAST(a.ae AS DOUBLE[]),
+                          CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                    a.anchor_id) AS rn
+  FROM embeddings e CROSS JOIN a
+), lists AS (
+  SELECT vec_id, anchor_id AS list_id FROM asg WHERE rn = 1
+), hit AS (
+  SELECT DISTINCT x.vec_id
+  FROM lists x JOIN lists y ON y.list_id = x.list_id
+  JOIN embeddings ex ON ex.vec_id = x.vec_id
+  JOIN embeddings ey ON ey.vec_id = y.vec_id
+  WHERE x.vec_id % 3 <> 0 AND y.vec_id % 3 = 0
+    AND list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]),
+                               CAST(ey.embedding AS DOUBLE[])) >= 0.3
+)
+SELECT l.vec_id, l.list_id, (h.vec_id IS NOT NULL) AS near_dup
+FROM lists l LEFT JOIN hit h ON h.vec_id = l.vec_id
+WHERE l.vec_id % 3 <> 0 ORDER BY l.vec_id
 """,
         # the sess CTE is the user_sessions oracle verbatim; the range
         # join's containment + same-user residual then matches each

@@ -669,3 +669,72 @@ def test_cut_dup_spans_splices_all_occurrences(ray_session):
     per_doc = spans.groupby("doc_id")["span_len"].sum()
     for _, r in out.iterrows():
         assert r["n_cut"] == per_doc.get(r["doc_id"], 0)
+
+
+# ---------------------------------------------------------------------------
+# cross-run incremental SEMANTIC near-dup (vector store)
+# ---------------------------------------------------------------------------
+
+
+def _vec_ds(ids, rows):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [np.asarray(r, dtype=np.float32).tolist() for r in rows],
+                pa.list_(pa.float32())),
+        })
+    )
+
+
+def test_incremental_semdedup_flags_and_chains(ray_session, tmp_path):
+    from clonebas_ray.state.vecstore import (
+        build_vec_store, incremental_semantic_dedup,
+    )
+
+    rng = np.random.default_rng(5)
+    seed = rng.normal(size=(20, 8))
+    store = str(tmp_path / "vec")
+    build_vec_store(_vec_ds(range(100, 120), seed), store,
+                    n_shards=4, n_lists=4)
+
+    twin = seed[3] + rng.normal(scale=1e-4, size=8)   # near-copy
+    novel = -seed[3]                                  # cosine ~ -1
+    out = (
+        incremental_semantic_dedup(
+            _vec_ds([1, 2], [twin, novel]), store,
+            threshold=0.95, update=True,
+        ).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert out["near_dup"].tolist() == [True, False]
+
+    again = (
+        incremental_semantic_dedup(
+            _vec_ds([1, 2], [twin, novel]), store, threshold=0.95,
+        ).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    # the kept vector is now accepted -> matches itself at cosine 1
+    assert again["near_dup"].tolist() == [True, True]
+
+
+def test_vecstore_append_idempotent_and_kmeans(ray_session, tmp_path):
+    import os
+
+    from clonebas_ray.state.vecstore import build_vec_store
+
+    rng = np.random.default_rng(6)
+    ds = _vec_ds(range(12), rng.normal(size=(12, 8)))
+    store = str(tmp_path / "vec2")
+    build_vec_store(ds, store, n_shards=4, n_lists=4, codebook="kmeans")
+
+    def n_parts():
+        total = 0
+        for d, _, files in os.walk(os.path.join(store, "lists")):
+            total += sum(f.endswith(".parquet") for f in files)
+        return total
+
+    first = n_parts()
+    build_vec_store(ds, store, n_shards=4, n_lists=4, codebook="kmeans")
+    assert n_parts() == first
