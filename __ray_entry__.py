@@ -351,6 +351,17 @@ def _q_semantic_dedup(sf_dir: str):
     return out.to_pandas().sort_values("vec_id").reset_index(drop=True)
 
 
+def _q_token_stream(sf_dir: str):
+    """GPT-style sequence-packing index: doc coordinates in the
+    concatenated id-ordered token stream (distributed scan)."""
+    _quiet()
+    from clonebas_ray.ops.text_analysis import token_stream_index
+
+    out = token_stream_index(_docs(sf_dir, ["doc_id", "text"]),
+                             seq_len=2048)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_corpus_filter(sf_dir: str):
     """Dolma-style one-pass tagger+mixer: language/quality/length/
     repetition gates folded into keep + reason bitmask."""
@@ -867,6 +878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_dedup": _q_segment_dedup,
         "cut_dup_spans": _q_cut_dup_spans,
         "corpus_filter": _q_corpus_filter,
+        "token_stream": _q_token_stream,
         "semantic_dedup": _q_semantic_dedup,
         "hash_split": _q_hash_split,
         "chunk_docs": _q_chunk_docs,
@@ -1474,6 +1486,26 @@ WITH toks AS (
 SELECT d.doc_id, COALESCE(a.n_segs, 0) AS n_segs,
        COALESCE(a.n_kept, 0) AS n_kept, COALESCE(a.text, '') AS text
 FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+""",
+        "token_stream": r"""
+WITH t AS (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+      AS nt
+  FROM documents
+), s AS (
+  SELECT doc_id, nt,
+    COALESCE(SUM(nt) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+  FROM t
+)
+SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+  CAST(tok_start AS BIGINT) AS tok_start,
+  CAST(CASE WHEN nt = 0 THEN -1
+            ELSE tok_start // 2048 END AS BIGINT) AS seq_first,
+  CAST(CASE WHEN nt = 0 THEN -1
+            ELSE (tok_start + nt - 1) // 2048 END AS BIGINT) AS seq_last
+FROM s ORDER BY doc_id
 """,
         "corpus_filter": r"""
 WITH lt AS (

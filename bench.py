@@ -135,7 +135,9 @@ def run_bench() -> dict:
             "events_in_sessions", "decontaminate",
             "top_orders_per_customer", "value_quantiles", "dup_spans",
             "heavy_hitter_users", "running_totals", "incremental_dedup",
-            "segment_dedup", "semantic_dedup",
+            "segment_dedup", "semantic_dedup", "corpus_filter",
+            "cut_dup_spans", "incremental_neardup",
+            "incremental_semdedup", "token_stream",
         ):
             t0 = time.perf_counter()
             q[name](SF_DIR)

@@ -651,3 +651,98 @@ def corpus_filter(
         concurrency=concurrency,
         max_restarts=0,
     )
+
+
+def token_stream_index(
+    docs: ray.data.Dataset,
+    seq_len: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """GPT-style sequence-packing index: documents are (logically)
+    concatenated in ``id_col`` order into one token stream chunked
+    into ``seq_len``-token training sequences, and each doc gets its
+    stream coordinates — ``(id_col, n_tokens, tok_start, seq_first,
+    seq_last)`` with ``seq_*`` the first/last sequence the doc's
+    tokens land in (-1 for token-less docs).  This is the indexing
+    step of pre-training batch packing: given the index, any worker
+    can materialize sequence k by reading exactly the docs whose
+    [tok_start, tok_start+n_tokens) intersects [k*L, (k+1)*L).
+
+    Distributed-scan shape (the one pattern the rest of the repo
+    didn't cover): sort by id, MATERIALIZE (pinning block boundaries),
+    one pass collecting per-block token sums in dataset order, a
+    driver-side cumsum over the per-block sums (thousands of entries,
+    not rows), then a second pass where each block recognizes itself
+    by its first id and adds its global offset to a local cumsum.
+    Tokens = non-empty whitespace splits (the repo's pinned
+    convention); the SQL oracle is a prefix SUM window over id
+    order."""
+    ensure_worker_importable()
+    src = (
+        docs.select_columns([id_col, text_col])
+        .sort(id_col)
+        .materialize()
+    )
+
+    def block_meta(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        tot = int(sum(len(t.split()) for t in texts))
+        first = b[id_col][0].as_py() if b.num_rows else -1
+        return pa.table(
+            {"first_id": pa.array([first], pa.int64()),
+             "tok_sum": pa.array([tot], pa.int64()),
+             "n_rows": pa.array([b.num_rows], pa.int64())}
+        )
+
+    metas = [
+        (m["first_id"][0].as_py(), m["tok_sum"][0].as_py(),
+         m["n_rows"][0].as_py())
+        for m in src.map_batches(
+            block_meta, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        if m["n_rows"][0].as_py()
+    ]
+    # iter_batches preserves dataset (sorted) order; blocks are pinned
+    # by the materialize above, so first_id -> cumulative offset is a
+    # stable key for pass 2
+    metas.sort(key=lambda m: m[0])
+    offsets: dict[int, int] = {}
+    acc = 0
+    for first, tot, _ in metas:
+        offsets[first] = acc
+        acc += tot
+    off_ref = ray.put(offsets)
+
+    def index_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "n_tokens": pa.array([], pa.int64()),
+                 "tok_start": pa.array([], pa.int64()),
+                 "seq_first": pa.array([], pa.int64()),
+                 "seq_last": pa.array([], pa.int64())}
+            )
+        off = ray.get(off_ref)[b[id_col][0].as_py()]
+        texts = b[text_col].to_pylist()
+        nt = np.fromiter(
+            (len(t.split()) for t in texts),
+            dtype=np.int64, count=len(texts),
+        )
+        start = off + np.concatenate([[0], np.cumsum(nt[:-1])])
+        has = nt > 0
+        seq_first = np.where(has, start // seq_len, -1)
+        seq_last = np.where(has, (start + nt - 1) // seq_len, -1)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_tokens": pa.array(nt, pa.int64()),
+                "tok_start": pa.array(start, pa.int64()),
+                "seq_first": pa.array(seq_first, pa.int64()),
+                "seq_last": pa.array(seq_last, pa.int64()),
+            }
+        )
+
+    return src.map_batches(
+        index_block, batch_format="pyarrow", batch_size=None
+    )

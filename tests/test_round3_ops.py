@@ -738,3 +738,26 @@ def test_vecstore_append_idempotent_and_kmeans(ray_session, tmp_path):
     first = n_parts()
     build_vec_store(ds, store, n_shards=4, n_lists=4, codebook="kmeans")
     assert n_parts() == first
+
+
+def test_token_stream_index_matches_prefix_sums(ray_session):
+    import ray.data
+
+    from clonebas_ray.ops.text_analysis import token_stream_index
+
+    texts = ["a b c", "", "d e f g h", "i", "j k l m"]
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([5, 2, 9, 1, 7], pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ).repartition(3)
+    out = (
+        token_stream_index(docs, seq_len=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # id order: 1:"i"(1), 2:""(0), 5:"a b c"(3), 7:"j k l m"(4),
+    # 9:"d e f g h"(5) -> starts 0,1,1,4,8
+    assert out["doc_id"].tolist() == [1, 2, 5, 7, 9]
+    assert out["n_tokens"].tolist() == [1, 0, 3, 4, 5]
+    assert out["tok_start"].tolist() == [0, 1, 1, 4, 8]
+    assert out["seq_first"].tolist() == [0, -1, 0, 1, 2]
+    assert out["seq_last"].tolist() == [0, -1, 0, 1, 3]
