@@ -351,6 +351,24 @@ def _q_semantic_dedup(sf_dir: str):
     return out.to_pandas().sort_values("vec_id").reset_index(drop=True)
 
 
+def _q_pretrain_clean(sf_dir: str):
+    """End-to-end cleaning pipeline: tagger+mixer filter -> exact
+    dedup (first occurrence) -> duplicated-span splice, every stage
+    pinned so the whole chain is one composed SQL oracle."""
+    _quiet()
+    from clonebas_ray.pipelines.textclean import pretrain_clean
+
+    # gates loosened for the synthetic word-soup corpus (the default
+    # quality>=0.5 keeps ~1% here): ~70% survive stage 1, so stages
+    # 2-3 see real volume
+    out = pretrain_clean(
+        _docs(sf_dir, ["doc_id", "text"]), min_len=25,
+        filter_kwargs=dict(min_quality=0.15, min_tokens=15,
+                           max_dup10=0.6),
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_token_stream(sf_dir: str):
     """GPT-style sequence-packing index: doc coordinates in the
     concatenated id-ordered token stream (distributed scan)."""
@@ -879,6 +897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cut_dup_spans": _q_cut_dup_spans,
         "corpus_filter": _q_corpus_filter,
         "token_stream": _q_token_stream,
+        "pretrain_clean": _q_pretrain_clean,
         "semantic_dedup": _q_semantic_dedup,
         "hash_split": _q_hash_split,
         "chunk_docs": _q_chunk_docs,
@@ -1486,6 +1505,141 @@ WITH toks AS (
 SELECT d.doc_id, COALESCE(a.n_segs, 0) AS n_segs,
        COALESCE(a.n_kept, 0) AS n_kept, COALESCE(a.text, '') AS text
 FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+""",
+        "pretrain_clean": r"""
+WITH lt AS (
+  SELECT doc_id,
+    list_transform(regexp_extract_all(text, '[a-zA-Z'']+'), w -> lower(w))
+      AS toks
+  FROM documents
+), lh AS (
+  SELECT doc_id, len(toks) AS lnt,
+    len(list_filter(toks, w -> w IN
+      ('the','and','of','to','a','in','is','it','that','for'))) AS h_en,
+    len(list_filter(toks, w -> w IN
+      ('der','die','das','und','ist','nicht','ein','zu','mit'))) AS h_de,
+    len(list_filter(toks, w -> w IN
+      ('el','la','de','que','y','en','un','es','por','los'))) AS h_es,
+    len(list_filter(toks, w -> w IN
+      ('le','la','de','et','un','est','que','pour','dans'))) AS h_fr,
+    len(list_filter(toks, w -> w IN
+      ('il','di','che','e','la','per','un','non','sono','con'))) AS h_it,
+    len(list_filter(toks, w -> w IN
+      ('o','de','que','e','do','da','em','um','para','com'))) AS h_pt,
+    len(list_filter(toks, w -> w IN
+      ('de','het','een','van','en','in','is','dat','op','niet'))) AS h_nl
+  FROM lt
+), lm AS (
+  SELECT *, greatest(h_en, h_de, h_es, h_fr, h_it, h_pt, h_nl) AS best
+  FROM lh
+), L AS (
+  SELECT doc_id,
+    CASE WHEN lnt = 0 OR best = 0 THEN 'und'
+         WHEN h_en = best THEN 'en' ELSE 'other' END AS lang_pred
+  FROM lm
+), qt AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), qm AS (
+  SELECT doc_id, len(toks) AS nt,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE list_sum(list_transform(toks, w -> length(w)))
+              / CAST(len(toks) AS DOUBLE) END AS mwl,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE len(list_filter(toks, w -> lower(w) IN
+                ('the','and','of','to','a','in','is','it','that','for')))
+              / CAST(len(toks) AS DOUBLE) END AS sr,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE 1.0 - (len(list_distinct(toks))
+                     / CAST(len(toks) AS DOUBLE)) END AS rep
+  FROM qt
+), Q AS (
+  SELECT doc_id, nt,
+    ((CASE WHEN nt < 10 OR nt > 100000 THEN 0.2 ELSE 1.0 END
+      * CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.5 END)
+     * least(1.0, 0.2 + sr * 4)) * (1.0 - least(0.8, rep)) AS quality
+  FROM qm
+), g10 AS (
+  SELECT doc_id, unnest(list_transform(
+      range(1, greatest(len(toks) - 9, 0) + 1),
+      i -> array_to_string(list_slice(toks, i, i + 9), ' '))) AS gram
+  FROM qt
+), c10 AS (
+  SELECT doc_id, gram, count(*) AS n, length(gram) AS Lg
+  FROM g10 GROUP BY doc_id, gram
+), DD AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN n > 1 THEN n * Lg ELSE 0 END) AS DOUBLE)
+      / CAST(sum(n * Lg) AS DOUBLE) AS dup10_frac
+  FROM c10 GROUP BY doc_id
+), k1 AS (
+  SELECT doc.doc_id, doc.text
+  FROM documents doc
+  JOIN L ON L.doc_id = doc.doc_id
+  JOIN Q ON Q.doc_id = doc.doc_id
+  LEFT JOIN DD ON DD.doc_id = doc.doc_id
+  WHERE L.lang_pred = 'en' AND Q.quality >= 0.15 AND Q.nt >= 15
+    AND COALESCE(DD.dup10_frac, 0.0) <= 0.6
+), hh AS (
+  SELECT doc_id, text,
+    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM k1
+), k2 AS (
+  SELECT doc_id, text FROM hh WHERE rn = 1
+), t2 AS (
+  SELECT doc_id, text, length(text) AS n FROM k2
+), pos AS (
+  SELECT doc_id, text,
+    unnest(range(1, greatest(n - 25 + 2, 1))) AS i
+  FROM t2
+), w AS (
+  SELECT doc_id, i, substr(text, CAST(i AS INT), 25) AS win FROM pos
+), dup AS (
+  SELECT win FROM w GROUP BY win HAVING count(*) >= 2
+), hits AS (
+  SELECT w.doc_id, w.i FROM w JOIN dup USING (win)
+), isl AS (
+  SELECT doc_id, i,
+    CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+           OR i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 25
+         THEN 1 ELSE 0 END AS brk
+  FROM hits
+), grp AS (
+  SELECT doc_id, i,
+    sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS UNBOUNDED PRECEDING) AS s
+  FROM isl
+), spans AS (
+  SELECT doc_id, CAST(min(i) - 1 AS BIGINT) AS a,
+         CAST(max(i) - 1 + 25 AS BIGINT) AS b
+  FROM grp GROUP BY doc_id, s
+), segs AS (
+  SELECT doc_id,
+    COALESCE(lag(b) OVER (PARTITION BY doc_id ORDER BY a), 0) AS ka,
+    a AS kb
+  FROM spans
+), tails AS (
+  SELECT k.doc_id, COALESCE(max(s.b), 0) AS ka,
+         length(k.text) AS kb
+  FROM k2 k LEFT JOIN spans s USING (doc_id)
+  GROUP BY k.doc_id, length(k.text)
+), kept AS (
+  SELECT * FROM segs UNION ALL SELECT * FROM tails
+), cut AS (
+  SELECT doc_id, CAST(sum(b - a) AS BIGINT) AS n_cut
+  FROM spans GROUP BY doc_id
+)
+SELECT k.doc_id,
+  COALESCE(string_agg(
+    substr(k.text, CAST(kk.ka + 1 AS INT), CAST(kk.kb - kk.ka AS INT)),
+    '' ORDER BY kk.ka), '') AS text,
+  COALESCE(c.n_cut, 0) AS n_cut
+FROM k2 k
+JOIN kept kk USING (doc_id)
+LEFT JOIN cut c USING (doc_id)
+GROUP BY k.doc_id, k.text, c.n_cut
+ORDER BY k.doc_id
 """,
         "token_stream": r"""
 WITH t AS (

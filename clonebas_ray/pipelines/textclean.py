@@ -1,0 +1,157 @@
+"""End-to-end pre-training corpus cleaning — the staged pipeline a
+real training-data run executes, composed from the repo's pinned
+operators so the WHOLE chain stays DuckDB-oracle-verifiable:
+
+1. **Filter** (:class:`~clonebas_ray.ops.text_analysis.CorpusFilter`):
+   language / quality / length / repetition gates, applied INLINE on
+   the content batches (the keep decision is per-row, so no join —
+   one actor-pool pass filters as it tags).
+2. **Exact dedup** among the survivors: keep the first (min doc_id)
+   occurrence of each distinct content.  Same dup-winner-broadcast
+   shape as ``segment_dedup``: block-distinct (hash, min id, count)
+   partials → one bounded shuffle → winners with count >= 2 broadcast
+   (bounded by DUPLICATED contents, not corpus size) → rows whose
+   hash is unduplicated keep unconditionally.
+3. **Substring cut** (:func:`~clonebas_ray.ops.text_dedup.
+   cut_dup_spans`): duplicated >= ``min_len``-char spans (recomputed
+   over the stage-2 survivors — dup coverage is defined by what
+   remains) spliced out of each doc.
+
+Output: one row per surviving doc ``(doc_id, text, n_cut)``.
+
+Each stage boundary materializes the surviving rows once (consumed by
+two passes downstream); content never shuffles anywhere in the chain
+— every exchange carries hashes, winners, or flags.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from clonebas_ray.bootstrap import ensure_worker_importable
+from clonebas_ray.functions.murmur3 import md5_low64
+from clonebas_ray.ops.text_analysis import CorpusFilter
+from clonebas_ray.ops.text_dedup import cut_dup_spans
+
+
+def pretrain_clean(
+    docs: ray.data.Dataset,
+    min_len: int = 25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    filter_kwargs: dict | None = None,
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> ray.data.Dataset:
+    """documents → cleaned survivors ``(id_col, text, n_cut)``; see
+    the module docstring for the three pinned stages."""
+    ensure_worker_importable()
+    from clonebas_ray.ops.relational import auto_partitions
+
+    src = docs.select_columns([id_col, text_col])
+
+    # ---- stage 1: inline tagger+mixer filter ------------------------
+    fkw = dict(filter_kwargs or {})
+    fkw.setdefault("text_col", text_col)
+
+    class _FilterKeep:
+        def __init__(self):
+            self.cf = CorpusFilter(**fkw)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keep = self.cf(batch)["keep"]
+            return batch.filter(keep)
+
+    kept1 = src.map_batches(
+        _FilterKeep, batch_format="pyarrow",
+        concurrency=concurrency, max_restarts=0,
+    ).materialize()
+
+    # ---- stage 2: exact dedup, dup-winner broadcast -----------------
+    P = auto_partitions()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        h = np.fromiter(
+            (md5_low64(t.encode("utf-8", "surrogatepass"))
+             for t in batch[text_col].to_pylist()),
+            dtype=np.uint64, count=batch.num_rows,
+        )
+        order = np.lexsort((ids, h))
+        h_s, id_s = h[order], ids[order]
+        uh, starts, counts = np.unique(
+            h_s, return_index=True, return_counts=True
+        )
+        hp = (
+            ((uh * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(52))
+            % np.uint64(P)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "hp": pa.array(hp, pa.int32()),
+                "h": pa.array(uh, pa.uint64()),
+                "d": pa.array(id_s[starts], pa.int64()),
+                "c": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def dup_winners(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy(zero_copy_only=False)
+        d = g["d"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, h))
+        h, d, c = h[order], d[order], c[order]
+        uh, starts = np.unique(h, return_index=True)
+        tot = np.add.reduceat(c, starts) if len(c) else c
+        dupm = tot >= 2
+        return pa.table(
+            {
+                "h": pa.array(uh[dupm], pa.uint64()),
+                "win": pa.array(d[starts][dupm], pa.int64()),
+            }
+        )
+
+    dup = (
+        kept1.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None)
+        .groupby("hp")
+        .map_groups(dup_winners, batch_format="pyarrow")
+    )
+    wh_parts, ww_parts = [], []
+    for b in dup.iter_batches(batch_format="pyarrow", batch_size=None):
+        wh_parts.append(b["h"].to_numpy(zero_copy_only=False))
+        ww_parts.append(b["win"].to_numpy(zero_copy_only=False))
+    wh = np.concatenate(wh_parts) if wh_parts else np.empty(0, np.uint64)
+    ww = np.concatenate(ww_parts) if ww_parts else np.empty(0, np.int64)
+    order = np.argsort(wh)
+    win_ref = ray.put(
+        (np.ascontiguousarray(wh[order]), np.ascontiguousarray(ww[order]))
+    )
+
+    def keep_reps(batch: pa.Table) -> pa.Table:
+        wh, ww = ray.get(win_ref)
+        if not len(wh):
+            return batch
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        h = np.fromiter(
+            (md5_low64(t.encode("utf-8", "surrogatepass"))
+             for t in batch[text_col].to_pylist()),
+            dtype=np.uint64, count=batch.num_rows,
+        )
+        pos = np.searchsorted(wh, h)
+        pos[pos == len(wh)] = len(wh) - 1
+        isdup = wh[pos] == h
+        keep = ~isdup | (ww[pos] == ids)
+        return batch.filter(pa.array(keep))
+
+    kept2 = kept1.map_batches(
+        keep_reps, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    # ---- stage 3: duplicated-span splice over the survivors ---------
+    return cut_dup_spans(
+        kept2, min_len=min_len, text_col=text_col, id_col=id_col
+    )

@@ -761,3 +761,45 @@ def test_token_stream_index_matches_prefix_sums(ray_session):
     assert out["tok_start"].tolist() == [0, 1, 1, 4, 8]
     assert out["seq_first"].tolist() == [0, -1, 0, 1, 2]
     assert out["seq_last"].tolist() == [0, -1, 0, 1, 3]
+
+
+def test_pretrain_clean_stages_compose(ray_session):
+    import ray.data
+
+    from clonebas_ray.pipelines.textclean import pretrain_clean
+
+    span = "unique shared run of characters long enough to cut"
+    good_a = ("the cat sat on the mat and it was a good day for the "
+              "cat to sit on a mat in the sun " + span)
+    good_b = ("the dog ran over the hill and it was a fine day for "
+              "the dog to run on a hill in the rain " + span)
+    docs = ray.data.from_arrow(
+        pa.table({
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [
+                    good_a,
+                    good_a,          # exact dup of 1 -> dropped (stage 2)
+                    good_b,          # shares `span` with 1 -> span cut
+                    "kurz",          # too short -> dropped (stage 1)
+                    ("der hund ist nicht zu hause und die katze ist "
+                     "mit der maus in der küche und das haus ist gut "
+                     "für die tiere und der tag ist auch gut so"),
+                ],
+                pa.string(),
+            ),
+        })
+    )
+    out = (
+        pretrain_clean(
+            docs, min_len=20,
+            filter_kwargs=dict(min_quality=0.15, min_tokens=3,
+                               max_dup10=0.9),
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # stage 1 drops 4 (length) and 5 (language); stage 2 drops 2
+    assert out["doc_id"].tolist() == [1, 3]
+    # stage 3 cut the shared span from BOTH survivors
+    assert (out["n_cut"] > 0).all()
+    for t in out["text"]:
+        assert span not in t
