@@ -368,7 +368,31 @@ def incremental_neardup(
         _band_rows(docs, p, id_col, text_col, concurrency)
         .groupby("s")
         .map_groups(match_shard, batch_format="pyarrow")
+    ).materialize()
+
+    # the verify exchange must be CANDIDATE-bound, not corpus-bound:
+    # only docs with at least one band match need their own blob in
+    # the verify shuffle (shipping every new doc's shingle set would
+    # re-shuffle the whole snapshot each run)
+    nid_parts = [
+        b["nid"].to_numpy(zero_copy_only=False)
+        for b in cands.iter_batches(batch_format="pyarrow",
+                                    batch_size=None)
+    ]
+    cand_ids = (
+        np.unique(np.concatenate(nid_parts))
+        if nid_parts else np.empty(0, np.int64)
     )
+    cand_ref = ray.put(np.ascontiguousarray(cand_ids))
+
+    def cand_only(b: pa.Table) -> pa.Table:
+        c = ray.get(cand_ref)
+        if not len(c):
+            return b.slice(0, 0)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(c, ids)
+        pos[pos == len(c)] = len(c) - 1
+        return b.filter(pa.array(c[pos] == ids))
 
     # 2. attach stored shingle blobs, per blob shard
     def add_sshard(b: pa.Table) -> pa.Table:
@@ -415,9 +439,11 @@ def incremental_neardup(
              "nb": pa.array(nid % P, pa.int64())}
         )
 
-    new_blobs = _blob_rows(docs, p, id_col, text_col).map_batches(
-        b_rows, batch_format="pyarrow"
-    )
+    new_blobs = _blob_rows(
+        docs.map_batches(cand_only, batch_format="pyarrow",
+                         batch_size=None),
+        p, id_col, text_col,
+    ).map_batches(b_rows, batch_format="pyarrow")
 
     def verify(g: pa.Table) -> pa.Table:
         # the same (nid, sid) pair reaches here once per shared band
