@@ -536,6 +536,19 @@ def _q_ivf_knn(sf_dir: str):
     ).to_pandas()
 
 
+def _q_knn_join(sf_dir: str):
+    """Self kNN-join: exact top-3 neighbors for EVERY vector (block-
+    pair partials; the ivf method is the approximate scale path,
+    recall-bounded in pytest)."""
+    _quiet()
+    import ray.data
+
+    from clonebas_ray.ops.similarity import knn_join
+
+    vecs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return knn_join(vecs, k=3, method="brute").to_pandas()
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal plumbing over the documents table: text bytes as the
     opaque binary payload, decode-stat kernel in an actor pool; every
@@ -904,6 +917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_near_dup": _q_embed_near_dup,
         "embed_near_dup_clusters": _q_embed_near_dup_clusters,
         "ivf_knn": _q_ivf_knn,
+        "knn_join": _q_knn_join,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "clone_corpus_clusters": _q_clone_corpus,
@@ -1802,6 +1816,19 @@ WITH q AS (
     PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
   FROM s)
 SELECT query_id, rank, vec_id, cosine FROM r WHERE rank <= 5
+""",
+        "knn_join": """
+WITH s AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])), 6)
+      AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM s)
+SELECT vec_id, rank, neighbor_id, cosine FROM r WHERE rank <= 3
 """,
         "minhash_pairs": """
 WITH toks AS (

@@ -138,6 +138,7 @@ def run_bench() -> dict:
             "segment_dedup", "semantic_dedup", "corpus_filter",
             "cut_dup_spans", "incremental_neardup",
             "incremental_semdedup", "token_stream", "pretrain_clean",
+            "knn_join",
         ):
             t0 = time.perf_counter()
             q[name](SF_DIR)

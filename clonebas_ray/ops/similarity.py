@@ -536,6 +536,10 @@ def _lowest_id_vectors(
                                       batch_size=None)
         if b.num_rows
     ]
+    if not tabs:
+        raise ValueError(
+            "cannot build an anchor codebook from an empty dataset"
+        )
     merged = pa.concat_tables(tabs)
     idx = np.argsort(merged[id_col].to_numpy(zero_copy_only=False))[:k]
     merged = merged.take(pa.array(idx, pa.int64()))
@@ -738,3 +742,211 @@ def semantic_dedup(
     return out.map_batches(
         lambda b: b, batch_format="pyarrow", batch_size=None
     )
+
+
+@ray.remote
+def _knn_block_task(
+    ta: pa.Table, tb: pa.Table, same: bool, k: int,
+    id_col: str, emb_col: str,
+) -> pa.Table:
+    """Per-row LOCAL top-k (with rounding-tie classes) of block A's
+    rows against block B's rows and vice versa — the partials of a
+    distributed kNN self-join; the global merge sees ~k rows per
+    (vector, block) instead of N."""
+    ia = ta[id_col].to_numpy(zero_copy_only=False)
+    ea = _normalize(_batch_embeddings(ta, emb_col))
+    if same:
+        ib, eb = ia, ea
+    else:
+        ib = tb[id_col].to_numpy(zero_copy_only=False)
+        eb = _normalize(_batch_embeddings(tb, emb_col))
+    out_v, out_n, out_c = [], [], []
+
+    def emit(ids_q, cos_rows, ids_d):
+        for qi in range(len(ids_q)):
+            c = cos_rows[qi]
+            mask = ids_d != ids_q[qi]
+            sel = _topk_with_ties(c[mask], k)
+            vid = ids_d[mask]
+            out_v.append(np.full(len(sel), ids_q[qi], dtype=np.int64))
+            out_n.append(vid[sel])
+            out_c.append(c[mask][sel].astype(np.float64))
+
+    for i0 in range(0, len(ia), _COS_TILE):
+        i1 = min(i0 + _COS_TILE, len(ia))
+        cos = ea[i0:i1] @ eb.T
+        emit(ia[i0:i1], cos, ib)
+    if not same:
+        for j0 in range(0, len(ib), _COS_TILE):
+            j1 = min(j0 + _COS_TILE, len(ib))
+            cos = eb[j0:j1] @ ea.T
+            emit(ib[j0:j1], cos, ia)
+    return pa.table(
+        {
+            "vec_id": pa.array(
+                np.concatenate(out_v) if out_v else
+                np.empty(0, np.int64), pa.int64()),
+            "neighbor_id": pa.array(
+                np.concatenate(out_n) if out_n else
+                np.empty(0, np.int64), pa.int64()),
+            "cosine": pa.array(
+                np.concatenate(out_c) if out_c else
+                np.empty(0, np.float64), pa.float64()),
+        }
+    )
+
+
+def _merge_topk(df: pd.DataFrame, k: int) -> pa.Table:
+    """Global top-k merge with the repo's pinned tie conventions
+    (round6 desc, neighbor id asc) — shared by knn_brute/ivf_knn."""
+    df = df.copy()
+    df["cosine_r"] = df["cosine"].round(6)
+    df = df.drop_duplicates(["vec_id", "neighbor_id"])
+    df = df.sort_values(
+        ["vec_id", "cosine_r", "neighbor_id"],
+        ascending=[True, False, True],
+    )
+    df = df.groupby("vec_id", sort=True).head(k).reset_index(drop=True)
+    df["rank"] = df.groupby("vec_id").cumcount() + 1
+    return pa.table(
+        {
+            "vec_id": pa.array(df["vec_id"], pa.int64()),
+            "rank": pa.array(df["rank"], pa.int64()),
+            "neighbor_id": pa.array(df["neighbor_id"], pa.int64()),
+            "cosine": pa.array(df["cosine_r"], pa.float64()),
+        }
+    )
+
+
+def knn_join(
+    vectors: ray.data.Dataset,
+    k: int = 10,
+    method: str = "brute",
+    n_lists: int | None = None,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    block_rows: int = 8192,
+) -> pa.Table:
+    """Self kNN-join: top-k cosine neighbors (excluding self) for
+    EVERY vector — ``(vec_id, rank, neighbor_id, cosine)``, the
+    all-rows generalization of ``knn_brute``'s query-set top-k.
+
+    ``method='brute'`` is exact: one Ray task per unordered block
+    pair emits per-row local top-k partials (tiled, ties kept), the
+    driver merge sees ~k rows per (vector, block).  O(N^2) flops are
+    inherent to exactness — the same 250k-block-pair guard as
+    ``embedding_near_dup_pairs`` routes corpora past it to
+    ``method='ivf'``: each vector lives in its argmax list as DATA
+    and fans out to its ``n_probe`` nearest lists as QUERY; one
+    shuffle groups each list's members with its probers, local top-k
+    runs per list, and the merge keeps the best k per vector
+    (recall < 1 by design — pytest bounds it like ``ivf_knn``)."""
+    ensure_worker_importable()
+    mat = vectors.select_columns([id_col, emb_col]).materialize()
+    if method == "brute":
+        n = mat.count()
+        n_blocks = max(1, -(-n // block_rows))
+        n_pairs = n_blocks * (n_blocks + 1) // 2
+        if n_pairs > 250_000:
+            raise ValueError(
+                f"brute kNN join would launch {n_pairs} block-pair "
+                "tasks; use method='ivf'"
+            )
+        refs = mat.to_arrow_refs()
+        parts = ray.get(
+            [
+                _knn_block_task.remote(
+                    refs[i], refs[j], i == j, k, id_col, emb_col
+                )
+                for i in range(len(refs))
+                for j in range(i + 1)
+            ]
+        )
+        df = pa.concat_tables(parts).to_pandas()
+        return _merge_topk(df, k)
+    if method != "ivf":
+        raise ValueError(f"unknown method {method!r}")
+
+    if n_lists is None:
+        n = mat.count()
+        n_lists = int(np.clip(np.sqrt(max(n, 1)), 16, 65536))
+    cents = train_codebook(
+        mat, n_lists=n_lists,
+        sample_rows=max(4096, 8 * n_lists), emb_col=emb_col,
+    )
+    c_ref = ray.put(cents)
+
+    def fan_out(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"lst": pa.array([], pa.int64()),
+                 "vid": pa.array([], pa.int64()),
+                 "q": pa.array([], pa.bool_()),
+                 "emb": pa.array([], pa.large_binary())}
+            )
+        c = ray.get(c_ref)
+        emb = _normalize(_batch_embeddings(b, emb_col))
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        cos = emb @ c.T
+        order = np.argsort(-cos, axis=1)[:, :n_probe]
+        blobs = [row.tobytes() for row in emb]
+        lst, vid, q, eb = [], [], [], []
+        for r in range(len(ids)):
+            # data row in the argmax list
+            lst.append(int(order[r, 0])); vid.append(ids[r])
+            q.append(False); eb.append(blobs[r])
+            for p in range(n_probe):
+                lst.append(int(order[r, p])); vid.append(ids[r])
+                q.append(True); eb.append(blobs[r])
+        return pa.table(
+            {"lst": pa.array(lst, pa.int64()),
+             "vid": pa.array(vid, pa.int64()),
+             "q": pa.array(q, pa.bool_()),
+             "emb": pa.array(eb, pa.large_binary())}
+        )
+
+    dim = len(_batch_embeddings(
+        next(iter(mat.iter_batches(batch_format="pyarrow",
+                                   batch_size=1))),
+        emb_col,
+    )[0])
+
+    def local_topk(g: pa.Table) -> pa.Table:
+        isq = g["q"].to_numpy(zero_copy_only=False)
+        vid = g["vid"].to_numpy(zero_copy_only=False)
+        emb = np.frombuffer(
+            b"".join(g["emb"].to_pylist()), dtype=np.float64
+        ).reshape(g.num_rows, dim)
+        d_rows = np.nonzero(~isq)[0]
+        q_rows = np.nonzero(isq)[0]
+        if not len(d_rows) or not len(q_rows):
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        out_v, out_n, out_c = [], [], []
+        dids = vid[d_rows]
+        de = emb[d_rows]
+        for s0 in range(0, len(q_rows), _COS_TILE):
+            rows = q_rows[s0:s0 + _COS_TILE]
+            cos = emb[rows] @ de.T
+            for li, r in enumerate(rows):
+                mask = dids != vid[r]
+                sel = _topk_with_ties(cos[li][mask], k)
+                out_v.append(np.full(len(sel), vid[r], dtype=np.int64))
+                out_n.append(dids[mask][sel])
+                out_c.append(cos[li][mask][sel].astype(np.float64))
+        return pa.table(
+            {"vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+             "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+             "cosine": pa.array(np.concatenate(out_c), pa.float64())}
+        )
+
+    parts = (
+        mat.map_batches(fan_out, batch_format="pyarrow")
+        .groupby("lst")
+        .map_groups(local_topk, batch_format="pyarrow")
+    )
+    return _merge_topk(parts.to_pandas(), k)

@@ -803,3 +803,36 @@ def test_pretrain_clean_stages_compose(ray_session):
     assert (out["n_cut"] > 0).all()
     for t in out["text"]:
         assert span not in t
+
+
+def test_knn_join_brute_vs_ivf(ray_session):
+    """Exhaustive-probe IVF kNN-join must equal the brute join
+    exactly; pruned probing keeps high recall on clustered data."""
+    from clonebas_ray.ops.similarity import knn_join
+
+    import ray.data
+
+    rng = np.random.default_rng(9)
+    centers = rng.normal(size=(4, 8)) * 4
+    rows = np.concatenate(
+        [c + rng.normal(scale=0.05, size=(25, 8)) for c in centers]
+    )
+    ds = ray.data.from_arrow(
+        pa.table({
+            "vec_id": pa.array(range(100), pa.int64()),
+            "embedding": pa.array(
+                [r.astype(np.float32).tolist() for r in rows],
+                pa.list_(pa.float32())),
+        })
+    )
+    bt = knn_join(ds, k=3, method="brute").to_pandas()
+    assert len(bt) == 300
+    ex = knn_join(ds, k=3, method="ivf", n_lists=4, n_probe=4).to_pandas()
+    pd.testing.assert_frame_equal(bt, ex)
+    pruned = knn_join(ds, k=3, method="ivf", n_lists=4,
+                      n_probe=1).to_pandas()
+    both = bt.merge(pruned, on=["vec_id", "rank"], suffixes=("_b", "_i"))
+    # tight clusters: most neighbors live in the vector's own list
+    # (the sample-kmeans codebook may split/merge a planted cluster,
+    # so the bound is an approximation-knob floor, not exactness)
+    assert (both["neighbor_id_b"] == both["neighbor_id_i"]).mean() > 0.85
