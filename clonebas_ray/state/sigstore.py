@@ -31,10 +31,13 @@ doc with Jaccard >= threshold (store-only semantics: docs within the
 new snapshot do not interact — compose with ``exact_dedup_docs`` /
 ``minhash_dedup_clusters`` for in-snapshot dedup), and with
 ``update=True`` appends the UNFLAGGED docs' bands + shingle blobs so
-the next snapshot screens against this one.  Because accepted docs
-were themselves screened, a boilerplate family contributes at most
-one member to the store — band buckets stay diverse and the hot-bucket
-quadratic blowup cannot build up across snapshots.
+the next snapshot screens against this one.  ABOVE-threshold families
+contribute at most one member to the store (later arrivals are
+flagged), but SUB-threshold shared runs (cookie banners, license
+headers) accumulate legitimately and can pin whole bands — the
+``max_bucket`` cap in :func:`incremental_neardup` is what keeps those
+hot band values from cross-pairing every carrier (measured: >10^7 raw
+candidates from one 30-token run at 1M docs before the cap).
 
 Scale shape: the new snapshot's text is read twice (band pass +
 candidate-blob pass) and never shuffled; exchanges carry band keys,
