@@ -836,3 +836,31 @@ def test_knn_join_brute_vs_ivf(ray_session):
     # (the sample-kmeans codebook may split/merge a planted cluster,
     # so the bound is an approximation-knob floor, not exactness)
     assert (both["neighbor_id_b"] == both["neighbor_id_i"]).mean() > 0.85
+
+
+def test_store_manifests_win_over_later_args(ray_session, tmp_path):
+    """A store's shard count / codebook are pinned at init: rebuilding
+    with different args must keep the manifest's values (silently
+    changing them would orphan every existing shard)."""
+    import json
+    import os
+
+    from clonebas_ray.state.sigstore import build_sig_store
+    from clonebas_ray.state.vecstore import build_vec_store
+
+    docs = _sig_docs([1, 2], ["some words here for the store ok then",
+                              "other words are here instead right now"])
+    sig = str(tmp_path / "s")
+    build_sig_store(docs, sig, n_shards=8)
+    build_sig_store(docs, sig, n_shards=32)  # must NOT change shards
+    with open(os.path.join(sig, "manifest.json")) as f:
+        assert json.load(f)["n_shards"] == 8
+
+    rng = np.random.default_rng(2)
+    vecs = _vec_ds(range(8), rng.normal(size=(8, 4)))
+    vs = str(tmp_path / "v")
+    build_vec_store(vecs, vs, n_shards=4, n_lists=2)
+    build_vec_store(vecs, vs, n_shards=16, n_lists=8)
+    with open(os.path.join(vs, "manifest.json")) as f:
+        m = json.load(f)
+    assert m["n_shards"] == 4 and m["n_lists"] == 2
