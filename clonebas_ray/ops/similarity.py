@@ -853,7 +853,10 @@ def knn_join(
                 f"brute kNN join would launch {n_pairs} block-pair "
                 "tasks; use method='ivf'"
             )
-        refs = mat.to_arrow_refs()
+        # actual block layout follows the FILES read, not block_rows
+        # (one parquet file = one block) — repartition so tasks see
+        # the sizes the guard reasoned about
+        refs = mat.repartition(n_blocks).materialize().to_arrow_refs()
         parts = ray.get(
             [
                 _knn_block_task.remote(
