@@ -536,6 +536,21 @@ def _q_ivf_knn(sf_dir: str):
     ).to_pandas()
 
 
+def _q_props_stats(sf_dir: str):
+    """Semi-structured payload aggregation: integer field extracted
+    from the JSON-string props column via RE2 (pyarrow extract_regex
+    == DuckDB regexp_extract), rolled up per event type."""
+    _quiet()
+    import ray.data
+
+    from clonebas_ray.ops.relational import props_field_stats
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+    return props_field_stats(events, field="k").to_pandas()
+
+
 def _q_knn_join(sf_dir: str):
     """Self kNN-join: exact top-3 neighbors for EVERY vector (block-
     pair partials; the ivf method is the approximate scale path,
@@ -918,6 +933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_near_dup_clusters": _q_embed_near_dup_clusters,
         "ivf_knn": _q_ivf_knn,
         "knn_join": _q_knn_join,
+        "props_stats": _q_props_stats,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "clone_corpus_clusters": _q_clone_corpus,
@@ -1816,6 +1832,14 @@ WITH q AS (
     PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
   FROM s)
 SELECT query_id, rank, vec_id, cosine FROM r WHERE rank <= 5
+""",
+        "props_stats": r"""
+SELECT event_type, count(*) AS n_events,
+  CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT))
+       AS BIGINT) AS sum_k,
+  CAST(max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT))
+       AS BIGINT) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
 """,
         "knn_join": """
 WITH s AS (

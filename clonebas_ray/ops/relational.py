@@ -1025,3 +1025,71 @@ def stratified_sample(
         return batch.filter(keep)
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def props_field_stats(
+    events: ray.data.Dataset,
+    field: str = "k",
+    group_col: str = "event_type",
+    props_col: str = "props",
+) -> pa.Table:
+    """Semi-structured payload aggregation: extract an integer field
+    from the JSON-string ``props`` column and roll up count / sum /
+    max per group — the "parse the event payload" step every log
+    pipeline runs.
+
+    Extraction is pinned to a RE2 regex over the raw string
+    (``pyarrow.compute.extract_regex`` — the SAME engine as the DuckDB
+    oracle's ``regexp_extract``, the pii_scan precedent), so the whole
+    op is vectorized with no per-row ``json.loads`` and no JSON
+    extension dependency on the oracle side.  Rows whose payload lacks
+    the field count toward ``n_events`` but are skipped by sum/max
+    (pandas NaN-skipping = SQL NULL-skipping); a group with NO
+    matching rows at all is out of contract (int64 output, the oracle
+    would yield NULL).
+
+    Scale shape: per-block partials (one row per group per block)
+    before the small groupby merge — the classic pre-aggregation, so
+    the shuffle carries groups, not events."""
+    ensure_worker_importable()
+    pattern = f'"{field}": (?P<v>\\d+)'
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(batch[props_col], pattern)
+        v = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+        df = pd.DataFrame({
+            "g": batch[group_col].to_pandas(),
+            "v": v.to_pandas(),
+        })
+        agg = df.groupby("g", sort=False).agg(
+            n=("v", "size"), s=("v", "sum"), m=("v", "max"),
+        ).reset_index()
+        return pa.table(
+            {
+                "g": pa.array(agg["g"], pa.string()),
+                "n": pa.array(agg["n"].astype("int64"), pa.int64()),
+                "s": pa.array(agg["s"].astype("int64"), pa.int64()),
+                "m": pa.array(agg["m"].astype("int64"), pa.int64()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                group_col: [g["g"].iloc[0]],
+                "n_events": [int(g["n"].sum())],
+                f"sum_{field}": [int(g["s"].sum())],
+                f"max_{field}": [int(g["m"].max())],
+            }
+        )
+
+    out = (
+        events.select_columns([group_col, props_col])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("g")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+        .sort_values(group_col)
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -864,3 +864,24 @@ def test_store_manifests_win_over_later_args(ray_session, tmp_path):
     with open(os.path.join(vs, "manifest.json")) as f:
         m = json.load(f)
     assert m["n_shards"] == 4 and m["n_lists"] == 2
+
+
+def test_props_field_stats_skips_missing_fields(ray_session):
+    import ray.data
+
+    from clonebas_ray.ops.relational import props_field_stats
+
+    ds = ray.data.from_arrow(
+        pa.table({
+            "event_type": pa.array(["a", "a", "a", "b"], pa.string()),
+            "props": pa.array(
+                ['{"k": 5}', '{"other": 1}', '{"k": 7}', '{"k": 2}'],
+                pa.string()),
+        })
+    )
+    out = props_field_stats(ds, field="k").to_pandas()
+    a = out[out.event_type == "a"].iloc[0]
+    # the field-less row counts toward n_events but not sum/max
+    assert a["n_events"] == 3 and a["sum_k"] == 12 and a["max_k"] == 7
+    b = out[out.event_type == "b"].iloc[0]
+    assert b["n_events"] == 1 and b["sum_k"] == 2
