@@ -137,7 +137,7 @@ def run_bench() -> dict:
             "heavy_hitter_users", "running_totals", "incremental_dedup",
             "segment_dedup", "semantic_dedup", "corpus_filter",
             "cut_dup_spans", "incremental_neardup",
-            "incremental_semdedup", "token_stream", "pretrain_clean",
+            "incremental_semdedup", "token_stream", "pretrain_clean", "props_stats",
             "knn_join",
         ):
             t0 = time.perf_counter()
