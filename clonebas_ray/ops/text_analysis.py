@@ -477,29 +477,53 @@ def tfidf_top_terms(
     )
     n_docs = ds.count()
 
+    from clonebas_ray.ops.relational import auto_partitions
+
+    P = auto_partitions()
+
     def df_partial(b: pa.Table) -> pa.Table:
-        # one row per (doc, term) upstream -> row count per term = df
+        # one row per (doc, term) upstream -> row count per term = df;
+        # bucket by term hash so the merge is P vectorized groupbys,
+        # not one map_groups call per distinct term (and no risk of
+        # the empty-output-block zero-column schema that a per-term
+        # groupby produced at 32-way parallelism).
         vc = pd.Series(b["term"].to_pylist()).value_counts()
+        terms = vc.index.to_numpy(dtype=object)
+        kh = pd.util.hash_pandas_object(
+            pd.Series(terms), index=False
+        ).to_numpy()
         return pa.table(
             {
-                "term": pa.array(vc.index.to_numpy(dtype=object),
-                                 pa.string()),
+                "term": pa.array(terms, pa.string()),
                 "c": pa.array(vc.to_numpy(dtype=np.int64), pa.int64()),
+                "__bucket": pa.array(
+                    (kh % np.uint64(P)).astype(np.int32), pa.int32()
+                ),
             }
         )
 
     def df_merge(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"term": [g["term"].iloc[0]], "df": [np.int64(g["c"].sum())]}
+        out = (
+            g.groupby("term", sort=False)["c"].sum().reset_index()
         )
+        out.columns = ["term", "df"]
+        out["df"] = out["df"].astype("int64")
+        return out
 
     df_ds = (
         words.map_batches(df_partial, batch_format="pyarrow")
-        .groupby("term")
+        .groupby("__bucket")
         .map_groups(df_merge, batch_format="pandas")
     )
-    df_tab = pa.concat_tables(
-        [ray.get(r) for r in df_ds.to_arrow_refs()]
+    _sch = pa.schema([("term", pa.string()), ("df", pa.int64())])
+    df_parts = [
+        t.select(["term", "df"])
+        for t in ray.get(list(df_ds.to_arrow_refs()))
+        if t.num_rows > 0 and t.num_columns > 0
+    ]
+    df_tab = (
+        pa.concat_tables(df_parts) if df_parts
+        else _sch.empty_table()
     )
     order = pc.sort_indices(df_tab["term"].combine_chunks())
     terms_sorted = df_tab["term"].combine_chunks().take(order)

@@ -295,6 +295,28 @@ def test_tfidf_top_terms_matches_replay(ray_session):
     assert 4 not in set(got["doc_id"])
 
 
+def test_tfidf_many_blocks_sparse_vocab(ray_session):
+    """Regression for the r3 driver failure: at high parallelism the
+    DF merge produced EMPTY output blocks whose zero-column schema
+    crashed ``pa.concat_tables``.  Force far more blocks than docs so
+    most merge groups/blocks are empty and assert the result is
+    identical to the low-parallelism run."""
+    import ray.data
+
+    from clonebas_ray.ops.text_analysis import tfidf_top_terms
+
+    texts = [f"tok{i} tok{i} common" for i in range(12)]
+    tab = pa.table({"doc_id": pa.array(range(12), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    wide = tfidf_top_terms(
+        ray.data.from_arrow(tab).repartition(64), k=2
+    ).to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    narrow = tfidf_top_terms(
+        ray.data.from_arrow(tab), k=2
+    ).to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(wide, narrow)
+
+
 def test_tfidf_min_df_prunes(ray_session):
     import ray.data
 

@@ -59,7 +59,9 @@ def main() -> int:
     import ray
 
     ray.init(
-        address="local", num_cpus=8, include_dashboard=False,
+        address="local",
+        num_cpus=int(os.environ.get("CHECK_CPUS", "8")),
+        include_dashboard=False,
         ignore_reinit_error=True, logging_level="ERROR",
     )
     import __ray_entry__ as entrymod
