@@ -1835,10 +1835,10 @@ SELECT query_id, rank, vec_id, cosine FROM r WHERE rank <= 5
 """,
         "props_stats": r"""
 SELECT event_type, count(*) AS n_events,
-  CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT))
-       AS BIGINT) AS sum_k,
-  CAST(max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT))
-       AS BIGINT) AS max_k
+  CAST(sum(TRY_CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '')
+                    AS BIGINT)) AS BIGINT) AS sum_k,
+  CAST(max(TRY_CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '')
+                    AS BIGINT)) AS BIGINT) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type
 """,
         "knn_join": """

@@ -1044,13 +1044,15 @@ def props_field_stats(
     op is vectorized with no per-row ``json.loads`` and no JSON
     extension dependency on the oracle side.  Rows whose payload lacks
     the field count toward ``n_events`` but are skipped by sum/max
-    (pandas NaN-skipping = SQL NULL-skipping); a group with NO
-    matching rows at all is out of contract (int64 output, the oracle
-    would yield NULL).
+    (SQL NULL-skipping); a group with NO matching rows at all yields
+    NULL sum/max, matching the oracle's
+    ``TRY_CAST(NULLIF(regexp_extract(...), '') AS BIGINT)``.
 
     Scale shape: per-block partials (one row per group per block)
     before the small groupby merge — the classic pre-aggregation, so
-    the shuffle carries groups, not events."""
+    the shuffle carries groups, not events.  A block-group whose rows
+    ALL lack the field emits NULL partials (never NaN→int casts, which
+    raised here pre-round-4) and the merge resolves them."""
     ensure_worker_importable()
     pattern = f'"{field}": (?P<v>\\d+)'
 
@@ -1061,25 +1063,38 @@ def props_field_stats(
             "g": batch[group_col].to_pandas(),
             "v": v.to_pandas(),
         })
-        agg = df.groupby("g", sort=False).agg(
-            n=("v", "size"), s=("v", "sum"), m=("v", "max"),
+        agg = df.groupby("g", sort=False)["v"].agg(
+            n="size", k="count", s="sum", m="max",
         ).reset_index()
+        # k = matching (non-null) rows in this block-group; where k=0
+        # sum/max are meaningless (pandas gives s=0.0, m=NaN) — emit
+        # NULL so the merge can distinguish "no matches" from "sum 0".
+        has = agg["k"].to_numpy() > 0
+        s = agg["s"].where(has).astype("Int64")
+        m = agg["m"].where(has).astype("Int64")
         return pa.table(
             {
                 "g": pa.array(agg["g"], pa.string()),
                 "n": pa.array(agg["n"].astype("int64"), pa.int64()),
-                "s": pa.array(agg["s"].astype("int64"), pa.int64()),
-                "m": pa.array(agg["m"].astype("int64"), pa.int64()),
+                "s": pa.array(s, pa.int64()),
+                "m": pa.array(m, pa.int64()),
             }
         )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
+        has = g["m"].notna()
         return pd.DataFrame(
             {
                 group_col: [g["g"].iloc[0]],
                 "n_events": [int(g["n"].sum())],
-                f"sum_{field}": [int(g["s"].sum())],
-                f"max_{field}": [int(g["m"].max())],
+                f"sum_{field}": pd.array(
+                    [int(g.loc[has, "s"].sum()) if has.any() else None],
+                    dtype="Int64",
+                ),
+                f"max_{field}": pd.array(
+                    [int(g.loc[has, "m"].max()) if has.any() else None],
+                    dtype="Int64",
+                ),
             }
         )
 

@@ -907,3 +907,32 @@ def test_props_field_stats_skips_missing_fields(ray_session):
     assert a["n_events"] == 3 and a["sum_k"] == 12 and a["max_k"] == 7
     b = out[out.event_type == "b"].iloc[0]
     assert b["n_events"] == 1 and b["sum_k"] == 2
+
+
+def test_props_field_stats_all_missing_block(ray_session):
+    """Regression (ADVICE r3): a BLOCK whose rows for a group all lack
+    the field produced max=NaN and crashed the int64 cast; a group
+    with no matching rows anywhere must yield NULL sum/max (the
+    oracle's TRY_CAST(NULLIF(...)) semantics), not a crash."""
+    import ray.data
+
+    from clonebas_ray.ops.relational import props_field_stats
+
+    # block 1: group "c" rows with NO matches (the crash case), group
+    # "a" fine; block 2: group "c" gets a match, group "d" never does.
+    b1 = pa.table({
+        "event_type": pa.array(["a", "c", "c"], pa.string()),
+        "props": pa.array(
+            ['{"k": 5}', '{"other": 1}', '{"x": 2}'], pa.string()),
+    })
+    b2 = pa.table({
+        "event_type": pa.array(["c", "d"], pa.string()),
+        "props": pa.array(['{"k": 9}', '{"nope": 0}'], pa.string()),
+    })
+    ds = ray.data.from_arrow([b1, b2])
+    out = props_field_stats(ds, field="k").to_pandas()
+    c = out[out.event_type == "c"].iloc[0]
+    assert c["n_events"] == 3 and c["sum_k"] == 9 and c["max_k"] == 9
+    d = out[out.event_type == "d"].iloc[0]
+    assert d["n_events"] == 1
+    assert pd.isna(d["sum_k"]) and pd.isna(d["max_k"])
