@@ -602,6 +602,114 @@ def run_semdedup_smoke() -> dict:
     }
 
 
+def run_knn_smoke() -> dict:
+    """Scale smoke for the self kNN-join's DISTRIBUTED merge (round 4:
+    partials hash-partitioned by vec_id, merged per bucket — the
+    driver never holds per-vector rows).  IVF runs at 1M vectors
+    (sqrt(N) lists); brute — O(N^2) flops by definition — at 200k.
+    Both consume the result Dataset via iter_batches and report driver
+    max RSS, the quantity the old driver-side merge blew up."""
+    import resource
+
+    import numpy as np
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from clonebas_ray.ops.similarity import knn_join
+
+    out: dict = {"metric": "knn_join_smoke_sec", "unit": "sec",
+                 "num_cpus": NUM_CPUS}
+    for method, n_vecs, kw in (
+        ("ivf", int(os.environ.get("GRAFT_KNN_IVF_VECS", "1000000")),
+         {"n_lists": None, "n_probe": 4}),
+        ("brute", int(os.environ.get("GRAFT_KNN_BRUTE_VECS", "200000")),
+         {}),
+    ):
+        path = _ensure_vec_corpus(n_vecs)
+        vecs = ray.data.read_parquet(path)
+        t0 = time.perf_counter()
+        res = knn_join(vecs, k=10, method=method, **kw)
+        n_rows = 0
+        for b in res.iter_batches(batch_format="pyarrow",
+                                  batch_size=None):
+            n_rows += b.num_rows
+        wall = time.perf_counter() - t0
+        out[f"{method}_sec"] = round(wall, 2)
+        out[f"{method}_n_vecs"] = n_vecs
+        out[f"{method}_rows"] = n_rows
+        out[f"{method}_rows_per_sec"] = round(n_vecs / wall, 1)
+    out["value"] = out["ivf_sec"]
+    out["driver_rss_gb"] = round(
+        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2
+    )
+    ray.shutdown()
+    return out
+
+
+def run_embed_lsh_smoke() -> dict:
+    """1M-vector smoke for embedding_near_dup_pairs_lsh (round 4:
+    Dataset output + identical-vector collapse — the r3 version pulled
+    the full pair table to the driver).  Streams the pair Dataset via
+    iter_batches, reports recall on the planted cosine>0.999 twins and
+    driver max RSS."""
+    import resource
+
+    import numpy as np
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from clonebas_ray.ops.similarity import embedding_near_dup_pairs_lsh
+
+    n_vecs = int(os.environ.get("GRAFT_EMBED_VECS", "1000000"))
+    path = _ensure_vec_corpus(n_vecs)
+    vecs = ray.data.read_parquet(path)
+    t0 = time.perf_counter()
+    pairs = embedding_near_dup_pairs_lsh(vecs, threshold=0.99)
+    found = set()
+    n_pairs = 0
+    for b in pairs.iter_batches(batch_format="pyarrow",
+                                batch_size=None):
+        a = b["vec_a"].to_numpy(zero_copy_only=False)
+        bb = b["vec_b"].to_numpy(zero_copy_only=False)
+        n_pairs += len(a)
+        twin = bb == a + 1  # planted twins are (g-1, g)
+        found.update(bb[twin].tolist())
+    wall = time.perf_counter() - t0
+    # planted twins: g % 200 == 0, g > 0, same shard as g-1
+    n_shards = max(32, n_vecs // 25000)
+    per = (n_vecs + n_shards - 1) // n_shards
+    g = np.arange(200, n_vecs, 200)
+    g = g[(g % per) != 0]
+    recall = float(np.isin(g, np.array(sorted(found))).mean())
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    ray.shutdown()
+    return {
+        "metric": "embed_lsh_1m_smoke_sec",
+        "value": round(wall, 2),
+        "unit": "sec",
+        "n_vecs": n_vecs,
+        "n_pairs": n_pairs,
+        "planted_twins": int(len(g)),
+        "planted_recall": round(recall, 4),
+        "num_cpus": NUM_CPUS,
+        "driver_rss_gb": round(rss_gb, 2),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -611,5 +719,9 @@ if __name__ == "__main__":
         print(json.dumps(run_text_smoke()))
     elif "--semdedup-smoke" in sys.argv:
         print(json.dumps(run_semdedup_smoke()))
+    elif "--knn-smoke" in sys.argv:
+        print(json.dumps(run_knn_smoke()))
+    elif "--embed-smoke" in sys.argv:
+        print(json.dumps(run_embed_lsh_smoke()))
     else:
         print(json.dumps(run_bench()))

@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -43,6 +44,29 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1.0
     return m / n
+
+
+def _topk_rows_mask(
+    cos: np.ndarray, k: int, exclude: np.ndarray | None = None
+) -> np.ndarray:
+    """Row-wise form of :func:`_topk_with_ties`: boolean mask (same
+    shape as ``cos``) selecting each row's rounded top-k tie class,
+    with ``exclude`` entries (e.g. self matches) never selected and
+    never counted — excluded cells are sunk to -2, below any cosine,
+    so the per-row k-th-largest is computed over the real entries
+    exactly as the masked 1-D version would."""
+    r = np.round(cos, 6)
+    if exclude is not None:
+        r = np.where(exclude, -2.0, r)
+    n = r.shape[1]
+    if n <= k:
+        keep = np.ones_like(r, dtype=bool)
+    else:
+        kth = np.partition(r, n - k, axis=1)[:, n - k]
+        keep = r >= kth[:, None]
+    if exclude is not None:
+        keep &= ~exclude
+    return keep
 
 
 def _topk_with_ties(cos: np.ndarray, k: int) -> np.ndarray:
@@ -312,6 +336,45 @@ def _pair_block_task(
 
 
 @ray.remote
+def _split_hot_block(tab: pa.Table, clusters: np.ndarray):
+    """One-pass split of an ``assigned`` block into per-hot-cluster
+    sub-tables (+ a row-count vector as the last return, the only
+    thing the driver reads).  Replaces the r3 shape of re-filtering
+    the WHOLE assigned dataset once per hot cluster."""
+    lid = tab["list_id"].to_numpy(zero_copy_only=False)
+    counts = np.zeros(len(clusters), dtype=np.int64)
+    outs = []
+    for i, h in enumerate(clusters):
+        m = lid == h
+        c = int(m.sum())
+        counts[i] = c
+        outs.append(tab.filter(pa.array(m)) if c else None)
+    return (*outs, counts)
+
+
+@ray.remote
+def _concat_blocks(*tabs: pa.Table) -> pa.Table:
+    return pa.concat_tables(tabs)
+
+
+@ray.remote
+def _hot_keep_task(
+    tab: pa.Table, h: int, dropped: np.ndarray, id_col: str
+) -> pa.Table:
+    ids = tab[id_col].to_numpy(zero_copy_only=False)
+    keep = ~np.isin(ids, dropped)
+    return pa.table(
+        {
+            id_col: pa.array(ids.astype(np.int64), pa.int64()),
+            "list_id": pa.array(
+                np.full(len(ids), h, np.int64), pa.int64()
+            ),
+            "keep": pa.array(keep, pa.bool_()),
+        }
+    )
+
+
+@ray.remote
 def _flag_earlier_neighbor_task(
     ta: pa.Table, tb: pa.Table, same: bool, threshold: float,
     id_col: str, emb_col: str,
@@ -425,6 +488,99 @@ def embedding_near_dup_clusters(
     return out.rename_columns([id_col, "cluster_id"])
 
 
+def _collapse_identical_vectors(
+    vectors: ray.data.Dataset, id_col: str, emb_col: str
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """Exactly-equal-embedding rep-collapse (the MinHash ``sig_groups``
+    pattern): hash each embedding's float64 bytes, group by hash, and
+    for every family of >= 2 identical vectors keep only the lowest-id
+    representative in the pairing input, emitting (rep, member,
+    cosine=1.0) edges for the rest.  A 10^4-copy boilerplate embedding
+    then costs one LSH participant + 10^4-1 edges instead of ~10^8
+    within-bucket pairs.  Zero-norm vectors are exempt (their pinned
+    normalized cosine is 0, not 1).  Returns ``(survivors, member
+    edges)``; hash collisions are a non-issue because members are
+    never re-verified — md5/64 collisions (~N^2/2^64) are accepted the
+    same way the MinHash set-key collapse accepts them.
+
+    Both outputs stay Datasets: family detection shuffles only
+    ``(hash, id)`` pairs, the drop set (dup-bounded) is broadcast back
+    via ``ray.put`` + ``pc.is_in`` per block (CLAUDE.md pattern)."""
+    from clonebas_ray.ops.relational import auto_partitions
+
+    P = auto_partitions()
+
+    def hash_rows(b: pa.Table) -> pa.Table:
+        emb = _batch_embeddings(b, emb_col)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        nonzero = np.linalg.norm(emb, axis=1) > 0
+        blobs = pd.Series([row.tobytes() for row in emb[nonzero]])
+        h = pd.util.hash_pandas_object(blobs, index=False).to_numpy()
+        return pa.table(
+            {
+                "vhash": pa.array(h.astype(np.uint64), pa.uint64()),
+                "vid": pa.array(ids[nonzero].astype(np.int64),
+                                pa.int64()),
+                "vpart": pa.array(
+                    (h % np.uint64(P)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def family_edges(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in g.groupby("vhash", sort=False):
+            ids = np.unique(grp["vid"].to_numpy())
+            if len(ids) < 2:
+                continue
+            out_a.append(np.full(len(ids) - 1, ids[0], dtype=np.int64))
+            out_b.append(ids[1:])
+        if not out_a:
+            return pd.DataFrame(
+                {"vec_a": pd.Series(dtype="int64"),
+                 "vec_b": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        return pd.DataFrame(
+            {"vec_a": a, "vec_b": b,
+             "cosine": np.ones(len(a), dtype=np.float64)}
+        )
+
+    member_edges = (
+        vectors.map_batches(hash_rows, batch_format="pyarrow",
+                            batch_size=None)
+        .groupby("vpart")
+        .map_groups(family_edges, batch_format="pandas")
+        .materialize()
+    )
+    drops: list[np.ndarray] = []
+    for b in member_edges.select_columns(["vec_b"]).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        drops.append(b["vec_b"].to_numpy(zero_copy_only=False))
+    drop_arr = pa.array(
+        np.unique(np.concatenate(drops)) if drops
+        else np.empty(0, np.int64),
+        pa.int64(),
+    )
+    if len(drop_arr) == 0:
+        return vectors, member_edges
+    drop_ref = ray.put(drop_arr)
+
+    def keep_survivors(b: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        return b.filter(
+            pc.invert(pc.is_in(b[id_col], value_set=d))
+        )
+
+    survivors = vectors.map_batches(
+        keep_survivors, batch_format="pyarrow", batch_size=None
+    )
+    return survivors, member_edges
+
+
 def embedding_near_dup_pairs_lsh(
     vectors: ray.data.Dataset,
     threshold: float = 0.95,
@@ -433,16 +589,37 @@ def embedding_near_dup_pairs_lsh(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     seed: int = 23,
-) -> pa.Table:
+    collapse: bool = True,
+) -> ray.data.Dataset:
     """Approximate near-dup pairs — the 100-TB path: vectors are
     bucketed by nearest IVF centroid (``n_lists`` scales ~sqrt(N) so
     mean list size stays ~sqrt(N)), and any list still larger than
     ``max_group`` is sub-bucketed by deterministic random-hyperplane
     signs before the within-bucket all-pairs cosine.  Pairs split
     across bucket boundaries are missed (recall < 1 by design —
-    that is the cost knob vs `embedding_near_dup_pairs`)."""
+    that is the cost knob vs `embedding_near_dup_pairs`).
+
+    Returns a Dataset ``(vec_a, vec_b, cosine)``, ``vec_a < vec_b`` —
+    the r3 version pulled the full pair table to the driver (pandas
+    dedup/sort), which a boilerplate embedding family turns into ~10^8
+    driver rows.  Round 4: ``collapse=True`` first reduces every
+    exactly-equal family to its lowest-id representative
+    (:func:`_collapse_identical_vectors`; members connect through
+    (rep, member, 1.0) edges, so connected components are identical —
+    member-to-outside pairs are represented through the rep), and the
+    within-bucket pairing canonicalizes in-task.  Each survivor lives
+    in exactly ONE (list, sub-bucket), so a pair can surface only
+    once — no global dedup shuffle is needed at all."""
     ensure_worker_importable()
-    vectors = vectors.materialize()  # consumed by count + codebook + scan
+    vectors = (
+        vectors.select_columns([id_col, emb_col]).materialize()
+    )  # consumed by collapse + count + codebook + scan
+    member_edges = None
+    if collapse:
+        survivors, member_edges = _collapse_identical_vectors(
+            vectors, id_col, emb_col
+        )
+        vectors = survivors.materialize()
     n = vectors.count()
     if n_lists is None:
         n_lists = int(np.clip(np.sqrt(max(n, 1)), 16, 65536))
@@ -483,11 +660,15 @@ def embedding_near_dup_pairs_lsh(
             e, i = emb[m], ids[m]
             cos = e @ e.T
             a, b = np.nonzero(np.triu(cos >= threshold, k=1))
+            if not len(a):
+                continue
+            x, y = i[a], i[b]
+            swap = x > y
             frames.append(
                 pd.DataFrame(
                     {
-                        "vec_a": i[a],
-                        "vec_b": i[b],
+                        "vec_a": np.where(swap, y, x),
+                        "vec_b": np.where(swap, x, y),
                         "cosine": np.round(cos[a, b].astype(np.float64), 6),
                     }
                 )
@@ -501,16 +682,13 @@ def embedding_near_dup_pairs_lsh(
     pairs = assigned.groupby("list_id").map_groups(
         pair_list, batch_format="pandas"
     )
-    df = pairs.to_pandas()
-    if df.empty:
-        return _EMPTY_PAIRS
-    a = df["vec_a"].to_numpy().copy()
-    b = df["vec_b"].to_numpy().copy()
-    swap = a > b
-    a[swap], b[swap] = df["vec_b"].to_numpy()[swap], df["vec_a"].to_numpy()[swap]
-    out = pd.DataFrame({"vec_a": a, "vec_b": b, "cosine": df["cosine"].to_numpy()})
-    out = out.drop_duplicates(["vec_a", "vec_b"]).sort_values(["vec_a", "vec_b"])
-    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+    if member_edges is not None:
+        pairs = pairs.union(member_edges)
+    # normalize unioned pandas/arrow blocks to one arrow schema
+    # (mixed block formats break downstream groupbys — CLAUDE.md)
+    return pairs.map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=None
+    )
 
 
 def _lowest_id_vectors(
@@ -627,17 +805,13 @@ def semantic_dedup(
     # hands a whole cluster to ONE task, so a skewed cluster would run
     # O(m^2) single-threaded there.  The exists-earlier rule is
     # order-independent, hence an OR over block-pair flags — exact.
-    sizes: dict[int, int] = {}
-    for b in assigned.select_columns(["list_id"]).iter_batches(
-        batch_format="pyarrow", batch_size=None
-    ):
-        u, c = np.unique(
-            b["list_id"].to_numpy(zero_copy_only=False),
-            return_counts=True,
-        )
-        for k, v in zip(u, c):
-            sizes[int(k)] = sizes.get(int(k), 0) + int(v)
-    hot = sorted(k for k, v in sizes.items() if v > max_group)
+    # Cluster sizes come from a distributed count (n_lists rows pulled,
+    # never the N list_id rows the r3 version streamed to the driver).
+    counts_df = assigned.groupby("list_id").count().to_pandas()
+    sizes = dict(
+        zip(counts_df["list_id"].astype(int), counts_df["count()"])
+    )
+    hot = sorted(int(k) for k, v in sizes.items() if v > max_group)
 
     def dedup_list(g: pa.Table) -> pa.Table:
         ids = g[id_col].to_numpy(zero_copy_only=False)
@@ -672,74 +846,93 @@ def semantic_dedup(
 
     hot_arr = np.array(hot, dtype=np.int64)
 
-    def _split(keep_hot: bool):
-        def f(b: pa.Table) -> pa.Table:
-            m = np.isin(
-                b["list_id"].to_numpy(zero_copy_only=False), hot_arr
+    # ONE split pass over the assigned blocks: each block is cut into
+    # its per-hot-cluster sub-tables in the object store; the driver
+    # sees only the count vectors (r3 re-scanned the full dataset once
+    # per hot cluster).
+    refs = assigned.to_arrow_refs()
+    split = [
+        _split_hot_block.options(num_returns=len(hot) + 1).remote(
+            r, hot_arr
+        )
+        for r in refs
+    ]
+    counts = ray.get([s[-1] for s in split])
+
+    # coalesce each cluster's block fragments into ~max_group-row
+    # chunks: a hot cluster smeared over B near-empty blocks would
+    # otherwise launch B(B+1)/2 flag tasks (the brute-knn fan-out
+    # lesson, commit 0761096)
+    chunks_per_hot: list[list] = []
+    for i in range(len(hot)):
+        chunks, cur, cur_rows = [], [], 0
+        for j in range(len(split)):
+            c = int(counts[j][i])
+            if c == 0:
+                continue
+            cur.append(split[j][i])
+            cur_rows += c
+            if cur_rows >= max_group:
+                chunks.append(
+                    cur[0] if len(cur) == 1 else _concat_blocks.remote(*cur)
+                )
+                cur, cur_rows = [], 0
+        if cur:
+            chunks.append(
+                cur[0] if len(cur) == 1 else _concat_blocks.remote(*cur)
             )
-            return b.filter(pa.array(m if keep_hot else ~m))
-        return f
+        chunks_per_hot.append(chunks)
+
+    # all clusters' flag tasks dispatched together (one wave, one get)
+    flag_tasks, owners = [], []
+    for i, chunks in enumerate(chunks_per_hot):
+        for a in range(len(chunks)):
+            for b in range(a + 1):
+                flag_tasks.append(
+                    _flag_earlier_neighbor_task.remote(
+                        chunks[a], chunks[b], a == b, threshold,
+                        id_col, emb_col,
+                    )
+                )
+                owners.append(i)
+    flags = ray.get(flag_tasks)  # dropped ids only — dup-bounded
+    dropped_per_hot = [np.empty(0, np.int64)] * len(hot)
+    for i in range(len(hot)):
+        mine = [f for f, o in zip(flags, owners) if o == i and len(f)]
+        if mine:
+            dropped_per_hot[i] = np.unique(np.concatenate(mine))
+
+    hot_refs = [
+        _hot_keep_task.remote(
+            chunk, hot[i], ray.put(dropped_per_hot[i]), id_col
+        )
+        for i, chunks in enumerate(chunks_per_hot)
+        for chunk in chunks
+    ]
+    hot_out = ray.data.from_arrow_refs(hot_refs)
+
+    if len(hot) == len(sizes):
+        # every cluster is hot — no cold groupby over an empty dataset
+        return hot_out.map_batches(
+            lambda b: b, batch_format="pyarrow", batch_size=None
+        )
+
+    def _drop_hot(b: pa.Table) -> pa.Table:
+        m = np.isin(
+            b["list_id"].to_numpy(zero_copy_only=False), hot_arr
+        )
+        return b.filter(pa.array(~m))
 
     cold_out = (
         assigned.map_batches(
-            _split(False), batch_format="pyarrow", batch_size=None
+            _drop_hot, batch_format="pyarrow", batch_size=None
         )
         .groupby("list_id")
         .map_groups(dedup_list, batch_format="pyarrow")
     )
-
-    hot_tabs = []
-    for h in hot:
-        sub = assigned.map_batches(
-            lambda b, _h=h: b.filter(
-                pa.array(
-                    b["list_id"].to_numpy(zero_copy_only=False) == _h
-                )
-            ),
-            batch_format="pyarrow", batch_size=None,
-        ).materialize()
-        refs = [r for r in sub.to_arrow_refs()]
-        flags = ray.get(
-            [
-                _flag_earlier_neighbor_task.remote(
-                    refs[i], refs[j], i == j, threshold, id_col, emb_col
-                )
-                for i in range(len(refs))
-                for j in range(i + 1)
-            ]
-        )
-        dropped = (
-            np.unique(np.concatenate(flags))
-            if flags else np.empty(0, np.int64)
-        )
-        drop_ref = ray.put(np.ascontiguousarray(dropped))
-
-        def hot_keep(b: pa.Table, _h=h, _d=drop_ref) -> pa.Table:
-            d = ray.get(_d)
-            ids = b[id_col].to_numpy(zero_copy_only=False)
-            keep = ~np.isin(ids, d)
-            return pa.table(
-                {
-                    id_col: pa.array(ids, pa.int64()),
-                    "list_id": pa.array(
-                        np.full(len(ids), _h, np.int64), pa.int64()
-                    ),
-                    "keep": pa.array(keep, pa.bool_()),
-                }
-            )
-
-        hot_tabs.append(
-            sub.map_batches(
-                hot_keep, batch_format="pyarrow", batch_size=None
-            )
-        )
-
-    out = cold_out
-    for t in hot_tabs:
-        out = out.union(t)
     # normalize the unioned blocks to one arrow schema (mixed block
     # formats after union break downstream groupbys — CLAUDE.md)
-    return out.map_batches(
+    return cold_out.union(hot_out).map_batches(
         lambda b: b, batch_format="pyarrow", batch_size=None
     )
 
@@ -763,14 +956,12 @@ def _knn_block_task(
     out_v, out_n, out_c = [], [], []
 
     def emit(ids_q, cos_rows, ids_d):
-        for qi in range(len(ids_q)):
-            c = cos_rows[qi]
-            mask = ids_d != ids_q[qi]
-            sel = _topk_with_ties(c[mask], k)
-            vid = ids_d[mask]
-            out_v.append(np.full(len(sel), ids_q[qi], dtype=np.int64))
-            out_n.append(vid[sel])
-            out_c.append(c[mask][sel].astype(np.float64))
+        excl = ids_d[None, :] == ids_q[:, None]
+        keep = _topk_rows_mask(cos_rows, k, excl)
+        ii, jj = np.nonzero(keep)
+        out_v.append(ids_q[ii].astype(np.int64))
+        out_n.append(ids_d[jj].astype(np.int64))
+        out_c.append(cos_rows[ii, jj].astype(np.float64))
 
     for i0 in range(0, len(ia), _COS_TILE):
         i1 = min(i0 + _COS_TILE, len(ia))
@@ -796,9 +987,12 @@ def _knn_block_task(
     )
 
 
-def _merge_topk(df: pd.DataFrame, k: int) -> pa.Table:
-    """Global top-k merge with the repo's pinned tie conventions
-    (round6 desc, neighbor id asc) — shared by knn_brute/ivf_knn."""
+def _merge_topk_df(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Top-k merge with the repo's pinned tie conventions (round6
+    desc, neighbor id asc).  Complete per vec_id: every partial row of
+    a vec_id must be in ``df`` (the distributed form hash-partitions
+    by vec_id to guarantee that).  Dtypes pinned so empty inputs keep
+    a stable schema."""
     df = df.copy()
     df["cosine_r"] = df["cosine"].round(6)
     df = df.drop_duplicates(["vec_id", "neighbor_id"])
@@ -807,13 +1001,57 @@ def _merge_topk(df: pd.DataFrame, k: int) -> pa.Table:
         ascending=[True, False, True],
     )
     df = df.groupby("vec_id", sort=True).head(k).reset_index(drop=True)
-    df["rank"] = df.groupby("vec_id").cumcount() + 1
+    return pd.DataFrame(
+        {
+            "vec_id": df["vec_id"].astype("int64"),
+            "rank": (df.groupby("vec_id").cumcount() + 1).astype("int64"),
+            "neighbor_id": df["neighbor_id"].astype("int64"),
+            "cosine": df["cosine_r"].astype("float64"),
+        }
+    )
+
+
+def _merge_topk_distributed(
+    parts: ray.data.Dataset, k: int
+) -> ray.data.Dataset:
+    """Distributed global top-k: hash-partition the (vec_id,
+    neighbor_id, cosine) partials by vec_id and run the merge per
+    partition — every partial row of a vec_id lands in one bucket, so
+    each bucket merge is complete and the driver never holds per-
+    vector rows (the r3 scale-killer: ~N*blocks*k partial rows pulled
+    to the driver)."""
+    from clonebas_ray.ops.relational import auto_partitions
+
+    P = auto_partitions()
+
+    def bucket(b: pa.Table) -> pa.Table:
+        vid = b["vec_id"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "__bucket",
+            pa.array((vid % P).astype(np.int32), pa.int32()),
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return _merge_topk_df(g.drop(columns="__bucket"), k)
+
+    return (
+        parts.map_batches(bucket, batch_format="pyarrow",
+                          batch_size=None)
+        .groupby("__bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def _merge_topk(df: pd.DataFrame, k: int) -> pa.Table:
+    """Driver-side merge for the QUERY-set paths (knn_brute/ivf_knn:
+    partial volume ~ num_batches * Q * k, Q small)."""
+    out = _merge_topk_df(df, k)
     return pa.table(
         {
-            "vec_id": pa.array(df["vec_id"], pa.int64()),
-            "rank": pa.array(df["rank"], pa.int64()),
-            "neighbor_id": pa.array(df["neighbor_id"], pa.int64()),
-            "cosine": pa.array(df["cosine_r"], pa.float64()),
+            "vec_id": pa.array(out["vec_id"], pa.int64()),
+            "rank": pa.array(out["rank"], pa.int64()),
+            "neighbor_id": pa.array(out["neighbor_id"], pa.int64()),
+            "cosine": pa.array(out["cosine"], pa.float64()),
         }
     )
 
@@ -827,21 +1065,24 @@ def knn_join(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     block_rows: int = 8192,
-) -> pa.Table:
+) -> ray.data.Dataset:
     """Self kNN-join: top-k cosine neighbors (excluding self) for
-    EVERY vector — ``(vec_id, rank, neighbor_id, cosine)``, the
-    all-rows generalization of ``knn_brute``'s query-set top-k.
+    EVERY vector — a Dataset ``(vec_id, rank, neighbor_id, cosine)``,
+    the all-rows generalization of ``knn_brute``'s query-set top-k.
 
     ``method='brute'`` is exact: one Ray task per unordered block
-    pair emits per-row local top-k partials (tiled, ties kept), the
-    driver merge sees ~k rows per (vector, block).  O(N^2) flops are
-    inherent to exactness — the same 250k-block-pair guard as
-    ``embedding_near_dup_pairs`` routes corpora past it to
+    pair emits per-row local top-k partials (tiled, ties kept).
+    O(N^2) flops are inherent to exactness — the same 250k-block-pair
+    guard as ``embedding_near_dup_pairs`` routes corpora past it to
     ``method='ivf'``: each vector lives in its argmax list as DATA
     and fans out to its ``n_probe`` nearest lists as QUERY; one
     shuffle groups each list's members with its probers, local top-k
-    runs per list, and the merge keeps the best k per vector
-    (recall < 1 by design — pytest bounds it like ``ivf_knn``)."""
+    runs per list (recall < 1 by design — pytest bounds it like
+    ``ivf_knn``).  BOTH methods merge their partials distributedly
+    (hash-partitioned by vec_id, :func:`_merge_topk_distributed`) and
+    return a lazily-consumable Dataset — the output is N*k rows, so a
+    driver pull would OOM exactly when the input is large enough to
+    care; write it or aggregate it instead."""
     ensure_worker_importable()
     mat = vectors.select_columns([id_col, emb_col]).materialize()
     if method == "brute":
@@ -857,17 +1098,16 @@ def knn_join(
         # (one parquet file = one block) — repartition so tasks see
         # the sizes the guard reasoned about
         refs = mat.repartition(n_blocks).materialize().to_arrow_refs()
-        parts = ray.get(
-            [
-                _knn_block_task.remote(
-                    refs[i], refs[j], i == j, k, id_col, emb_col
-                )
-                for i in range(len(refs))
-                for j in range(i + 1)
-            ]
+        tasks = [
+            _knn_block_task.remote(
+                refs[i], refs[j], i == j, k, id_col, emb_col
+            )
+            for i in range(len(refs))
+            for j in range(i + 1)
+        ]
+        return _merge_topk_distributed(
+            ray.data.from_arrow_refs(tasks), k
         )
-        df = pa.concat_tables(parts).to_pandas()
-        return _merge_topk(df, k)
     if method != "ivf":
         raise ValueError(f"unknown method {method!r}")
 
@@ -893,20 +1133,23 @@ def knn_join(
         ids = b[id_col].to_numpy(zero_copy_only=False)
         cos = emb @ c.T
         order = np.argsort(-cos, axis=1)[:, :n_probe]
-        blobs = [row.tobytes() for row in emb]
-        lst, vid, q, eb = [], [], [], []
-        for r in range(len(ids)):
-            # data row in the argmax list
-            lst.append(int(order[r, 0])); vid.append(ids[r])
-            q.append(False); eb.append(blobs[r])
-            for p in range(n_probe):
-                lst.append(int(order[r, p])); vid.append(ids[r])
-                q.append(True); eb.append(blobs[r])
+        n = len(ids)
+        blobs = pa.array([row.tobytes() for row in emb],
+                         pa.large_binary())
+        # one data row (argmax list) + n_probe query rows per vector,
+        # built columnar: row r of emb fans out via a take on indices
+        src = np.concatenate(
+            [np.arange(n), np.repeat(np.arange(n), n_probe)]
+        )
+        lst = np.concatenate([order[:, 0], order.ravel()])
+        q = np.concatenate(
+            [np.zeros(n, dtype=bool), np.ones(n * n_probe, dtype=bool)]
+        )
         return pa.table(
-            {"lst": pa.array(lst, pa.int64()),
-             "vid": pa.array(vid, pa.int64()),
+            {"lst": pa.array(lst.astype(np.int64), pa.int64()),
+             "vid": pa.array(ids[src].astype(np.int64), pa.int64()),
              "q": pa.array(q, pa.bool_()),
-             "emb": pa.array(eb, pa.large_binary())}
+             "emb": blobs.take(pa.array(src, pa.int64()))}
         )
 
     dim = len(_batch_embeddings(
@@ -935,12 +1178,13 @@ def knn_join(
         for s0 in range(0, len(q_rows), _COS_TILE):
             rows = q_rows[s0:s0 + _COS_TILE]
             cos = emb[rows] @ de.T
-            for li, r in enumerate(rows):
-                mask = dids != vid[r]
-                sel = _topk_with_ties(cos[li][mask], k)
-                out_v.append(np.full(len(sel), vid[r], dtype=np.int64))
-                out_n.append(dids[mask][sel])
-                out_c.append(cos[li][mask][sel].astype(np.float64))
+            qids = vid[rows]
+            excl = dids[None, :] == qids[:, None]
+            keep = _topk_rows_mask(cos, k, excl)
+            ii, jj = np.nonzero(keep)
+            out_v.append(qids[ii].astype(np.int64))
+            out_n.append(dids[jj].astype(np.int64))
+            out_c.append(cos[ii, jj].astype(np.float64))
         return pa.table(
             {"vec_id": pa.array(np.concatenate(out_v), pa.int64()),
              "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
@@ -952,4 +1196,4 @@ def knn_join(
         .groupby("lst")
         .map_groups(local_topk, batch_format="pyarrow")
     )
-    return _merge_topk(parts.to_pandas(), k)
+    return _merge_topk_distributed(parts, k)

@@ -249,6 +249,56 @@ def test_embedding_near_dup(ray_session):
     assert {(a, b) for a, b in zip(lsh.vec_a, lsh.vec_b)} <= {(0, 20)}
 
 
+def test_embedding_lsh_identical_collapse(ray_session):
+    """Exactly-equal embedding families collapse to one LSH
+    participant: members connect via (rep, member, 1.0) edges instead
+    of all-pairs enumeration, and the connected components equal the
+    exact path's."""
+    import ray.data
+
+    from clonebas_ray.ops.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_lsh,
+    )
+    from clonebas_ray.ops.text_dedup import _stream_int_union_find
+
+    rng = np.random.default_rng(13)
+    base = rng.normal(size=(30, 16)).astype(np.float32)
+    # ids 3, 7, 9 exactly identical; 12 a near-copy of 3
+    base[7] = base[3]
+    base[9] = base[3]
+    base[12] = base[3] + rng.normal(scale=0.001, size=16).astype(
+        np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(30), pa.int64()),
+            "embedding": pa.array(
+                [r.tolist() for r in base], pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    lsh = embedding_near_dup_pairs_lsh(
+        ds, threshold=0.999, n_lists=2, max_group=64
+    ).to_pandas()
+    got = {(a, b) for a, b in zip(lsh.vec_a, lsh.vec_b)}
+    # family members ride rep edges with pinned cosine 1.0
+    assert {(3, 7), (3, 9)} <= got
+    assert (7, 9) not in got  # member-member never enumerated
+    ones = lsh[lsh.vec_b.isin([7, 9]) & (lsh.vec_a == 3)]
+    assert (ones.cosine == 1.0).all()
+    # components match the exact block-pair join's
+    exact = embedding_near_dup_pairs(ds, threshold=0.999, block_rows=16)
+    cc_exact = _stream_int_union_find(
+        [exact], cols=("vec_a", "vec_b")).to_pandas()
+    cc_lsh = _stream_int_union_find(
+        [ray.data.from_pandas(lsh[["vec_a", "vec_b"]])],
+        cols=("vec_a", "vec_b")).to_pandas()
+    ex = {tuple(r) for r in cc_exact.itertuples(index=False)}
+    ap = {tuple(r) for r in cc_lsh.itertuples(index=False)}
+    assert ap <= ex  # approximate path may split, never over-merge
+
+
 def test_language_id_and_quality(ray_session):
     import ray.data
 

@@ -514,6 +514,14 @@ def test_semantic_dedup_hot_list_path_is_exact(ray_session):
     )
     pd.testing.assert_frame_equal(base, hot)
     assert not base.loc[base.vec_id >= 30, "keep"].any()
+    # fragment the input into near-empty blocks: the split/coalesce
+    # path (round 4) must pack them into max_group chunks and still
+    # reproduce the answer bit-for-bit
+    frag = (
+        semantic_dedup(ds.repartition(16), max_group=4, **kw)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(base, frag)
 
 
 # ---------------------------------------------------------------------------
@@ -847,12 +855,18 @@ def test_knn_join_brute_vs_ivf(ray_session):
                 pa.list_(pa.float32())),
         })
     )
-    bt = knn_join(ds, k=3, method="brute").to_pandas()
+    def run(**kw):
+        # Dataset output: block order is shuffle-dependent, sort it
+        return (
+            knn_join(ds, k=3, **kw).to_pandas()
+            .sort_values(["vec_id", "rank"]).reset_index(drop=True)
+        )
+
+    bt = run(method="brute")
     assert len(bt) == 300
-    ex = knn_join(ds, k=3, method="ivf", n_lists=4, n_probe=4).to_pandas()
+    ex = run(method="ivf", n_lists=4, n_probe=4)
     pd.testing.assert_frame_equal(bt, ex)
-    pruned = knn_join(ds, k=3, method="ivf", n_lists=4,
-                      n_probe=1).to_pandas()
+    pruned = run(method="ivf", n_lists=4, n_probe=1)
     both = bt.merge(pruned, on=["vec_id", "rank"], suffixes=("_b", "_i"))
     # tight clusters: most neighbors live in the vector's own list
     # (the sample-kmeans codebook may split/merge a planted cluster,
