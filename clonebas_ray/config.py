@@ -137,6 +137,16 @@ class PipelineConfig:
     #: [64, 4096]) so per-partition work stays small and stragglers
     #: are cheap on ANY cluster size; a fixed value pins it.
     pair_partitions: int = 0
+    #: drive-side clustering cap (physical knob, not in config_hash):
+    #: when the high-tier edge count exceeds this, the pipeline routes
+    #: connected components through the DISTRIBUTED
+    #: ``stages.cluster.label_propagation`` fallback instead of pulling
+    #: the edge list to the driver for union-find (adversarial corpora
+    #: — one giant boilerplate family — make |edges| quadratic in the
+    #: family while the node-level assignment stays linear).  Only the
+    #: plain file-mode path routes (block mode and the J5 file filters
+    #: need the edge rows driver-side anyway).  <0 disables routing.
+    max_driver_edges: int = 50_000_000
     #: normalization dialect applied before word extraction.
     ast_opt: bool = True
     #: per-block fingerprints (the reference's default path) instead of

@@ -135,8 +135,6 @@ def run_dedup_pipeline(
     # (disabled in the shipped config — dif_config.txt line 3 = -1) ---
     t0 = time.perf_counter()
     high_edges = edges.filter(expr=f"hamming <= {config.t_high}")
-    edge_df = high_edges.select_columns(["sha_a", "sha_b"]).to_pandas()
-    metrics["edge_pull_s"] = round(time.perf_counter() - t0, 3)
     file_filtered = config.only_same_file or config.only_diff_file
     # J5 filters gate every compare inside the reference's greedy loop;
     # the sha-level replay has no per-instance file identity, so with a
@@ -149,22 +147,53 @@ def run_dedup_pipeline(
     refine_block = (
         config.refine_clusters and config.block_mode and not file_filtered
     )
-    t_f = time.perf_counter()
-    if config.block_mode:
-        edge_df = _apply_block_edge_filters(
-            edge_df, fingerprints, config,
-            # the exact replay applies J6 itself; the approximate
-            # post-filter REMOVES edges, which could shrink the replay
-            # population below what the reference joins
-            skip_child_suppression=refine_block,
+    # adversarial corpora (one giant near-dup family) make the edge
+    # list quadratic in the family while the assignment stays node-
+    # sized: past max_driver_edges, plain file mode routes components
+    # through the distributed label_propagation fallback and never
+    # pulls an edge row.  Block mode / J5 filters need the edge rows
+    # driver-side regardless, so they keep the union-find path.
+    n_high_edges = (
+        high_edges.count()
+        if (not config.block_mode and not file_filtered
+            and config.max_driver_edges >= 0)
+        else None
+    )
+    route_lp = (
+        n_high_edges is not None
+        and n_high_edges > config.max_driver_edges
+    )
+    if route_lp:
+        from clonebas_ray.stages.cluster import label_propagation_assignment
+
+        metrics["cluster_path"] = "label_propagation"
+        metrics["n_edges"] = n_high_edges
+        assignment = label_propagation_assignment(
+            high_edges.select_columns(["sha_a", "sha_b"])
         )
-    elif file_filtered:
-        edge_df = _apply_file_mode_filters(edge_df, fingerprints, config)
-    metrics["edge_filter_s"] = round(time.perf_counter() - t_f, 3)
-    t_u = time.perf_counter()
-    edge_table = pa.Table.from_pandas(edge_df, preserve_index=False)
-    assignment = union_find_clusters(edge_table)
-    metrics["union_find_s"] = round(time.perf_counter() - t_u, 3)
+        metrics["edge_pull_s"] = 0.0
+        metrics["edge_filter_s"] = 0.0
+        metrics["union_find_s"] = round(time.perf_counter() - t0, 3)
+    else:
+        metrics["cluster_path"] = "union_find"
+        edge_df = high_edges.select_columns(["sha_a", "sha_b"]).to_pandas()
+        metrics["edge_pull_s"] = round(time.perf_counter() - t0, 3)
+        t_f = time.perf_counter()
+        if config.block_mode:
+            edge_df = _apply_block_edge_filters(
+                edge_df, fingerprints, config,
+                # the exact replay applies J6 itself; the approximate
+                # post-filter REMOVES edges, which could shrink the
+                # replay population below what the reference joins
+                skip_child_suppression=refine_block,
+            )
+        elif file_filtered:
+            edge_df = _apply_file_mode_filters(edge_df, fingerprints, config)
+        metrics["edge_filter_s"] = round(time.perf_counter() - t_f, 3)
+        t_u = time.perf_counter()
+        edge_table = pa.Table.from_pandas(edge_df, preserve_index=False)
+        assignment = union_find_clusters(edge_table)
+        metrics["union_find_s"] = round(time.perf_counter() - t_u, 3)
     if refine_file and assignment:
         assignment = _refine_assignment(
             assignment, fingerprints, config, sigma=config.t_high
@@ -262,7 +291,8 @@ def run_dedup_pipeline(
         pq.write_table(clusters, f"{clusters_dir}/clusters.parquet")
         pq.write_table(cluster_stats, f"{clusters_dir}/cluster_stats.parquet")
 
-    metrics["n_edges"] = edge_table.num_rows
+    if "n_edges" not in metrics:
+        metrics["n_edges"] = edge_table.num_rows
     metrics["n_clustered_shas"] = clusters.num_rows
     # derive from the FINAL clusters table so multi-tier runs report
     # every cluster, not just tier 1

@@ -196,6 +196,25 @@ def label_propagation(
     return labels
 
 
+def label_propagation_assignment(
+    edges: ray.data.Dataset, max_iters: int = 50
+) -> dict[str, int]:
+    """Distributed drop-in for :func:`union_find_clusters` on an edge
+    DATASET: connected components via :func:`label_propagation` (the
+    edge list never touches the driver — only the node-level
+    ``(node, min-sha label)`` result does, which is dup-family-bounded
+    while |edges| can be quadratic in it), relabeled to the same dense
+    ids: cluster id = rank of the component's min sha among all
+    components — bit-identical to the union-find assignment."""
+    df = label_propagation(edges, max_iters=max_iters).to_pandas()
+    if df.empty:
+        return {}
+    roots = {r: i for i, r in enumerate(sorted(df["label"].unique()))}
+    return {
+        n: roots[l] for n, l in zip(df["node"], df["label"])
+    }
+
+
 def _labels_checksum(labels: ray.data.Dataset) -> int:
     def per_batch(batch: pa.Table) -> pa.Table:
         h = pd.util.hash_pandas_object(

@@ -302,6 +302,19 @@ def incremental_neardup(
     (candidates from shared LSH band buckets, verified on the stored
     blobs — the same band/verify split as ``minhash_lsh_pairs``).
 
+    ``threshold`` gates an EXACT Jaccard verify, but candidates are
+    probabilistic: with the store's 32 bands x 4 rows, a pair at
+    exactly J = threshold = 0.5 shares at least one band with
+    probability ``1 - (1 - 0.5^4)^32 ~= 0.87`` — i.e. ~13% of
+    borderline pairs are never proposed, and ``max_bucket`` skips add
+    to that on boilerplate-pinned bands.  Parity with the exact-SQL
+    EXISTS oracle is therefore guaranteed only when dup families sit
+    comfortably ABOVE threshold (at J=0.8 the miss rate is ~5e-6; the
+    sf fixtures plant near-exact copies).  If this query ever
+    hash-mismatches, check the fixture's borderline-J pairs before
+    suspecting the store: a band miss is expected behavior, not a
+    bug.
+
     ``max_bucket`` is the boilerplate guard: a band value matching
     more than this many STORE docs is skipped for candidate
     generation.  SUB-threshold shared runs (cookie banners, license

@@ -16,7 +16,16 @@ Design — a cluster-sharded vector store:
 * ``lists/shard-SSSSS/part-*.parquet`` holds ``(list_id, vec_id,
   emb binary)`` rows (raw float32 payload), sharded by ``list_id %
   n_shards`` with the sigstore's atomic content-named appends —
-  screening a new batch reads ``1/n_shards`` of the store per task;
+  screening a new batch reads ``1/n_shards`` of the store per task.
+  NOTE: inputs are QUANTIZED to float32 at ingest (`_assigned_rows`),
+  and both the round6-argmax list assignment and the >=threshold
+  cosine check run on the float32-then-float64 values.  DuckDB
+  ``DOUBLE[]`` oracle parity is therefore pinned only for sources
+  whose embeddings are already float32 (the sf fixtures store
+  ``list<float32>``, so the quantization is lossless there); a
+  float64 source can diverge in the 7th digit near an assignment tie
+  or the threshold boundary — store float64 blobs instead if that
+  ever matters;
 * a new vector is flagged iff some STORED vector in its OWN list has
   cosine >= threshold — the same cluster-scoped exists rule as
   ``semantic_dedup`` (cross-list near-dups are the documented

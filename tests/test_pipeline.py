@@ -343,3 +343,27 @@ def test_cli_export_modes(tmp_path_factory):
     assert rep["node_census_rows"] > 0
     assert os.path.isdir(rep["word_corpus_dir"])
     assert os.path.isdir(rep["node_census_dir"])
+
+
+def test_label_propagation_fallback_identical_clusters(
+    ray_session, corpus_dir, pipeline_result, tmp_path_factory
+):
+    """Forcing the distributed clustering fallback (max_driver_edges=0
+    routes EVERY plain file-mode run through label_propagation instead
+    of the driver-side union-find) reproduces the default path's
+    cluster table bit-for-bit — the routing is a physical knob, never
+    a semantic one."""
+    from clonebas_ray.pipelines.dedup import run_dedup_pipeline
+
+    d, _ = corpus_dir
+    base, _ = pipeline_result
+    forced = run_dedup_pipeline(
+        f"{d}/files.parquet",
+        str(tmp_path_factory.mktemp("lp_run")),
+        config=PipelineConfig(max_driver_edges=0),
+        checkpoint=False,
+    )
+    assert forced.metrics["cluster_path"] == "label_propagation"
+    assert base.metrics["cluster_path"] == "union_find"
+    assert forced.clusters.equals(base.clusters)
+    assert forced.cluster_stats.equals(base.cluster_stats)
