@@ -362,22 +362,30 @@ class WordExtractor:
         # case's synthesized ==), the word ranges of each case-unit
         # condition (replayed by default's !(c1 & c2 & ...) chain),
         # and stacked-label bookkeeping for the | chains.
-        # PINNED APPROXIMATIONS (documented divergences from the
-        # reference for switches with fall-through):
-        # * HandleSwitchNoramlStmt (FixedChecker.cpp:349-368) appends
-        #   each case-body statement to EVERY waiting selection unit,
-        #   so fall-through statements' words DUPLICATE per open case;
-        #   this walker emits each statement once.  The reference
-        #   shares the statement nodes across units, which a linear
-        #   token walk (and the block w0/w1 range bookkeeping) cannot
-        #   express without a real AST — see the M2/S2 fidelity note.
-        # * switch-level break statements are consumed at unit flush
-        #   (FixedChecker.cpp:218-224) without emitting a word; this
-        #   walker emits BreakStmt for them (breaks nested in loops
-        #   inside case bodies emit in both).
-        # The sequential conformance oracle shares this extractor, so
-        # clustering parity is unaffected; both are fidelity seams vs
-        # a true Clang AST, tracked in CLAUDE.md pinned semantics.
+        #
+        # FILE MODE (``blocks is None``, ast_opt) runs the EXACT
+        # SimplifySwitchStatement replay: the switch body's words are
+        # captured as (unit / defunit / stmt / break) events and
+        # rewritten at the closing brace by ``_replay_switch`` —
+        # fall-through statements duplicate into every waiting unit
+        # (HandleSwitchNoramlStmt, FixedChecker.cpp:349-368), bare
+        # top-level breaks flush the waiting units WITHOUT emitting a
+        # word (FixedChecker.cpp:218-224), each unit carries its own
+        # synthesized FixedCompoundStatement word (FixedNode.cpp:38-44
+        # — the eigen path emits the compound name unconditionally)
+        # while the original switch-body compound is discarded, and
+        # statements before the first label / a case-less default's
+        # contents drop (unit_waiting empty / the all_expr.empty()
+        # guard at FixedChecker.cpp:189).
+        #
+        # BLOCK MODE keeps the single-emission approximation: the
+        # reference shares statement NODES across units, so a nested
+        # compound inside a fall-through region would be re-visited
+        # (and re-fingerprinted) once per unit — block w0/w1 range
+        # bookkeeping cannot express shared subtrees without a real
+        # AST.  The sequential conformance oracle shares this
+        # extractor in both modes, so clustering parity holds; the
+        # block-mode seam stays tracked in CLAUDE.md pinned semantics.
         switch_stack: list[dict] = []
         # if-cond capture per brace depth: the else unit's expression
         # is !(cond) — the WHOLE cond subtree replays under the UO_!
@@ -411,7 +419,15 @@ class WordExtractor:
             # a case run ends unless the very next token is `case`
             if switch_stack and switch_stack[-1]["await_stack"]:
                 if not (kind == IDENT and text == "case"):
-                    switch_stack[-1]["await_stack"] = False
+                    fr0 = switch_stack[-1]
+                    fr0["await_stack"] = False
+                    if fr0["exact"] and fr0["labels"]:
+                        # stacked-label run complete → one selection
+                        # unit (the reference's nested-CaseStmt chain,
+                        # FixedChecker.cpp:130-176)
+                        fr0["events"].append(("unit", fr0["labels"]))
+                        fr0["labels"] = []
+                        fr0["pend_w0"] = len(out)
             if kind == IDENT and text in self.keywords:
                 flush_expr(i)
                 if text in ("if", "else", "switch"):
@@ -471,6 +487,15 @@ class WordExtractor:
                         hdr = scan_header(i + 1)
                         if hdr is not None:
                             cond, j = hdr
+                            # exact replay needs the body brace (an
+                            # unbraced switch body keeps the legacy
+                            # inline path) and file mode (block w0/w1
+                            # ranges can't survive the rewrite)
+                            exact = (
+                                blocks is None
+                                and j + 1 < n
+                                and toks[j + 1][1] == "{"
+                            )
                             switch_stack.append(
                                 {
                                     "cond": cond,
@@ -479,6 +504,13 @@ class WordExtractor:
                                     "in_case": False,
                                     "await_stack": False,
                                     "cur_start": None,
+                                    "exact": exact,
+                                    "awaiting_brace": exact,
+                                    "body_w0": None,
+                                    "events": [],
+                                    "labels": [],
+                                    "lbl_start": None,
+                                    "pend_w0": 0,
                                 }
                             )
                             i = j  # consumed through ')'
@@ -491,7 +523,30 @@ class WordExtractor:
                     # synthesized `cond == value` (FixedChecker.cpp:130-170);
                     # stacked labels chain via BO_Or (opcode `|`)
                     fr = switch_stack[-1] if switch_stack else None
-                    if self.ast_opt and fr is not None:
+                    if self.ast_opt and fr is not None and fr["exact"]:
+                        if (
+                            brace_depth == fr["depth"] + 1
+                            and not fr["awaiting_brace"]
+                        ):
+                            # a new label range; the BO_| chain words
+                            # are synthesized at replay in the exact
+                            # prefix order (or-merge of the eq stack,
+                            # FixedChecker.cpp:161-173)
+                            if not fr["await_stack"]:
+                                fr["labels"] = []
+                            fr["await_stack"] = False
+                            fr["lbl_start"] = len(out)
+                            out.append("BinaryOperator BO_==")
+                            self._expr_words(fr["cond"], out)
+                            fr["in_case"] = True
+                        else:
+                            # label buried in a nested compound
+                            # (Duff's device): SimplifySwitchStatement
+                            # only visits TOP-LEVEL body children, so
+                            # the CaseStmt survives and serializes as
+                            # a plain node word
+                            out.append("CaseStmt")
+                    elif self.ast_opt and fr is not None:
                         if fr["await_stack"]:
                             out.append("BinaryOperator BO_|")
                             fr["await_stack"] = False
@@ -506,7 +561,21 @@ class WordExtractor:
                     # default branch = !(c1 & c2 & ...) over every case
                     # condition so far (FixedChecker.cpp:190-216)
                     fr = switch_stack[-1] if switch_stack else None
-                    if self.ast_opt and fr is not None and fr["ranges"]:
+                    if self.ast_opt and fr is not None and fr["exact"]:
+                        if (
+                            brace_depth == fr["depth"] + 1
+                            and not fr["awaiting_brace"]
+                        ):
+                            # cond synthesized at replay from every
+                            # unit cond so far (destructive all_expr
+                            # pop); with NO prior case the reference
+                            # creates no unit and drops the substmt
+                            # (the all_expr.empty() guard)
+                            fr["events"].append(("defunit",))
+                            fr["pend_w0"] = len(out)
+                        else:
+                            out.append("DefaultStmt")
+                    elif self.ast_opt and fr is not None and fr["ranges"]:
                         out.append("UnaryOperator UO_!")
                         out.extend(
                             ["BinaryOperator BO_&"] * (len(fr["ranges"]) - 1)
@@ -603,7 +672,24 @@ class WordExtractor:
                 elif text == "return":
                     out.append("ReturnStmt")
                 elif text == "break":
-                    out.append("BreakStmt")
+                    fr = switch_stack[-1] if switch_stack else None
+                    if (
+                        fr is not None and fr["exact"]
+                        and not fr["awaiting_brace"]
+                        and brace_depth == fr["depth"] + 1
+                        and i > 0 and toks[i - 1][1] in (";", "}", "{")
+                    ):
+                        # a TOP-LEVEL switch-body break flushes every
+                        # waiting unit and is itself consumed — no
+                        # word (FixedChecker.cpp:218-224).  A break
+                        # right after a label (prev token `:`) is the
+                        # CaseStmt's substmt → a NORMAL statement
+                        # appended to every unit, pinned faithful to
+                        # the reference's top-level-only isa check.
+                        fr["events"].append(("break",))
+                        fr["pend_w0"] = len(out)
+                    else:
+                        out.append("BreakStmt")
                 elif text == "continue":
                     out.append("ContinueStmt")
                 elif text == "goto":
@@ -654,6 +740,24 @@ class WordExtractor:
             elif kind == OP:
                 if text == "{":
                     flush_expr(i)
+                    fr = switch_stack[-1] if switch_stack else None
+                    if fr is not None and fr["awaiting_brace"]:
+                        # the switch body compound is DISCARDED by
+                        # SimplifySwitchStatement (its children are
+                        # redistributed into per-unit synthesized
+                        # compounds) — no word; capture starts here
+                        fr["awaiting_brace"] = False
+                        fr["body_w0"] = len(out)
+                        fr["pend_w0"] = len(out)
+                        pending_kind = 8
+                        brace_depth += 1
+                        brace_inc_stack.append(pending_for_inc)
+                        pending_for_inc = None
+                        expr_buf_start = i + 1
+                        stmt_start = i + 1
+                        stmt_is_decl = False
+                        i += 1
+                        continue
                     if blocks is not None:
                         open_blocks.append(
                             {
@@ -685,7 +789,13 @@ class WordExtractor:
                         # close the case-label: record (or extend, for
                         # stacked labels) this unit's cond word range
                         fr = switch_stack[-1]
-                        if fr["cur_start"] is not None:
+                        if fr["exact"]:
+                            if fr["lbl_start"] is not None:
+                                fr["labels"].append(
+                                    (fr["lbl_start"], len(out))
+                                )
+                                fr["lbl_start"] = None
+                        elif fr["cur_start"] is not None:
                             fr["ranges"].append([fr["cur_start"], len(out)])
                             fr["cur_start"] = None
                         elif fr["ranges"]:
@@ -702,7 +812,15 @@ class WordExtractor:
                             switch_stack
                             and brace_depth <= switch_stack[-1]["depth"]
                         ):
-                            switch_stack.pop()
+                            fr_c = switch_stack.pop()
+                            if fr_c["exact"] and fr_c["body_w0"] is not None:
+                                # trailing words with no `;` (malformed
+                                # input) still belong to the last stmt
+                                if len(out) > fr_c["pend_w0"]:
+                                    fr_c["events"].append(
+                                        ("stmt", fr_c["pend_w0"], len(out))
+                                    )
+                                self._replay_switch(fr_c, out)
                         # leaving a scope invalidates per-depth state
                         # recorded inside it — a stale do entry would
                         # misread a later while as a do-tail, a stale
@@ -726,6 +844,33 @@ class WordExtractor:
                             and unbraced_incs[-1][0] >= brace_depth
                         ):
                             emit_inc(unbraced_incs.pop()[1])
+                        # exact-mode statement boundary at switch-body
+                        # top level: a completed child of the body
+                        # compound (the unit HandleSwitchNoramlStmt
+                        # appends to every waiting unit).  A trailing
+                        # `else` / do-tail `while` continues the SAME
+                        # child statement.
+                        if switch_stack:
+                            fr = switch_stack[-1]
+                            if (
+                                fr["exact"]
+                                and not fr["awaiting_brace"]
+                                and brace_depth == fr["depth"] + 1
+                            ):
+                                nxt = (
+                                    toks[i + 1][1] if i + 1 < n else ""
+                                )
+                                cont = nxt == "else" or (
+                                    nxt == "while" and do_stack
+                                    and do_stack[-1] == brace_depth
+                                )
+                                if not cont:
+                                    if len(out) > fr["pend_w0"]:
+                                        fr["events"].append(
+                                            ("stmt", fr["pend_w0"],
+                                             len(out))
+                                        )
+                                    fr["pend_w0"] = len(out)
                     expr_buf_start = i + 1
                     stmt_start = i + 1
                     if text == ";" and stmt_is_decl:
@@ -743,6 +888,19 @@ class WordExtractor:
                         expr_buf_start = j + 1
             i += 1
         flush_expr(n)
+        # unbalanced braces: unclosed exact switches still replay
+        # (mirrors the reference's flush of remaining units at the end
+        # of SimplifySwitchStatement)
+        while switch_stack:
+            fr_c = switch_stack.pop()
+            if fr_c["exact"] and fr_c["body_w0"] is not None:
+                if len(out) > fr_c["pend_w0"]:
+                    fr_c["events"].append(
+                        ("stmt", fr_c["pend_w0"], len(out))
+                    )
+                if fr_c["labels"]:
+                    fr_c["events"].append(("unit", fr_c["labels"]))
+                self._replay_switch(fr_c, out)
         if blocks is not None:
             # unbalanced braces: close remaining blocks at EOF
             while open_blocks:
@@ -750,6 +908,75 @@ class WordExtractor:
                 b["end"] = len(src)
                 b["w1"] = len(out)
                 blocks.append(b)
+
+    def _replay_switch(self, fr: dict, out: list[str]) -> None:
+        """Rewrite a captured switch body into the reference's exact
+        unit serialization (``SimplifySwitchStatement``,
+        ``FixedChecker.cpp:114-238``).
+
+        Events (in token order) replay against the captured word
+        segment:
+
+        * ``("unit", labels)`` — a case run.  Cond = the eq-stack
+          or-merge: ``(k-1) x BO_|`` then the label eqs in REVERSE
+          order (prefix serialization of ``or(or(ek,ek-1),...,e1)``,
+          FixedChecker.cpp:161-173).
+        * ``("defunit",)`` — default.  Cond = ``UO_!`` + ``(m-1) x
+          BO_&`` + every unit cond so far in REVERSE, consumed
+          destructively (the all_expr stack pops,
+          FixedChecker.cpp:190-216); with no prior case, no unit.
+        * ``("stmt", w0, w1)`` — a completed top-level body child:
+          appended to EVERY waiting unit (HandleSwitchNoramlStmt,
+          FixedChecker.cpp:349-368) — fall-through duplication; with
+          no waiting unit (before the first label) the words DROP.
+        * ``("break",)`` — flush: each waiting unit emits cond words,
+          its synthesized-compound word (FixedNode.cpp:38-44), then
+          its accumulated body; the break emits nothing
+          (FixedChecker.cpp:218-224).
+
+        Remaining units flush at the end (FixedChecker.cpp:230-236).
+        """
+        b0 = fr["body_w0"]
+        seg = out[b0:]
+        del out[b0:]
+        open_units: list[dict] = []
+        all_conds: list[list[str]] = []
+        emitted: list[str] = []
+
+        def flush() -> None:
+            for u in open_units:
+                emitted.extend(u["cond"])
+                emitted.append(self.comp_word)
+                emitted.extend(u["body"])
+            open_units.clear()
+
+        for ev in fr["events"]:
+            tag = ev[0]
+            if tag == "unit":
+                labels = ev[1]
+                cond = ["BinaryOperator BO_|"] * (len(labels) - 1)
+                for l0, l1 in reversed(labels):
+                    cond.extend(seg[l0 - b0:l1 - b0])
+                all_conds.append(cond)
+                open_units.append({"cond": cond, "body": []})
+            elif tag == "defunit":
+                if all_conds:
+                    cond = ["UnaryOperator UO_!"]
+                    cond += (
+                        ["BinaryOperator BO_&"] * (len(all_conds) - 1)
+                    )
+                    for c in reversed(all_conds):
+                        cond += c
+                    all_conds = []
+                    open_units.append({"cond": cond, "body": []})
+            elif tag == "stmt":
+                words = seg[ev[1] - b0:ev[2] - b0]
+                for u in open_units:
+                    u["body"].extend(words)
+            else:  # break
+                flush()
+        flush()
+        out.extend(emitted)
 
     def _extract_python(self, src: str) -> list[str]:
         out: list[str] = []

@@ -71,3 +71,95 @@ def test_macro_lines_emit_no_words():
 
     only_directives = "#define A 1\n#ifdef A\n#endif\n#include <x.h>\n"
     assert WordExtractor("cpp").extract(only_directives) == []
+
+
+# --- exact switch fall-through replay (round-3 VERDICT item 6) -------
+# Hand-derived expectations for SimplifySwitchStatement semantics
+# (FixedChecker.cpp:114-238, 349-368) — NOT regenerated pins: each
+# expected stream was worked out from the reference code by hand, so
+# a walker bug cannot survive a golden regeneration.
+
+SEL = "FixedSelectionStmtClass"
+COMP = "FixedCompoundStmtClass"
+EQ = "BinaryOperator BO_=="
+DR = "DeclRefExpr"
+IL = "IntegerLiteral"
+CALL = ["CallExpr", DR]
+
+
+def _w(src):
+    from clonebas_ray.functions.words import WordExtractor
+
+    return WordExtractor("cpp").extract(src)
+
+
+def test_fallthrough_duplicates_into_every_open_unit():
+    # unit1 = [a, b]; unit2 = [b]  (HandleSwitchNoramlStmt appends the
+    # shared stmt to EVERY waiting unit)
+    src = "switch (x) { case 1: a(); case 2: b(); break; }"
+    assert _w(src) == (
+        [SEL, EQ, DR, IL, COMP] + CALL + CALL
+        + [EQ, DR, IL, COMP] + CALL
+    )
+
+
+def test_toplevel_break_is_eaten_and_flushes():
+    # two units, each cond + own synthesized compound + body; the
+    # switch-body brace compound is discarded; no BreakStmt words
+    src = "switch (x) { case 1: a(); break; case 2: b(); break; }"
+    assert _w(src) == (
+        [SEL, EQ, DR, IL, COMP] + CALL + [EQ, DR, IL, COMP] + CALL
+    )
+
+
+def test_break_after_label_is_a_normal_statement():
+    # `case 1: break;` — the break is the CaseStmt's SUBSTMT, so the
+    # reference's top-level isa<BreakStmt> check misses it: it emits a
+    # word, does NOT flush, and case 2's body duplicates into unit1
+    src = "switch (x) { case 1: break; case 2: a(); }"
+    assert _w(src) == (
+        [SEL, EQ, DR, IL, COMP, "BreakStmt"] + CALL
+        + [EQ, DR, IL, COMP] + CALL
+    )
+
+
+def test_stacked_labels_or_merge_order():
+    # or-merge of the eq stack serializes (k-1) BO_| then the label
+    # eqs in REVERSE source order (FixedChecker.cpp:161-173)
+    src = "switch (x) { case 1: case 2: case 3: a(); }"
+    bo = "BinaryOperator BO_|"
+    assert _w(src) == (
+        [SEL, bo, bo, EQ, DR, IL, EQ, DR, IL, EQ, DR, IL, COMP] + CALL
+    )
+
+
+def test_default_cond_consumes_case_conds_reversed():
+    # default = UO_! + (m-1) BO_& + unit conds reversed; flushed units
+    # keep contributing their conds (all_expr survives breaks)
+    src = "switch (x) { case 1: a(); break; case 2: b(); break; default: c(); }"
+    assert _w(src) == (
+        [SEL, EQ, DR, IL, COMP] + CALL
+        + [EQ, DR, IL, COMP] + CALL
+        + ["UnaryOperator UO_!", "BinaryOperator BO_&",
+           EQ, DR, IL, EQ, DR, IL, COMP] + CALL
+    )
+
+
+def test_precase_statements_and_caseless_default_drop():
+    # unit_waiting is empty before the first label, and a default with
+    # no prior case hits the all_expr.empty() guard: no unit, substmt
+    # dropped
+    src = "switch (x) { p(); q(); default: r(); }"
+    assert _w(src) == [SEL]
+
+
+def test_block_mode_keeps_single_emission():
+    # block mode cannot express shared statement nodes — documented
+    # approximation: one emission per stmt, BreakStmt words kept
+    from clonebas_ray.functions.words import WordExtractor
+
+    src = "void f() { switch (x) { case 1: a(); case 2: b(); break; } }"
+    blocks = WordExtractor("cpp").extract_blocks(src)
+    sel = next(b for b in blocks if b["fp_type"] == 9)
+    assert sel["words"].count("CallExpr") == 2  # no duplication
+    assert "BreakStmt" in sel["words"]
