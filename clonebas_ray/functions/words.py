@@ -945,6 +945,13 @@ class WordExtractor:
 
         def flush() -> None:
             for u in open_units:
+                if not u["body"]:
+                    # DeepSimplifySelection only pushes a unit whose
+                    # compound has children (FixedChecker.cpp:342-345)
+                    # — an empty-bodied unit is DROPPED, cond and all.
+                    # (Known seam: a lone `;` body is a NullStmt child
+                    # in Clang — kept there, invisible to the lexer.)
+                    continue
                 emitted.extend(u["cond"])
                 emitted.append(self.comp_word)
                 emitted.extend(u["body"])

@@ -163,3 +163,11 @@ def test_block_mode_keeps_single_emission():
     sel = next(b for b in blocks if b["fp_type"] == 9)
     assert sel["words"].count("CallExpr") == 2  # no duplication
     assert "BreakStmt" in sel["words"]
+
+
+def test_empty_unit_drops_cond_and_compound():
+    # DeepSimplifySelection pushes a unit only when its compound has
+    # children (FixedChecker.cpp:342-345): an empty default / trailing
+    # bare case drops entirely, cond words included
+    src = "switch (x) { case 1: a(); break; default: }"
+    assert _w(src) == [SEL, EQ, DR, IL, COMP] + CALL
