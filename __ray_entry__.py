@@ -629,6 +629,24 @@ def _q_model_clusters(sf_dir: str):
         return model_clone_clusters(files).to_pandas()
 
 
+def _q_typed_sequences(sf_dir: str):
+    """M9 `-opnodetype -arrtype` typed sequence dump
+    (NodeTravesal.cpp:91-135) via the real-parse-tree frontend
+    (functions/ctree.py) on the deterministic typed corpus — type
+    suffixes aren't SQL-computable, so the driver compares against
+    the committed golden parquet; tests/test_ctree.py independently
+    pins the type rules with hand-derived expectations."""
+    _quiet()
+    import ray.data
+
+    from clonebas_ray.corpus import generate_typed_corpus
+    from clonebas_ray.ops.model_path import typed_sequences
+
+    files = ray.data.from_arrow(generate_typed_corpus(seed=42))
+    out = typed_sequences(files).to_pandas()
+    return out.sort_values("unit").reset_index(drop=True)
+
+
 def _q_code_metrics(sf_dir: str):
     """M12 per-file metrics + A4 8-unit file score over the documents
     table (text as content).  The document vocabulary has no
@@ -939,6 +957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clone_corpus_clusters": _q_clone_corpus,
         "clone_block_clusters": _q_block_clusters,
         "model_clone_clusters": _q_model_clusters,
+        "typed_sequences": _q_typed_sequences,
         "code_metrics": _q_code_metrics,
         "code_metrics_corpus": _q_code_metrics_corpus,
     }
@@ -955,6 +974,7 @@ _GOLDEN_QUERIES = (
     "clone_corpus_clusters",
     "clone_block_clusters",
     "model_clone_clusters",
+    "typed_sequences",
     "code_metrics_corpus",
 )
 

@@ -245,6 +245,85 @@ def generate_corpus(
     return CorpusTables(files, truth_pairs, truth_clusters, groups)
 
 
+_TYPED_STMT_TEMPLATES = [
+    "{v0} = {v1} + {n0};",
+    "{f0} = {f1} * {x0} - {v0};",
+    "{a0}[{v0} % 8] = {a0}[{n0} % 8] + {v1};",
+    "{f0} = {a1}[{n0} % 8] / {x0};",
+    "{v0} = (int) {f0} + {n1};",
+    "{v0} = *{p0} + {n0};",
+    "*{p0} = {v1} - {n1};",
+    "if ({v0} > {n0} && {f0} < {x0}) {{ {v1} = {v1} - {n1}; }} else {{ {f1} = {x0}; }}",
+    "for (int {v3} = 0; {v3} < {n0} % 9 + 1; {v3}++) {{ {a0}[{v3} % 8] = {v0} + {v3}; }}",
+    "while ({f0} < {x0}) {{ {f0} = {f0} + 1.5; }}",
+    "switch ({v0} % 4) {{ case 1: {v1} = {n0}; case 2: {f0} = {x0}; break; default: {v1} = 0; }}",
+    "{v0} = scale_it({f0}) > {n0} ? {v1} : {n1};",
+    "{v0} += {n0};",
+    "do {{ {v0} = {v0} - 1; }} while ({v0} > {n1});",
+]
+
+
+def generate_typed_corpus(
+    n_files: int = 40, seed: int = 42
+) -> pa.Table:
+    """Deterministic corpus for the TYPED sequence path (M9
+    ``-opnodetype``/``-arrtype``): every file stays inside the
+    ``functions/ctree.py`` parser subset while exercising the type
+    rules — int/double mixes, arrays (``-arrtype`` element types),
+    pointers, casts, bool contexts, switch fall-through, and a
+    same-file ``double``-returning callee so call-site conversions
+    have a declared return type.  Same (repo, path, commit, lang,
+    content) shape as ``generate_corpus``."""
+    rng = random.Random(seed)
+    repos, paths, commits, langs, contents = [], [], [], [], []
+    for idx in range(n_files):
+        names = rng.sample(_NAME_POOL, 4)
+        fl = [n + "_f" for n in rng.sample(_NAME_POOL, 2)]
+        lines = [
+            "double scale_it(double x) { return x * 1.5; }",
+            "",
+            f"int typed{idx}(int {names[0]}, double {fl[0]}) {{",
+            f"    int {names[1]} = {rng.randint(0, 9)};",
+            f"    int {names[2]} = {rng.randint(0, 9)};",
+            f"    double {fl[1]} = {rng.randint(1, 9)}.5;",
+            f"    int {names[3]}[8];",
+            f"    int *ptr = &{names[1]};",
+        ]
+        env = {
+            "v0": names[rng.randrange(3)], "v1": names[rng.randrange(3)],
+            "v3": "i" + str(rng.randrange(99)),
+            "f0": fl[0], "f1": fl[1],
+            "a0": names[3], "a1": names[3],
+            "p0": "ptr",
+            "n0": rng.randint(1, 99), "n1": rng.randint(1, 99),
+            "x0": f"{rng.randint(1, 9)}.25",
+        }
+        for _ in range(rng.randint(6, 14)):
+            t = rng.choice(_TYPED_STMT_TEMPLATES)
+            env["v0"] = names[rng.randrange(3)]
+            env["v1"] = names[rng.randrange(3)]
+            env["n0"] = rng.randint(1, 99)
+            env["n1"] = rng.randint(1, 99)
+            lines.append("    " + t.format(**env))
+        lines.append(f"    return {names[1]};")
+        lines.append("}")
+        content = "\n".join(lines)
+        repos.append(f"org{idx % 7:02d}/typed")
+        paths.append(f"src/typed{idx}." + ("c" if idx % 3 == 0 else "cpp"))
+        commits.append(hashlib.sha256(content.encode()).hexdigest()[:40])
+        langs.append("c" if idx % 3 == 0 else "cpp")
+        contents.append(content)
+    return pa.table(
+        {
+            "repo": pa.array(repos, pa.string()),
+            "path": pa.array(paths, pa.string()),
+            "commit": pa.array(commits, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "content": pa.array(contents, pa.string()),
+        }
+    )
+
+
 def write_corpus(tables: CorpusTables, out_dir: str) -> None:
     import os
     import pyarrow.parquet as pq

@@ -1,0 +1,1037 @@
+"""Typed C-subset AST frontend — the real-parse-tree seam for M9's
+``-opnodetype`` / ``-arrtype`` sequence options.
+
+Those two reference flags append each operator / array-subscript
+node's Clang-computed expression TYPE to its dumped name
+(``NodeTravesal.cpp:91-135``) — information a regex lexer cannot
+produce, which is why ``SequenceActor`` fail-fast-skipped them for
+three rounds.  No parser package (tree-sitter, clang) is installable
+in this environment, so this module is a from-scratch recursive-
+descent parser producing a REAL parse tree with declared-symbol type
+inference for the C/C++ subset the clone corpus speaks.
+
+Reference semantics mirrored on the tree:
+
+* ``FixedChecker`` simplification (``FixedChecker.cpp:12-427``):
+  compound → ``FixedCompoundStatement`` with loop pre-init hoist;
+  if/else → ``FixedSelectionStatement`` units with the synthesized
+  ``!cond`` else expression; switch → fall-through unit sharing,
+  top-level-break flush, stacked-label or-merge, destructive default
+  cond, pre-case / case-less-default drops; for/while/do →
+  ``FixedLoopStatement`` with the for-inc appended to the body
+  compound; empty-bodied units dropped (``DeepSimplifySelection``,
+  FixedChecker.cpp:342-345).
+* ``NodeTravesal`` serialization (``NodeTravesal.cpp:3-243``):
+  ``GetNodeName`` suppressions (DeclRefExpr / ImplicitCastExpr → "";
+  ≤1-child FixedCompoundStatement → ""), ``DeclStmt_Single`` /
+  ``DeclStmt_Group``, the ``-opnodediff -noliteral -nodecl
+  -nodeclstmt -noarrayexpr`` switches, pre-order (type 0) and
+  post-order (type 2) dumps, and the two TYPE suffix flags:
+  ``-opnodetype`` on Binary/UnaryOperator and ``-arrtype`` on
+  ArraySubscriptExpr — ``_Bool`` / ``_Integer`` / ``_FloatingPoint``
+  for builtins, else the type-class name (``_Pointer``,
+  ``_ConstantArray``, ...).
+
+Type rules (Clang semantics for the subset):
+
+* comparisons and logical ops are ``bool`` in C++ and ``int`` in C
+  (``isBooleanType`` is only ever true for C++ input);
+* usual arithmetic conversions (either side floating → floating);
+* assignment / compound assignment takes the LHS type;
+* subscript yields the element type; unary ``*`` the pointee;
+  unary ``&`` a pointer; arrays decay to pointers as operands;
+* calls take the declared return type from the same-file function
+  table (Clang's per-TU visibility), else ``int``;
+* UNKNOWN identifiers and member accesses default to ``int`` — the
+  documented divergence from a whole-program frontend, pinned by the
+  golden sequences.
+
+Constructs outside the subset (templates, lambdas, class bodies,
+goto labels, preprocessor conditionals mid-statement...) raise
+``ParseUnsupported``; callers skip the file loudly rather than emit
+approximate types.
+"""
+
+from __future__ import annotations
+
+from .words import (
+    C_TYPES,
+    IDENT,
+    INT,
+    FLOAT,
+    STRING,
+    OP,
+    tokenize_spans,
+)
+
+__all__ = [
+    "ParseUnsupported",
+    "Node",
+    "parse_translation_unit",
+    "simplify",
+    "serialize",
+    "typed_blocks",
+]
+
+
+class ParseUnsupported(Exception):
+    """Source uses a construct outside the typed-parser subset."""
+
+
+# --- types ----------------------------------------------------------------
+# ("b",) bool | ("i",) integer | ("f",) floating | ("v",) void
+# ("p", inner) pointer | ("a", inner) constant array | ("rec",) record
+
+T_BOOL = ("b",)
+T_INT = ("i",)
+T_FLOAT = ("f",)
+T_VOID = ("v",)
+
+_FLOAT_BASES = {"float", "double"}
+_VOID_BASES = {"void"}
+
+
+def _suffix(ty: tuple) -> str:
+    """The reference's name suffix for a type
+    (``NodeTravesal.cpp:96-112``: builtin bool/int/float get semantic
+    names, everything else the TypeClass name)."""
+    tag = ty[0]
+    if tag == "b":
+        return "_Bool"
+    if tag == "i":
+        return "_Integer"
+    if tag == "f":
+        return "_FloatingPoint"
+    if tag == "p":
+        return "_Pointer"
+    if tag == "a":
+        return "_ConstantArray"
+    if tag == "rec":
+        return "_Record"
+    return "_Builtin"  # void & other builtins: not bool/int/float
+
+
+def _arith(a: tuple, b: tuple) -> tuple:
+    """Usual arithmetic conversions over the subset; pointer
+    arithmetic keeps the pointer."""
+    if a[0] == "p" or a[0] == "a":
+        return ("p", a[1]) if a[0] == "a" else a
+    if b[0] == "p" or b[0] == "a":
+        return ("p", b[1]) if b[0] == "a" else b
+    if a[0] == "f" or b[0] == "f":
+        return T_FLOAT
+    return T_INT
+
+
+def _decay(ty: tuple) -> tuple:
+    return ("p", ty[1]) if ty[0] == "a" else ty
+
+
+class Node:
+    """One parse-tree node.  ``kind`` is the Clang StmtClass-style
+    name the serializer dumps; ``ty`` the inferred expression type
+    (None for statements); ``op`` the operator spelling for
+    Binary/Unary/CompoundAssign; ``span`` (begin, end) char offsets
+    for the fingerprint gates."""
+
+    __slots__ = ("kind", "kids", "ty", "op", "span", "units", "gen_fp")
+
+    def __init__(self, kind, kids=None, ty=None, op=None, span=(0, 0)):
+        self.kind = kind
+        self.kids = kids if kids is not None else []
+        self.ty = ty
+        self.op = op
+        self.span = span
+        self.units = None  # FixedSelection: list[(expr, body)]
+        self.gen_fp = True
+
+    def __repr__(self):  # debug only
+        return f"<{self.kind}{'' if not self.op else ' ' + self.op}>"
+
+
+_ASSIGN_OPS = {"=", "+=", "-=", "*=", "/=", "%=", "&=", "|=", "^=",
+               "<<=", ">>="}
+_EQ_OPS = {"==", "!="}
+_REL_OPS = {"<", ">", "<=", ">="}
+_SHIFT_OPS = {"<<", ">>"}
+_ADD_OPS = {"+", "-"}
+_MUL_OPS = {"*", "/", "%"}
+_UNSUPPORTED_KEYWORDS = {
+    "template", "typename", "class", "namespace", "using", "goto",
+    "try", "catch", "throw", "new", "delete", "typedef", "union",
+    "enum", "operator", "virtual", "override", "public", "private",
+    "protected",
+}
+_QUALIFIERS = {"const", "static", "volatile", "register", "extern",
+               "inline", "signed", "unsigned", "auto"}
+
+
+class _Parser:
+    def __init__(self, src: str, lang: str = "cpp"):
+        self.toks, self.spans = tokenize_spans(src)
+        self.n = len(self.toks)
+        self.i = 0
+        self.lang = lang
+        # comparisons / logical ops: bool in C++, int in C
+        self.bool_t = T_INT if lang == "c" else T_BOOL
+        self.scopes: list[dict] = [{}]
+        self.funcs: dict[str, tuple] = {}
+
+    # -- token helpers --
+    def peek(self, k: int = 0):
+        j = self.i + k
+        return self.toks[j] if j < self.n else (None, None)
+
+    def at(self, text: str) -> bool:
+        return self.peek()[1] == text
+
+    def eat(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, text: str):
+        if not self.at(text):
+            raise ParseUnsupported(
+                f"expected {text!r} got {self.peek()[1]!r} @tok {self.i}"
+            )
+        return self.eat()
+
+    def span_from(self, i0: int) -> tuple:
+        if i0 >= self.n:
+            return (0, 0)
+        end = self.spans[min(self.i, self.n) - 1][1] if self.i > i0 else \
+            self.spans[i0][1]
+        return (self.spans[i0][0], end)
+
+    # -- scopes --
+    def push(self):
+        self.scopes.append({})
+
+    def pop(self):
+        self.scopes.pop()
+
+    def declare(self, name: str, ty: tuple):
+        self.scopes[-1][name] = ty
+
+    def lookup(self, name: str) -> tuple:
+        for sc in reversed(self.scopes):
+            if name in sc:
+                return sc[name]
+        return T_INT  # documented default
+
+    # -- type specifiers --
+    def _is_type_start(self) -> bool:
+        kind, text = self.peek()
+        return kind == IDENT and (text in C_TYPES or text == "struct")
+
+    def parse_type(self) -> tuple:
+        """[qualifiers] base [base...] [*]* — returns the base type
+        (pointer stars are part of the declarator)."""
+        base = None
+        seen = False
+        while True:
+            kind, text = self.peek()
+            if kind != IDENT:
+                break
+            if text in _QUALIFIERS:
+                self.eat()
+                seen = True
+                if base is None and text == "unsigned":
+                    base = T_INT
+                continue
+            if text == "struct":
+                self.eat()
+                if self.peek()[0] == IDENT:
+                    self.eat()
+                base = ("rec",)
+                seen = True
+                continue
+            if text in C_TYPES:
+                self.eat()
+                seen = True
+                if text in _FLOAT_BASES:
+                    base = T_FLOAT
+                elif text in _VOID_BASES:
+                    base = T_VOID
+                elif text == "bool":
+                    base = self.bool_t if self.lang != "c" else T_INT
+                elif base is None:
+                    base = T_INT
+                continue
+            break
+        if not seen:
+            raise ParseUnsupported("not a type")
+        return base if base is not None else T_INT
+
+    def parse_declarator(self, base: tuple) -> tuple[str, tuple]:
+        ty = base
+        while self.at("*"):
+            self.eat()
+            ty = ("p", ty)
+        while self.at("&"):  # C++ reference: type-transparent here
+            self.eat()
+        kind, name = self.peek()
+        if kind != IDENT or name in C_TYPES:
+            raise ParseUnsupported(f"bad declarator at {name!r}")
+        self.eat()
+        while self.at("["):
+            self.eat()
+            if not self.at("]"):
+                self.parse_expr()  # size expr (type irrelevant)
+            self.expect("]")
+            ty = ("a", ty)
+        return name, ty
+
+    # -- expressions (precedence climbing) --
+    def parse_expr(self) -> Node:
+        return self.parse_comma()
+
+    def parse_comma(self) -> Node:
+        node = self.parse_assign()
+        while self.at(","):
+            i0 = self.i
+            self.eat()
+            rhs = self.parse_assign()
+            node = Node("BinaryOperator", [node, rhs], rhs.ty, ",",
+                        (node.span[0], rhs.span[1]))
+            del i0
+        return node
+
+    def parse_assign(self) -> Node:
+        lhs = self.parse_ternary()
+        kind, text = self.peek()
+        if kind == OP and text in _ASSIGN_OPS:
+            self.eat()
+            rhs = self.parse_assign()
+            k = ("BinaryOperator" if text == "="
+                 else "CompoundAssignOperator")
+            return Node(k, [lhs, rhs], lhs.ty, text,
+                        (lhs.span[0], rhs.span[1]))
+        return lhs
+
+    def parse_ternary(self) -> Node:
+        cond = self.parse_binary(0)
+        if self.at("?"):
+            self.eat()
+            a = self.parse_assign()
+            self.expect(":")
+            b = self.parse_ternary()
+            ty = _arith(a.ty, b.ty) if a.ty != b.ty else a.ty
+            return Node("ConditionalOperator", [cond, a, b], ty, None,
+                        (cond.span[0], b.span[1]))
+        return cond
+
+    _LEVELS = (
+        ("||",), ("&&",), ("|",), ("^",), ("&",),
+        _EQ_OPS, _REL_OPS, _SHIFT_OPS, _ADD_OPS, _MUL_OPS,
+    )
+
+    def parse_binary(self, lvl: int) -> Node:
+        if lvl >= len(self._LEVELS):
+            return self.parse_unary()
+        ops = self._LEVELS[lvl]
+        node = self.parse_binary(lvl + 1)
+        while True:
+            kind, text = self.peek()
+            if kind != OP or text not in ops:
+                return node
+            self.eat()
+            rhs = self.parse_binary(lvl + 1)
+            if text in ("&&", "||") or text in _EQ_OPS or text in _REL_OPS:
+                ty = self.bool_t
+            elif text in _SHIFT_OPS:
+                ty = _decay(node.ty)
+            else:
+                ty = _arith(_decay(node.ty), _decay(rhs.ty))
+            node = Node("BinaryOperator", [node, rhs], ty, text,
+                        (node.span[0], rhs.span[1]))
+
+    def parse_unary(self) -> Node:
+        kind, text = self.peek()
+        i0 = self.i
+        if kind == OP and text in ("!", "~", "-", "+", "++", "--", "*", "&"):
+            self.eat()
+            sub = self.parse_unary()
+            if text == "!":
+                ty = self.bool_t
+            elif text == "*":
+                t = _decay(sub.ty)
+                ty = t[1] if t[0] == "p" else T_INT
+            elif text == "&":
+                ty = ("p", sub.ty)
+            elif text == "~":
+                ty = T_INT
+            else:
+                ty = _decay(sub.ty)
+            return Node("UnaryOperator", [sub], ty, text,
+                        self.span_from(i0))
+        if kind == IDENT and text == "sizeof":
+            self.eat()
+            if self.at("("):
+                self.eat()
+                if self._is_type_start():
+                    self.parse_type()
+                    while self.at("*"):
+                        self.eat()
+                else:
+                    self.parse_expr()
+                self.expect(")")
+            else:
+                self.parse_unary()
+            return Node("UnaryExprOrTypeTraitExpr", [], T_INT, None,
+                        self.span_from(i0))
+        # cast: '(' type ')' unary
+        if kind == OP and text == "(":
+            save = self.i
+            self.eat()
+            try:
+                ty = self.parse_type()
+                while self.at("*"):
+                    self.eat()
+                    ty = ("p", ty)
+                self.expect(")")
+                sub = self.parse_unary()
+                return Node("CStyleCastExpr", [sub], ty, None,
+                            self.span_from(i0))
+            except ParseUnsupported:
+                self.i = save
+        return self.parse_postfix()
+
+    def parse_postfix(self) -> Node:
+        node = self.parse_primary()
+        while True:
+            kind, text = self.peek()
+            if kind != OP:
+                return node
+            if text == "(":
+                self.eat()
+                args = []
+                if not self.at(")"):
+                    args.append(self.parse_assign())
+                    while self.at(","):
+                        self.eat()
+                        args.append(self.parse_assign())
+                self.expect(")")
+                # callee name → declared return type, else int
+                ty = T_INT
+                if node.kind == "DeclRefExpr" and node.op in self.funcs:
+                    ty = self.funcs[node.op]
+                node = Node("CallExpr", [node] + args, ty, None,
+                            (node.span[0], self.spans[self.i - 1][1]))
+            elif text == "[":
+                self.eat()
+                idx = self.parse_expr()
+                self.expect("]")
+                t = _decay(node.ty)
+                ty = t[1] if t[0] in ("p", "a") else T_INT
+                node = Node("ArraySubscriptExpr", [node, idx], ty, None,
+                            (node.span[0], self.spans[self.i - 1][1]))
+            elif text in (".", "->", "->*"):
+                self.eat()
+                kind2, name = self.peek()
+                if kind2 != IDENT:
+                    raise ParseUnsupported("member name expected")
+                self.eat()
+                # member types unknown in the subset → int default
+                node = Node("MemberExpr", [node], T_INT, name,
+                            (node.span[0], self.spans[self.i - 1][1]))
+            elif text in ("++", "--"):
+                self.eat()
+                node = Node("UnaryOperator", [node], _decay(node.ty),
+                            text, (node.span[0],
+                                   self.spans[self.i - 1][1]))
+            else:
+                return node
+
+    def parse_primary(self) -> Node:
+        kind, text = self.peek()
+        i0 = self.i
+        if kind is None:
+            raise ParseUnsupported("eof in expression")
+        if kind == INT:
+            self.eat()
+            return Node("IntegerLiteral", [], T_INT, None,
+                        self.span_from(i0))
+        if kind == FLOAT:
+            self.eat()
+            return Node("FloatingLiteral", [], T_FLOAT, None,
+                        self.span_from(i0))
+        if kind == STRING:
+            self.eat()
+            return Node("StringLiteral", [], ("a", T_INT), None,
+                        self.span_from(i0))
+        if kind == "chr":
+            self.eat()
+            return Node("CharacterLiteral", [], T_INT, None,
+                        self.span_from(i0))
+        if kind == OP and text == "(":
+            self.eat()
+            inner = self.parse_expr()
+            self.expect(")")
+            return Node("ParenExpr", [inner], inner.ty, None,
+                        self.span_from(i0))
+        if kind == IDENT:
+            if text in _UNSUPPORTED_KEYWORDS:
+                raise ParseUnsupported(f"keyword {text!r}")
+            if text in ("true", "false"):
+                self.eat()
+                return Node("CXXBoolLiteralExpr", [], self.bool_t,
+                            None, self.span_from(i0))
+            if text in ("nullptr", "NULL"):
+                self.eat()
+                return Node("CXXNullPtrLiteralExpr", [], ("p", T_VOID),
+                            None, self.span_from(i0))
+            self.eat()
+            return Node("DeclRefExpr", [], self.lookup(text), text,
+                        self.span_from(i0))
+        raise ParseUnsupported(f"primary at {text!r}")
+
+    # -- statements --
+    def parse_stmt(self) -> Node:
+        kind, text = self.peek()
+        i0 = self.i
+        if kind == OP and text == "{":
+            return self.parse_compound()
+        if kind == OP and text == ";":
+            self.eat()
+            return Node("NullStmt", [], None, None, self.span_from(i0))
+        if kind == IDENT:
+            if text in _UNSUPPORTED_KEYWORDS:
+                raise ParseUnsupported(f"stmt keyword {text!r}")
+            if text == "if":
+                return self.parse_if()
+            if text == "switch":
+                return self.parse_switch()
+            if text == "for":
+                return self.parse_for()
+            if text == "while":
+                return self.parse_while()
+            if text == "do":
+                return self.parse_do()
+            if text == "return":
+                self.eat()
+                kids = []
+                if not self.at(";"):
+                    kids = [self.parse_expr()]
+                self.expect(";")
+                return Node("ReturnStmt", kids, None, None,
+                            self.span_from(i0))
+            if text in ("break", "continue"):
+                self.eat()
+                self.expect(";")
+                k = "BreakStmt" if text == "break" else "ContinueStmt"
+                return Node(k, [], None, None, self.span_from(i0))
+            if self._is_type_start():
+                return self.parse_decl_stmt()
+        node = self.parse_expr()
+        self.expect(";")
+        return Node("ExprStmtWrap", [node], None, None,
+                    (node.span[0], self.spans[self.i - 1][1]))
+
+    def parse_decl_stmt(self) -> Node:
+        i0 = self.i
+        base = self.parse_type()
+        decls = []
+        while True:
+            name, ty = self.parse_declarator(base)
+            self.declare(name, ty)
+            kids = []
+            if self.at("="):
+                self.eat()
+                kids = [self.parse_assign()]
+            elif self.at("{"):  # brace init
+                self.eat()
+                if not self.at("}"):
+                    kids = [self.parse_assign()]
+                    while self.at(","):
+                        self.eat()
+                        kids.append(self.parse_assign())
+                self.expect("}")
+            decls.append(Node("VarDecl", kids, ty, name))
+            if self.at(","):
+                self.eat()
+                continue
+            break
+        self.expect(";")
+        return Node("DeclStmt", decls, None, None, self.span_from(i0))
+
+    def parse_compound(self) -> Node:
+        i0 = self.i
+        self.expect("{")
+        self.push()
+        kids = []
+        while not self.at("}"):
+            if self.peek()[0] is None:
+                raise ParseUnsupported("eof in compound")
+            kids.append(self.parse_stmt())
+        self.expect("}")
+        self.pop()
+        return Node("CompoundStmt", kids, None, None, self.span_from(i0))
+
+    def parse_if(self) -> Node:
+        i0 = self.i
+        self.expect("if")
+        self.expect("(")
+        cond = self.parse_expr()
+        self.expect(")")
+        then = self.parse_stmt()
+        kids = [cond, then]
+        if self.at("else"):
+            self.eat()
+            kids.append(self.parse_stmt())
+        return Node("IfStmt", kids, None, None, self.span_from(i0))
+
+    def parse_switch(self) -> Node:
+        i0 = self.i
+        self.expect("switch")
+        self.expect("(")
+        cond = self.parse_expr()
+        self.expect(")")
+        self.expect("{")
+        self.push()
+        # body children in Clang shape: CaseStmt wraps its stacked
+        # labels and FIRST statement; later stmts are siblings
+        kids: list[Node] = []
+        while not self.at("}"):
+            k2, t2 = self.peek()
+            if k2 is None:
+                raise ParseUnsupported("eof in switch")
+            if k2 == IDENT and t2 == "case":
+                j0 = self.i
+                self.eat()
+                val = self.parse_ternary()
+                self.expect(":")
+                case = Node("CaseStmt", [val], None, None,
+                            self.span_from(j0))
+                node = case
+                while self.peek()[1] == "case":
+                    self.eat()
+                    v2 = self.parse_ternary()
+                    self.expect(":")
+                    inner = Node("CaseStmt", [v2], None, None,
+                                 self.span_from(j0))
+                    node.kids.append(inner)
+                    node = inner
+                if not self.at("}") and self.peek()[1] not in (
+                        "case", "default"):
+                    node.kids.append(self.parse_stmt())
+                kids.append(case)
+            elif k2 == IDENT and t2 == "default":
+                j0 = self.i
+                self.eat()
+                self.expect(":")
+                dflt = Node("DefaultStmt", [], None, None,
+                            self.span_from(j0))
+                if not self.at("}") and self.peek()[1] not in (
+                        "case", "default"):
+                    dflt.kids.append(self.parse_stmt())
+                kids.append(dflt)
+            else:
+                kids.append(self.parse_stmt())
+        self.expect("}")
+        self.pop()
+        body = Node("CompoundStmt", kids, None, None, self.span_from(i0))
+        return Node("SwitchStmt", [cond, body], None, None,
+                    self.span_from(i0))
+
+    def parse_for(self) -> Node:
+        i0 = self.i
+        self.expect("for")
+        self.expect("(")
+        self.push()
+        init = None
+        if not self.at(";"):
+            if self._is_type_start():
+                init = self.parse_decl_stmt()  # consumes ';'
+            else:
+                e = self.parse_expr()
+                self.expect(";")
+                init = Node("ExprStmtWrap", [e], None, None, e.span)
+        else:
+            self.eat()
+        cond = None
+        if not self.at(";"):
+            cond = self.parse_expr()
+        self.expect(";")
+        inc = None
+        if not self.at(")"):
+            inc = self.parse_expr()
+        self.expect(")")
+        body = self.parse_stmt()
+        self.pop()
+        node = Node("ForStmt", [], None, None, self.span_from(i0))
+        node.units = (init, cond, inc, body)  # reuse slot pre-simplify
+        return node
+
+    def parse_while(self) -> Node:
+        i0 = self.i
+        self.expect("while")
+        self.expect("(")
+        cond = self.parse_expr()
+        self.expect(")")
+        body = self.parse_stmt()
+        return Node("WhileStmt", [cond, body], None, None,
+                    self.span_from(i0))
+
+    def parse_do(self) -> Node:
+        i0 = self.i
+        self.expect("do")
+        body = self.parse_stmt()
+        self.expect("while")
+        self.expect("(")
+        cond = self.parse_expr()
+        self.expect(")")
+        self.expect(";")
+        return Node("DoStmt", [cond, body], None, None,
+                    self.span_from(i0))
+
+    # -- top level --
+    def parse_translation_unit(self) -> Node:
+        """Functions and globals.  First pass registers the function
+        return types (Clang sees the whole TU before codegen-order
+        doesn't matter for our serialization — declarations are in
+        source order, but calls to later-defined functions resolve in
+        real C via prototypes; the subset resolves them greedily)."""
+        funcs = []
+        while self.peek()[0] is not None:
+            funcs.append(self.parse_top_decl())
+        return Node("TranslationUnit", funcs, None, None,
+                    (0, self.spans[-1][1] if self.spans else 0))
+
+    def parse_top_decl(self) -> Node:
+        i0 = self.i
+        base = self.parse_type()
+        ty = base
+        while self.at("*"):
+            self.eat()
+            ty = ("p", ty)
+        kind, name = self.peek()
+        if kind != IDENT:
+            raise ParseUnsupported("declarator expected at top level")
+        self.eat()
+        if self.at("("):
+            self.eat()
+            self.funcs[name] = ty
+            self.push()
+            params = []
+            if not self.at(")"):
+                while True:
+                    pbase = self.parse_type()
+                    pname, pty = self.parse_declarator(pbase)
+                    self.declare(pname, pty)
+                    params.append(Node("ParmVarDecl", [], pty, pname))
+                    if self.at(","):
+                        self.eat()
+                        continue
+                    break
+            self.expect(")")
+            if self.at(";"):  # prototype
+                self.eat()
+                self.pop()
+                return Node("FunctionProto", params, ty, name,
+                            self.span_from(i0))
+            body = self.parse_compound()
+            self.pop()
+            fn = Node("FunctionDecl", params + [body], ty, name,
+                      self.span_from(i0))
+            return fn
+        # global variable(s): rewind and reuse decl-stmt parsing
+        self.i = i0
+        return self.parse_decl_stmt()
+
+
+def parse_translation_unit(src: str, lang: str = "cpp") -> Node:
+    return _Parser(src, lang).parse_translation_unit()
+
+
+# --- FixedChecker simplification on the tree ------------------------------
+
+K_COMP = "FixedCompoundStmtClass"
+K_SEL = "FixedSelectionStmtClass"
+K_LOOP = "FixedLoopStmtClass"
+
+
+def _wrap(stmt: Node) -> Node:
+    """``CheckStmtLoopPreInitForward`` (FixedChecker.cpp:394-427):
+    compounds pass through; a loop with a pending pre-init gets a new
+    compound [preInit, loop]; anything else wraps in a compound.
+    Synthesized wrappers keep ``gen_fp`` (FixedNode.h:77 defaults
+    true; only switch units clear it)."""
+    if stmt.kind == K_COMP:
+        return stmt
+    if stmt.kind == K_LOOP and stmt.op is not None:
+        pre = stmt.op  # preInit parked on .op by the for-case
+        stmt.op = None
+        return Node(K_COMP, [pre, stmt], span=stmt.span)
+    return Node(K_COMP, [stmt], span=stmt.span)
+
+
+def _not(expr: Node) -> Node:
+    n = Node("UnaryOperator", [expr], T_BOOL, "!", expr.span)
+    return n
+
+
+def _eq(cond: Node, val: Node) -> Node:
+    return Node("BinaryOperator", [cond, val], T_BOOL, "==",
+                (cond.span[0], val.span[1]))
+
+
+def simplify(node: Node, lang: str = "cpp") -> Node:
+    """Bottom-up ``FixedSimplifier::Simplify`` — children first, then
+    the node itself (FixedChecker.cpp:12-28)."""
+    bool_t = T_INT if lang == "c" else T_BOOL
+
+    def _fix_one(n: Node) -> Node:
+        if n.kind == "CompoundStmt":
+            comp = Node(K_COMP, [], span=n.span)
+            for child in n.kids:
+                if child.kind == K_LOOP and child.op is not None:
+                    comp.kids.append(child.op)  # preInit hoist
+                    child.op = None
+                comp.kids.append(child)
+            return comp
+        if n.kind == "IfStmt":
+            sel = Node(K_SEL, [], span=n.span)
+            sel.units = []
+            cond, then = n.kids[0], n.kids[1]
+            tw = _wrap(then)
+            if tw.kids:  # DeepSimplifySelection empty drop
+                sel.units.append((cond, tw))
+            if len(n.kids) > 2:
+                ew = _wrap(n.kids[2])
+                if ew.kids:
+                    neg = _not(cond)
+                    neg.ty = bool_t
+                    sel.units.append((neg, ew))
+            return sel
+        if n.kind == "SwitchStmt":
+            return _fix_switch(n, bool_t)
+        if n.kind == "WhileStmt" or n.kind == "DoStmt":
+            return Node(K_LOOP, [n.kids[0], _wrap(n.kids[1])],
+                        span=n.span)
+        if n.kind == "ExprStmtWrap":
+            return n.kids[0]
+        return n
+
+    def _fix_switch(n: Node, bool_t: tuple) -> Node:
+        """SimplifySwitchStatement (FixedChecker.cpp:114-238) on the
+        Clang-shaped tree — the same event semantics as the word
+        walker's ``_replay_switch``, with real shared nodes."""
+        cond, body = n.kids
+        sel = Node(K_SEL, [], span=n.span)
+        sel.units = []
+        waiting: list[Node] = []   # unit body compounds
+        unit_of: dict[int, tuple] = {}
+        all_expr: list[Node] = []
+
+        def handle_normal(stmt: Node) -> None:
+            pre = None
+            if stmt.kind == K_LOOP and stmt.op is not None:
+                pre = stmt.op
+                stmt.op = None
+            for comp in waiting:
+                if pre is not None:
+                    comp.kids.append(pre)
+                comp.kids.append(stmt)  # SHARED node across units
+
+        def flush() -> None:
+            for comp in waiting:
+                if comp.kids:
+                    sel.units.append(unit_of[id(comp)])
+            waiting.clear()
+
+        for child in body.kids:
+            if child.kind == "CaseStmt":
+                eqs = []
+                cur = child
+                normal = None
+                while True:
+                    eqs.append(_eq_t(cond, cur.kids[0], bool_t))
+                    rest = cur.kids[1] if len(cur.kids) > 1 else None
+                    if rest is None:
+                        break
+                    if rest.kind == "CaseStmt":
+                        cur = rest
+                    else:
+                        normal = rest
+                        break
+                cexpr = eqs[-1]
+                for e in reversed(eqs[:-1]):
+                    cexpr = Node("BinaryOperator", [cexpr, e], bool_t,
+                                 "|", (e.span[0], cexpr.span[1]))
+                comp = Node(K_COMP, [], span=body.span)
+                comp.gen_fp = False
+                all_expr.append(cexpr)
+                waiting.append(comp)
+                unit_of[id(comp)] = (cexpr, comp)
+                if normal is not None:
+                    handle_normal(normal)
+            elif child.kind == "DefaultStmt":
+                if all_expr:
+                    acc = all_expr[-1]
+                    for e in reversed(all_expr[:-1]):
+                        acc = Node("BinaryOperator", [acc, e], bool_t,
+                                   "&", acc.span)
+                    all_expr.clear()
+                    neg = _not(acc)
+                    neg.ty = bool_t
+                    comp = Node(K_COMP, [], span=body.span)
+                    comp.gen_fp = False
+                    waiting.append(comp)
+                    unit_of[id(comp)] = (neg, comp)
+                    if child.kids:
+                        handle_normal(child.kids[0])
+            elif child.kind == "BreakStmt":
+                flush()
+            else:
+                handle_normal(child)
+        flush()
+        return sel
+
+    def _eq_t(cond: Node, val: Node, bool_t: tuple) -> Node:
+        e = _eq(cond, val)
+        e.ty = bool_t
+        return e
+
+    def fix(n: Node) -> Node:
+        if n.kind == "ForStmt":
+            # SimplifyForStatement (FixedChecker.cpp:240-264): cond →
+            # m_expr, inc appended INTO the body compound, init parked
+            # as m_preInit for the parent compound hoist / the
+            # CheckStmtLoopPreInitForward wrap
+            init, cond, inc, body = n.units
+            n.units = None
+            init = fix(init) if init else None
+            cond = fix(cond) if cond else None
+            inc = fix(inc) if inc else None
+            bw = _wrap(fix(body))
+            if inc is not None:
+                bw.kids.append(inc)
+            loop = Node(K_LOOP, [cond, bw], span=n.span)
+            loop.op = init  # preInit parked for the parent hoist
+            return loop
+        n.kids = [fix(k) for k in n.kids]
+        return _fix_one(n)
+
+    return fix(node)
+
+
+# --- NodeTravesal serialization -------------------------------------------
+
+_LITERALS = {"IntegerLiteral", "CharacterLiteral", "StringLiteral",
+             "FloatingLiteral"}
+_SUPPRESSED = {"DeclRefExpr", "TranslationUnit", "ExprStmtWrap",
+               "FunctionProto"}
+
+
+def _node_name(n: Node, opts: dict) -> str:
+    """``GetNodeName`` (NodeTravesal.cpp:11-139)."""
+    k = n.kind
+    if k in _SUPPRESSED:
+        return ""
+    if k == "ArraySubscriptExpr":
+        if opts.get("no_array_expr"):
+            return ""
+        name = k
+        if opts.get("arr_type"):
+            name += _suffix(n.ty)
+        return name
+    if k in _LITERALS and opts.get("no_literal"):
+        return ""
+    if k == "DeclStmt":
+        if opts.get("no_decl_stmt"):
+            return ""
+        return ("DeclStmt_Single" if len(n.kids) == 1
+                else "DeclStmt_Group")
+    if k == K_COMP:
+        # sequence dump suppresses trivial compounds
+        # (NodeTravesal.cpp:46-53)
+        if len(n.kids) <= 1:
+            return ""
+        return k
+    if k in (K_SEL, K_LOOP):
+        return k
+    if k in ("VarDecl", "ParmVarDecl", "FunctionDecl"):
+        return "" if opts.get("no_decl") else (
+            "VarDecl" if k != "FunctionDecl" else "FunctionDecl")
+    name = k
+    if k in ("BinaryOperator", "UnaryOperator"):
+        # CompoundAssignOperator's StmtClass is NOT BinaryOperatorClass,
+        # so BOTH suffix flags skip it (NodeTravesal.cpp:58-66, 92-135)
+        if opts.get("op_node_diff", True):
+            name += "_" + (n.op or "")
+        if opts.get("op_node_type"):
+            name += _suffix(n.ty)
+    return name
+
+
+def _children(n: Node):
+    if n.kind == K_SEL:
+        for expr, body in n.units:
+            yield expr
+            yield body
+    elif n.kind == "DeclStmt":
+        # Clang shape: the decl GROUP serializes first (names only —
+        # TravesalAST(Decl) does not recurse, NodeTravesal.cpp:233-238),
+        # then Stmt children = the initializer exprs via StmtIterator
+        for d in n.kids:
+            yield Node(d.kind, [], d.ty, d.op, d.span)
+        for d in n.kids:
+            for init in d.kids:
+                yield init
+    else:
+        for k in n.kids:
+            if k is not None:
+                yield k
+
+
+def serialize(n: Node, opts: dict, order: str = "pre",
+              out: list | None = None) -> list[str]:
+    """``TravesalAST`` type 0 (pre) / type 2 (post) — name token list
+    (whitespace-joined by callers; empty names drop)."""
+    if out is None:
+        out = []
+    name = _node_name(n, opts)
+    if order == "pre":
+        if name:
+            out.append(name)
+        for c in _children(n):
+            serialize(c, opts, order, out)
+    else:
+        for c in _children(n):
+            serialize(c, opts, order, out)
+        if name:
+            out.append(name)
+    return out
+
+
+def typed_blocks(src: str, lang: str = "cpp",
+                 char_boundary: int = 200,
+                 opts: dict | None = None) -> list[dict]:
+    """Parse + simplify + dump every fingerprint-generating block
+    (FixedCompound / FixedSelection / FixedLoop with ``gen_fp`` and a
+    char span above ``char_boundary`` — the FIXEDxxx_TOKEN_NUM
+    boundary gates, FixedNode.cpp:57-62).  Returns one dict per block
+    with pre/post sequences under ``opts``."""
+    opts = opts or {}
+    tree = simplify(parse_translation_unit(src, lang), lang)
+    blocks: list[dict] = []
+    counter = [0]
+
+    def visit(n: Node) -> None:
+        if n.kind in (K_COMP, K_SEL, K_LOOP):
+            span = n.span[1] - n.span[0]
+            if n.gen_fp and span > char_boundary:
+                blocks.append({
+                    "block_id": counter[0],
+                    "span": span,
+                    "preseq": " ".join(serialize(n, opts, "pre")),
+                    "postseq": " ".join(serialize(n, opts, "post")),
+                })
+            counter[0] += 1
+        for c in _children(n):
+            visit(c)
+
+    visit(tree)
+    return blocks

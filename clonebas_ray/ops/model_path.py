@@ -111,13 +111,12 @@ def _seq_word_filter(
     * the ``no_*`` switches drop literal / declaration / DeclStmt /
       array-subscript nodes entirely.
 
-    DOCUMENTED SKIP — ``-opnodetype`` / ``-arrtype``
-    (``NodeTravesal.cpp:33-43``): those two flags append the node's
-    Clang-computed expression TYPE to the name.  The regex lexer has
-    no type inference (the S2 stand-in seam), so the flags are
-    rejected explicitly rather than silently approximated; they
-    unblock together with a real parser frontend (see the walker
-    fidelity note in ``functions/words.py``).
+    ``-opnodetype`` / ``-arrtype`` (``NodeTravesal.cpp:91-135``)
+    append the node's Clang-computed expression TYPE to the name —
+    not computable from a word list.  Those two flags route
+    ``SequenceActor`` to the typed recursive-descent frontend
+    (``functions/ctree.py``: real parse tree + declared-symbol type
+    inference) instead of this filter; see ``typed_sequences``.
     """
     out: list[str] = []
     for w in words:
@@ -142,18 +141,50 @@ class SequenceActor:
     stream so sequences and fingerprints stay mutually consistent."""
 
     def __init__(self, config: PipelineConfig = DEFAULT_CONFIG,
-                 seq_opts: dict | None = None):
+                 seq_opts: dict | None = None,
+                 on_unsupported: str = "raise"):
         self.config = config
-        self.seq_opts = seq_opts or {}
-        for blocked in ("op_node_type", "arr_type"):
-            if self.seq_opts.get(blocked):
-                raise NotImplementedError(
-                    f"seq_opts[{blocked!r}] (-opnodetype/-arrtype, "
-                    "NodeTravesal.cpp:33-43) needs expression types; "
-                    "the regex-lexer frontend has none — documented "
-                    "skip, see _seq_word_filter"
-                )
+        self.seq_opts = dict(seq_opts or {})
+        # -opnodetype / -arrtype (NodeTravesal.cpp:91-135) need
+        # expression TYPES, which the regex-lexer walker cannot
+        # produce — those flags route to the typed recursive-descent
+        # frontend (functions/ctree.py: real parse tree + declared-
+        # symbol inference).  Its unit segmentation is the tree's
+        # fingerprint-node pre-order (the reference's true
+        # segmentation), while the untyped path keeps the walker's
+        # brace segmentation; a file outside the typed subset raises
+        # ParseUnsupported (on_unsupported="raise") or contributes no
+        # rows (="skip" — pass this on heterogeneous corpora).
+        self.typed = bool(
+            self.seq_opts.get("op_node_type")
+            or self.seq_opts.get("arr_type")
+        )
+        if on_unsupported not in ("raise", "skip"):
+            raise ValueError(f"on_unsupported={on_unsupported!r}")
+        self.on_unsupported = on_unsupported
         self.registry = ExtractorRegistry(ast_opt=config.ast_opt)
+
+    def _typed_rows(self, content: str, lang: str, sha: str,
+                    cols: dict, boundary: int) -> None:
+        from clonebas_ray.functions.ctree import (
+            ParseUnsupported, typed_blocks)
+
+        lang = "c" if (lang or "").lower() == "c" else "cpp"
+        try:
+            blocks = typed_blocks(
+                content, lang=lang, char_boundary=boundary,
+                opts=self.seq_opts,
+            )
+        except ParseUnsupported:
+            if self.on_unsupported == "raise":
+                raise
+            return
+        for b in blocks:
+            cols["unit"].append(f"{sha}:{b['block_id']}")
+            cols["sha"].append(sha)
+            cols["preseq"].append(b["preseq"])
+            cols["postseq"].append(b["postseq"])
+            cols["token_num"].append(b["span"])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         contents = batch["content"].to_pylist()
@@ -162,7 +193,21 @@ class SequenceActor:
         cols = {"unit": [], "sha": [], "preseq": [], "postseq": [],
                 "token_num": []}
         boundary = self.config.char_boundary
-        opts = self.seq_opts
+        opts = {k: v for k, v in self.seq_opts.items()
+                if k not in ("op_node_type", "arr_type")}
+        if self.typed:
+            for i, content in enumerate(contents):
+                self._typed_rows(content, langs[i], shas[i], cols,
+                                 boundary)
+            return pa.table(
+                {
+                    "unit": pa.array(cols["unit"], pa.string()),
+                    "sha": pa.array(cols["sha"], pa.string()),
+                    "preseq": pa.array(cols["preseq"], pa.string()),
+                    "postseq": pa.array(cols["postseq"], pa.string()),
+                    "token_num": pa.array(cols["token_num"], pa.int32()),
+                }
+            )
         for i, content in enumerate(contents):
             blocks = self.registry.get(langs[i]).extract_blocks(content)
             post_map = _postorder_per_block(blocks)
@@ -227,6 +272,36 @@ class EmbedActor:
                 ),
             }
         )
+
+
+def typed_sequences(
+    files: ray.data.Dataset,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    seq_opts: dict | None = None,
+    on_unsupported: str = "raise",
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> ray.data.Dataset:
+    """M9 TYPED sequence dump — the ``-opnodetype -arrtype`` pair
+    (``NodeTravesal.cpp:91-135``) over the real-parse-tree frontend
+    (``functions/ctree.py``): one row per fingerprint-gated tree
+    block with type-suffixed pre/post-order sequences.  Actor pool:
+    the parser tables build once per actor."""
+    ensure_worker_importable()
+    from clonebas_ray.stages.ingest import prepare_stage
+
+    opts = dict(seq_opts) if seq_opts else {
+        "op_node_type": True, "arr_type": True,
+    }
+    prepared = prepare_stage(files)
+    return prepared.map_batches(
+        SequenceActor,
+        fn_constructor_kwargs={
+            "config": config, "seq_opts": opts,
+            "on_unsupported": on_unsupported,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
 
 
 def model_clone_pairs(

@@ -1,0 +1,189 @@
+"""Typed C-subset parser (functions/ctree.py) — the M9
+``-opnodetype`` / ``-arrtype`` seam.  Expectations here are
+hand-derived from the reference rules (NodeTravesal.cpp:11-139,
+FixedChecker.cpp:12-427) and Clang type semantics, NOT regenerated
+output — a parser bug cannot survive a golden refresh."""
+
+import pytest
+
+from clonebas_ray.functions.ctree import (
+    ParseUnsupported,
+    parse_translation_unit,
+    simplify,
+    serialize,
+    typed_blocks,
+)
+
+TY = {"op_node_diff": True, "op_node_type": True, "arr_type": True}
+
+
+def _pre(src, lang="cpp", opts=TY):
+    tree = simplify(parse_translation_unit(src, lang), lang)
+    body = tree.kids[0].kids[-1]  # first function's body
+    return serialize(body, opts, "pre")
+
+
+def test_arithmetic_types_and_conversions():
+    src = "void f() { int a; double d; a = a + 1; d = d * 2; d = a / d; }"
+    seq = _pre(src)
+    assert "BinaryOperator_+_Integer" in seq
+    # int literal promoted: d * 2 is floating
+    assert "BinaryOperator_*_FloatingPoint" in seq
+    # mixed division converts to floating; assignment takes LHS type
+    assert "BinaryOperator_/_FloatingPoint" in seq
+    assert seq.count("BinaryOperator_=_FloatingPoint") == 2
+    assert "BinaryOperator_=_Integer" in seq
+
+
+def test_comparisons_bool_in_cpp_int_in_c():
+    src = "void f() { int a; if (a < 3) { a = 1; a = 2; } }"
+    assert "BinaryOperator_<_Bool" in _pre(src, "cpp")
+    assert "BinaryOperator_<_Integer" in _pre(src, "c")
+    # the synthesized !cond of an else shares the rule
+    src2 = "void f() { int a; if (a) { a = 1; } else { a = 2; } }"
+    assert "UnaryOperator_!_Bool" in _pre(src2, "cpp")
+    assert "UnaryOperator_!_Integer" in _pre(src2, "c")
+
+
+def test_array_subscript_element_type():
+    src = "void f() { double v[8]; int i; v[i] = v[i + 1] * 2.0; }"
+    seq = _pre(src)
+    assert seq.count("ArraySubscriptExpr_FloatingPoint") == 2
+    src2 = "void f() { int m[4]; m[0] = 1; }"
+    assert "ArraySubscriptExpr_Integer" in _pre(src2)
+    # -arrtype off → bare name
+    bare = _pre(src2, opts={"op_node_diff": True, "op_node_type": True})
+    assert "ArraySubscriptExpr" in bare
+    assert not any(w.startswith("ArraySubscriptExpr_") for w in bare)
+
+
+def test_pointer_types():
+    src = "void f() { int a; int *p; p = &a; a = *p + 1; p = p + 1; }"
+    seq = _pre(src)
+    assert "BinaryOperator_=_Pointer" in seq        # p = &a
+    assert "UnaryOperator_&_Pointer" in seq         # &a
+    assert "UnaryOperator_*_Integer" in seq         # *p deref
+    assert "BinaryOperator_+_Pointer" in seq        # pointer arithmetic
+
+
+def test_call_return_type_from_same_file():
+    src = """double g(int x) { return x * 1.5; }
+             void f() { double d; d = g(3) + 1; }"""
+    tree = simplify(parse_translation_unit(src, "cpp"), "cpp")
+    seq = serialize(tree.kids[1].kids[-1], TY, "pre")
+    # g returns double → the + converts to floating
+    assert "BinaryOperator_+_FloatingPoint" in seq
+
+
+def test_compound_assign_never_suffixed():
+    # CompoundAssignOperator's StmtClass is not BinaryOperatorClass,
+    # so both -opnodediff and -opnodetype skip it
+    src = "void f() { int a; a += 2; }"
+    seq = _pre(src)
+    assert "CompoundAssignOperator" in seq
+    assert not any(
+        w.startswith("CompoundAssignOperator_") for w in seq
+    )
+
+
+def test_declstmt_group_names_then_inits():
+    # Clang DeclStmt shape: decl-group names serialize first (no
+    # recursion into decls), then the initializer exprs as children
+    src = "void f() { int a = 1, b = 2; }"
+    seq = _pre(src)
+    i = seq.index("DeclStmt_Group")
+    assert seq[i:i + 5] == [
+        "DeclStmt_Group", "VarDecl", "VarDecl",
+        "IntegerLiteral", "IntegerLiteral",
+    ]
+
+
+def test_for_init_hoist_and_inc_append():
+    src = "void f() { int t; for (int i = 0; i < 3; i++) { t = t + i; } t = 0; }"
+    seq = _pre(src)
+    li = seq.index("FixedLoopStmtClass")
+    # init DeclStmt hoisted BEFORE the loop node
+    assert "DeclStmt_Single" in seq[:li]
+    # inc lands at the END of the body compound
+    k = seq.index("UnaryOperator_++_Integer")
+    assert k > li
+    # cond right after the loop word
+    assert seq[li + 1] == "BinaryOperator_<_Bool"
+
+
+def test_small_compound_suppressed_in_sequence():
+    # NodeTravesal.cpp:46-53: a FixedCompoundStatement with <= 1 child
+    # dumps no name (children still serialize)
+    src = "void f() { int a; if (a) { a = 1; } }"
+    seq = _pre(src)
+    # then-unit body has one child → no compound word for it; only the
+    # function body compound (3 children) emits
+    assert seq.count("FixedCompoundStmtClass") == 1
+
+
+def test_switch_units_on_the_tree():
+    src = """void f() {
+        int a, b;
+        switch (a) { case 1: b = 1; case 2: b = 2; break; default: b = 0; }
+    }"""
+    seq = _pre(src)
+    # conds: unit1 eq(a,1), unit2 eq(a,2); the default's !(c2 & c1)
+    # REUSES the shared eq nodes, so both serialize again → 4 total
+    assert seq.count("BinaryOperator_==_Bool") == 4
+    assert "UnaryOperator_!_Bool" in seq
+    assert "BinaryOperator_&_Bool" in seq
+    # bodies: b=1 once, b=2 twice (fall-through), b=0 once
+    assert seq.count("BinaryOperator_=_Integer") == 4
+
+
+def test_switch_fallthrough_shares_nodes():
+    src = """void f() {
+        int a, b;
+        switch (a) { case 1: b = 1; case 2: b = 2; break; }
+    }"""
+    seq = _pre(src)
+    # b = 2 serializes in BOTH units; b = 1 once
+    assert seq.count("BinaryOperator_=_Integer") == 3
+
+
+def test_postorder_is_true_postorder():
+    src = "void f() { int a; a = a + 1; }"
+    tree = simplify(parse_translation_unit(src, "cpp"), "cpp")
+    post = serialize(tree.kids[0].kids[-1], TY, "post")
+    # a + 1: leaves first, then +, then =, then the compound... but the
+    # body compound has 2 children -> emits, LAST
+    assert post[-1] == "FixedCompoundStmtClass"
+    i_plus = post.index("BinaryOperator_+_Integer")
+    i_assign = post.index("BinaryOperator_=_Integer")
+    i_lit = post.index("IntegerLiteral")
+    assert i_lit < i_plus < i_assign
+
+
+@pytest.mark.parametrize("src", [
+    "template <typename T> T g(T x) { return x; }",
+    "void f() { auto g = [](int x) { return x; }; }",
+    "void f() { goto done; done: return; }",
+    "class C { int x; };",
+])
+def test_unsupported_constructs_raise(src):
+    with pytest.raises(ParseUnsupported):
+        simplify(parse_translation_unit(src, "cpp"), "cpp")
+
+
+def test_typed_blocks_gate_and_ids():
+    src = ("void f() { int a; a = 1; a = 2; "
+           "if (a > 0) { a = 3; a = 4; a = 5; a = 6; a = 7; } }")
+    blocks = typed_blocks(src, char_boundary=10, opts=TY)
+    ids = [b["block_id"] for b in blocks]
+    assert ids == sorted(ids)  # pre-order numbering
+    assert all(b["span"] > 10 for b in blocks)
+    # tiny boundary: body compound + selection both gate in
+    assert len(blocks) >= 2
+
+
+def test_cast_expr():
+    src = "void f() { int a; double d; a = (int) d + 1; }"
+    seq = _pre(src)
+    assert "CStyleCastExpr" in seq
+    # cast result is int → + is integer
+    assert "BinaryOperator_+_Integer" in seq

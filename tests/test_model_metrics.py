@@ -362,15 +362,41 @@ def test_sequences_python_and_text_files(ray_session):
     assert sorted(s["preseq"].split()) == sorted(s["postseq"].split())
 
 
-def test_type_suffix_options_documented_skip():
-    """-opnodetype / -arrtype (NodeTravesal.cpp:33-43) need
-    Clang-computed expression types; the regex-lexer frontend has
-    none, so the flags fail fast with the documented skip instead of
-    silently approximating."""
+def test_type_suffix_options_route_to_typed_frontend():
+    """-opnodetype / -arrtype (NodeTravesal.cpp:91-135) need
+    Clang-computed expression types: those flags route SequenceActor
+    to the typed parse-tree frontend (functions/ctree.py) — suffixed
+    operator words per declared types — while a file outside the
+    parser subset raises ParseUnsupported (on_unsupported='raise')
+    or yields no rows (='skip') instead of silently approximating."""
+    import pyarrow as pa
     import pytest as _pytest
 
+    from clonebas_ray.functions.ctree import ParseUnsupported
     from clonebas_ray.ops.model_path import SequenceActor
 
-    for flag in ("op_node_type", "arr_type"):
-        with _pytest.raises(NotImplementedError, match="documented"):
-            SequenceActor(seq_opts={flag: True})
+    src = ("int f(int a) { double d[4]; d[0] = a * 2.5; "
+           "if (a > 1) { a = a - 1; d[1] = 0.5; } return a; }")
+    batch = pa.table({"content": [src], "lang": ["cpp"],
+                      "sha": ["s1"]})
+    import dataclasses
+
+    from clonebas_ray.config import DEFAULT_CONFIG
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, char_boundary=10)
+    act = SequenceActor(
+        cfg, seq_opts={"op_node_type": True, "arr_type": True})
+    rows = act(batch).to_pylist()
+    assert rows
+    joined = " ".join(r["preseq"] for r in rows)
+    assert "ArraySubscriptExpr_FloatingPoint" in joined
+    assert "BinaryOperator_>_Bool" in joined
+
+    tmpl = pa.table({"content": ["template <typename T> T g(T x) "
+                                 "{ return x; }"],
+                     "lang": ["cpp"], "sha": ["s2"]})
+    with _pytest.raises(ParseUnsupported):
+        act(tmpl)
+    act_skip = SequenceActor(
+        seq_opts={"op_node_type": True}, on_unsupported="skip")
+    assert len(act_skip(tmpl)) == 0

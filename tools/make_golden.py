@@ -24,6 +24,7 @@ GOLDEN_QUERIES = (
     "clone_corpus_clusters",
     "clone_block_clusters",
     "model_clone_clusters",
+    "typed_sequences",
     "code_metrics_corpus",
 )
 
