@@ -988,8 +988,10 @@ def _children(n: Node):
 
 def serialize(n: Node, opts: dict, order: str = "pre",
               out: list | None = None) -> list[str]:
-    """``TravesalAST`` type 0 (pre) / type 2 (post) — name token list
-    (whitespace-joined by callers; empty names drop)."""
+    """``TravesalAST`` type 0 (pre) / type 2 (post) / type 3 (tree)
+    — name token list (whitespace-joined by callers; empty names
+    drop; type 3 brackets each named node's non-empty child dump,
+    ``NodeTravesal.cpp:214-229``)."""
     if out is None:
         out = []
     name = _node_name(n, opts)
@@ -998,11 +1000,24 @@ def serialize(n: Node, opts: dict, order: str = "pre",
             out.append(name)
         for c in _children(n):
             serialize(c, opts, order, out)
-    else:
+    elif order == "post":
         for c in _children(n):
             serialize(c, opts, order, out)
         if name:
             out.append(name)
+    else:  # "tree" — type 3
+        sub: list[str] = []
+        for c in _children(n):
+            serialize(c, opts, order, sub)
+        if not name:
+            # anonymous node: children splice into the parent level
+            out.extend(sub)
+        else:
+            out.append(name)
+            if sub:
+                out.append("[")
+                out.extend(sub)
+                out.append("]")
     return out
 
 
@@ -1028,6 +1043,7 @@ def typed_blocks(src: str, lang: str = "cpp",
                     "span": span,
                     "preseq": " ".join(serialize(n, opts, "pre")),
                     "postseq": " ".join(serialize(n, opts, "post")),
+                    "treeseq": " ".join(serialize(n, opts, "tree")),
                 })
             counter[0] += 1
         for c in _children(n):

@@ -184,6 +184,7 @@ class SequenceActor:
             cols["sha"].append(sha)
             cols["preseq"].append(b["preseq"])
             cols["postseq"].append(b["postseq"])
+            cols["treeseq"].append(b["treeseq"])
             cols["token_num"].append(b["span"])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -196,6 +197,7 @@ class SequenceActor:
         opts = {k: v for k, v in self.seq_opts.items()
                 if k not in ("op_node_type", "arr_type")}
         if self.typed:
+            cols["treeseq"] = []
             for i, content in enumerate(contents):
                 self._typed_rows(content, langs[i], shas[i], cols,
                                  boundary)
@@ -205,6 +207,7 @@ class SequenceActor:
                     "sha": pa.array(cols["sha"], pa.string()),
                     "preseq": pa.array(cols["preseq"], pa.string()),
                     "postseq": pa.array(cols["postseq"], pa.string()),
+                    "treeseq": pa.array(cols["treeseq"], pa.string()),
                     "token_num": pa.array(cols["token_num"], pa.int32()),
                 }
             )

@@ -187,3 +187,16 @@ def test_cast_expr():
     assert "CStyleCastExpr" in seq
     # cast result is int → + is integer
     assert "BinaryOperator_+_Integer" in seq
+
+
+def test_tree_struct_type3_brackets():
+    # NodeTravesal.cpp:214-229: named node + " [ children ] " when the
+    # child dump is non-empty; anonymous nodes splice children through
+    src = "void f() { int a; if (a > 0) { a = 1; a = 2; } }"
+    tree = simplify(parse_translation_unit(src, "cpp"), "cpp")
+    toks = serialize(tree.kids[0].kids[-1], TY, "tree")
+    s = " ".join(toks)
+    assert toks.count("[") == toks.count("]")
+    assert s.startswith("FixedCompoundStmtClass [")
+    # the selection's cond brackets its literal child
+    assert "BinaryOperator_>_Bool [ IntegerLiteral ]" in s
