@@ -46,6 +46,33 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--clone-model", action="store_true",
                    help="reference -clonemodel: AST-sequence embedding "
                         "path (cosine pairing) instead of SimHash")
+    p.add_argument("--gen-seq", action="store_true",
+                   help="reference -nosimhash sequence export: write "
+                        "the per-block pre/post/tree sequence table "
+                        "to <run-dir>/sequences and exit (no dedup)")
+    # sequence-dump name options (NodeTravesal.cpp:3-139, flags
+    # Main.cpp:128-147); -opnodetype/-arrtype route to the typed
+    # parse-tree frontend (functions/ctree.py)
+    p.add_argument("--opnodediff", action="store_true",
+                   help="suffix BO/UO opcodes onto operator names")
+    p.add_argument("--opnodetype", action="store_true",
+                   help="suffix operator result types (typed frontend)")
+    p.add_argument("--arrtype", action="store_true",
+                   help="suffix array-subscript element types "
+                        "(typed frontend)")
+    p.add_argument("--noliteral", action="store_true",
+                   help="drop literal nodes from sequences")
+    p.add_argument("--nodecl", action="store_true",
+                   help="drop Decl nodes from sequences")
+    p.add_argument("--nodeclstmt", action="store_true",
+                   help="drop DeclStmt nodes from sequences")
+    p.add_argument("--noarrayexpr", action="store_true",
+                   help="drop ArraySubscriptExpr nodes from sequences")
+    p.add_argument("--on-unsupported", choices=("raise", "skip"),
+                   default="skip",
+                   help="typed frontend: files outside the parser "
+                        "subset raise or contribute no rows "
+                        "(default skip for heterogeneous corpora)")
     p.add_argument("--threshold", type=float, default=0.6,
                    help="reference -threshold: model-path similarity "
                         "cut at (cos*0.5+0.5) >= t (default 0.6)")
@@ -89,7 +116,9 @@ def main(argv: list[str] | None = None) -> int:
         only_diff_file=args.only_diff_file,
     )
     try:
-        if args.genfile or args.node_count:
+        if args.gen_seq:
+            report = _run_gen_seq(args, config)
+        elif args.genfile or args.node_count:
             report = _run_exports(args, config)
         elif args.clone_model:
             report = _run_clone_model(args, config)
@@ -139,6 +168,68 @@ def _run_exports(args, config) -> dict:
         report["node_census_dir"] = out
     report["total_s"] = round(time.perf_counter() - t0, 3)
     return report
+
+
+def _seq_opts_from_args(args) -> dict:
+    opts = {}
+    if args.opnodediff:
+        opts["op_node_diff"] = True
+    if args.noliteral:
+        opts["no_literal"] = True
+    if args.nodecl:
+        opts["no_decl"] = True
+    if args.nodeclstmt:
+        opts["no_decl_stmt"] = True
+    if args.noarrayexpr:
+        opts["no_array_expr"] = True
+    if args.opnodetype:
+        opts["op_node_type"] = True
+    if args.arrtype:
+        opts["arr_type"] = True
+    return opts
+
+
+def _run_gen_seq(args, config) -> dict:
+    """Sequence export (the reference's -nosimhash run shape: dump the
+    pre/post/tree sequence table, skip the duplicate computation)."""
+    import os
+    import time
+
+    from clonebas_ray.ops.model_path import SequenceActor, typed_sequences
+    from clonebas_ray.stages.ingest import read_files, read_split_blocks
+
+    t0 = time.perf_counter()
+    os.makedirs(args.run_dir, exist_ok=True)
+    files = read_files(
+        args.input, override_num_blocks=read_split_blocks()
+    )
+    opts = _seq_opts_from_args(args)
+    out = os.path.join(args.run_dir, "sequences")
+    if opts.get("op_node_type") or opts.get("arr_type"):
+        seqs = typed_sequences(
+            files, config=config, seq_opts=opts,
+            on_unsupported=args.on_unsupported,
+        )
+    else:
+        from clonebas_ray.stages.ingest import prepare_stage
+
+        seqs = prepare_stage(files).map_batches(
+            SequenceActor,
+            fn_constructor_kwargs={"config": config, "seq_opts": opts},
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+    seqs.write_parquet(out)
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(out).count_rows()
+    return {
+        "mode": "gen_seq",
+        "seq_opts": opts,
+        "n_units": int(n),
+        "sequences_path": out,
+        "total_s": round(time.perf_counter() - t0, 3),
+    }
 
 
 def _run_clone_model(args, config) -> dict:

@@ -400,3 +400,55 @@ def test_type_suffix_options_route_to_typed_frontend():
     act_skip = SequenceActor(
         seq_opts={"op_node_type": True}, on_unsupported="skip")
     assert len(act_skip(tmpl)) == 0
+
+
+def test_gen_seq_export_mode(tmp_path, ray_session):
+    """--gen-seq CLI mode (the reference's -nosimhash sequence-export
+    run shape): typed flags route to the parse-tree frontend; plain
+    flags keep the walker path; both write a sequences parquet dir."""
+    import argparse
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from clonebas_ray.config import DEFAULT_CONFIG
+    from clonebas_ray.corpus import generate_typed_corpus
+    from clonebas_ray.run import _run_gen_seq, _seq_opts_from_args
+
+    src_dir = tmp_path / "corp"
+    src_dir.mkdir()
+    pq.write_table(
+        generate_typed_corpus(6, seed=5), str(src_dir / "files.parquet")
+    )
+
+    def run(**flags):
+        ns = argparse.Namespace(
+            input=str(src_dir / "files.parquet"),
+            run_dir=str(tmp_path / flags.pop("run")),
+            on_unsupported="skip",
+            opnodediff=False, opnodetype=False, arrtype=False,
+            noliteral=False, nodecl=False, nodeclstmt=False,
+            noarrayexpr=False,
+        )
+        for k, v in flags.items():
+            setattr(ns, k, v)
+        return _run_gen_seq(ns, DEFAULT_CONFIG)
+
+    typed = run(run="t", opnodediff=True, opnodetype=True, arrtype=True)
+    assert typed["n_units"] == 6
+    tab = pads.dataset(typed["sequences_path"]).to_table()
+    assert {"preseq", "postseq", "treeseq"} <= set(tab.column_names)
+    assert any("_Integer" in s for s in tab["preseq"].to_pylist())
+
+    plain = run(run="p", opnodediff=True, noliteral=True)
+    assert plain["n_units"] >= 6  # walker brace segmentation
+    tab2 = pads.dataset(plain["sequences_path"]).to_table()
+    assert not any(
+        "IntegerLiteral" in s for s in tab2["preseq"].to_pylist()
+    )
+
+    assert _seq_opts_from_args(argparse.Namespace(
+        opnodediff=True, opnodetype=True, arrtype=False,
+        noliteral=False, nodecl=True, nodeclstmt=False,
+        noarrayexpr=False,
+    )) == {"op_node_diff": True, "op_node_type": True, "no_decl": True}
