@@ -991,7 +991,9 @@ def serialize(n: Node, opts: dict, order: str = "pre",
     """``TravesalAST`` type 0 (pre) / type 2 (post) / type 3 (tree)
     — name token list (whitespace-joined by callers; empty names
     drop; type 3 brackets each named node's non-empty child dump,
-    ``NodeTravesal.cpp:214-229``)."""
+    ``NodeTravesal.cpp:214-229``).  The reference's type 1 (in-order)
+    is an EMPTY stub (``NodeTravesal.cpp:207-209`` — comment only),
+    so it is faithfully not offered here."""
     if out is None:
         out = []
     name = _node_name(n, opts)
