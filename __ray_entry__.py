@@ -290,6 +290,36 @@ def _q_decontaminate(sf_dir: str):
     return out.select_columns(["doc_id", "n_grams", "n_hits"]).to_pandas()
 
 
+def _q_fuzzy_decontaminate(sf_dir: str):
+    # same every-23rd benchmark fixture as `decontaminate`, but the
+    # TRAIN side excludes the benchmark docs (a genuine cross-corpus
+    # near-dup audit) and the flag is exact max shingle Jaccard, not
+    # verbatim gram overlap
+    _quiet()
+    import pyarrow as pa
+
+    from clonebas_ray.ops.text_dedup import fuzzy_decontaminate
+
+    def split(pred):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(pred(ids)))
+        return f
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        split(lambda i: i % 23 != 0), batch_format="pyarrow",
+        batch_size=None,
+    )
+    bench = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        split(lambda i: i % 23 == 0), batch_format="pyarrow",
+        batch_size=None,
+    )
+    out = fuzzy_decontaminate(docs, bench, shingle_k=5, threshold=0.5)
+    return out.select_columns(
+        ["doc_id", "max_jaccard", "bench_id", "contaminated"]
+    ).to_pandas()
+
+
 def _q_hash_split(sf_dir: str):
     _quiet()
     from clonebas_ray.ops.relational import hash_split
@@ -938,6 +968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngrams": _q_dup_ngrams,
         "text_normalize": _q_text_normalize,
         "decontaminate": _q_decontaminate,
+        "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "dup_spans": _q_dup_spans,
         "segment_dedup": _q_segment_dedup,
         "cut_dup_spans": _q_cut_dup_spans,
@@ -2152,6 +2183,52 @@ SELECT t.doc_id,
   coalesce(h.n_grams, CAST(0 AS BIGINT)) AS n_grams,
   coalesce(h.n_hits, CAST(0 AS BIGINT)) AS n_hits
 FROM t LEFT JOIN h USING (doc_id)
+""",
+        # shingle CTE identical to minhash_pairs (5-word shingles);
+        # jaccard kept as int/int DOUBLE division in the same op order
+        # as the Python kernel for bit parity; ties resolve to the
+        # smallest bench doc_id on both sides
+        "fuzzy_decontaminate": """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+         WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(t) - 3),
+                i -> array_to_string(t[i:i+4], ' ')))
+    END AS s
+  FROM toks
+), train AS (SELECT doc_id, s FROM sh WHERE doc_id % 23 <> 0),
+bench AS (SELECT doc_id, s FROM sh WHERE doc_id % 23 = 0),
+e_t AS (SELECT doc_id, unnest(s) AS sng FROM train),
+e_b AS (SELECT doc_id, unnest(s) AS sng FROM bench),
+sz_t AS (SELECT doc_id, len(s) AS n FROM train),
+sz_b AS (SELECT doc_id, len(s) AS n FROM bench),
+inter AS (
+  SELECT t.doc_id AS doc_id, b.doc_id AS bid, count(*) AS i
+  FROM e_t t JOIN e_b b ON t.sng = b.sng
+  GROUP BY 1, 2
+), j AS (
+  SELECT i.doc_id, i.bid,
+    i.i / CAST(st.n + sb.n - i.i AS DOUBLE) AS jac
+  FROM inter i
+  JOIN sz_t st ON st.doc_id = i.doc_id
+  JOIN sz_b sb ON sb.doc_id = i.bid
+), best AS (
+  SELECT doc_id, jac, bid,
+    row_number() OVER (PARTITION BY doc_id ORDER BY jac DESC, bid) AS rn
+  FROM j
+)
+SELECT tr.doc_id,
+  coalesce(b.jac, 0.0) AS max_jaccard,
+  CAST(coalesce(b.bid, -1) AS BIGINT) AS bench_id,
+  coalesce(b.jac, 0.0) >= 0.5 AS contaminated
+FROM train tr
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+ORDER BY tr.doc_id
 """,
         # md5_number_lower = the repo's pinned md5_low64 convention;
         # buckets [0,9000) train / [9000,9500) val / [9500,10000) test

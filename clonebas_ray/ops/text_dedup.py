@@ -1058,6 +1058,154 @@ def ngram_decontaminate(
 
 
 # ---------------------------------------------------------------------------
+# fuzzy (near-duplicate) benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def benchmark_shingle_index(
+    bench: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+) -> tuple[dict, np.ndarray, np.ndarray]:
+    """Inverted shingle index of a benchmark corpus:
+    ``(shingle -> np.array of bench slots, set size per slot,
+    bench doc_id per slot)``.
+
+    Raw shingle STRINGS key the index (not 64-bit hashes) so the
+    Jaccard the scan computes is exactly the string-set Jaccard the
+    SQL oracle computes — no collision caveat.  The benchmark side of
+    decontamination is the SMALL side by construction (held-out eval
+    sets, not the crawl): per-doc shingle sets are extracted
+    distributed and only (bench_id, shingle) rows come back to the
+    driver, bounded by benchmark volume."""
+    ensure_worker_importable()
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ids, shs = [], []
+        texts = batch[text_col].to_pylist()
+        bids = batch[id_col].to_pylist()
+        for bid, t in zip(bids, texts):
+            for s in shingle_set(t or "", shingle_k):
+                ids.append(bid)
+                shs.append(s)
+        return pa.table({
+            "bench_id": pa.array(ids, pa.int64()),
+            "shingle": pa.array(shs, pa.string()),
+        })
+
+    parts = [
+        ray.get(r) for r in
+        bench.select_columns([id_col, text_col])
+        .map_batches(extract, batch_format="pyarrow", batch_size=None)
+        .to_arrow_refs()
+    ]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return {}, np.empty(0, np.int64), np.empty(0, np.int64)
+    tab = pa.concat_tables(parts)
+    bid = tab["bench_id"].to_numpy()
+    bench_ids, slot_of = np.unique(bid, return_inverse=True)
+    sizes = np.bincount(slot_of, minlength=len(bench_ids)).astype(np.int64)
+    index: dict[str, list] = {}
+    shingles = tab["shingle"].to_pylist()
+    for s, slot in zip(shingles, slot_of):
+        index.setdefault(s, []).append(slot)
+    index = {s: np.array(v, dtype=np.int64) for s, v in index.items()}
+    return index, sizes, bench_ids.astype(np.int64)
+
+
+class _FuzzyDecontScan:
+    """Scan kernel (plain task, one call per block): resolve the
+    broadcast index zero-copy from the node-local object store, then
+    per doc accumulate shared-shingle counts per candidate bench slot
+    and take the exact max Jaccard (ties -> smallest bench doc_id)."""
+
+    def __init__(self, index_ref, shingle_k: int, threshold: float,
+                 text_col: str):
+        self.index_ref = index_ref
+        self.shingle_k = shingle_k
+        self.threshold = threshold
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payload = self.index_ref
+        if not isinstance(payload, tuple):
+            payload = ray.get(payload)
+        index, sizes, bench_ids = payload
+        texts = batch[self.text_col].to_pylist()
+        max_j = np.zeros(len(texts), dtype=np.float64)
+        best = np.full(len(texts), -1, dtype=np.int64)
+        for r, t in enumerate(texts):
+            sh = shingle_set(t or "", self.shingle_k)
+            if not sh or not index:
+                continue
+            hits: dict[int, int] = {}
+            for s in sh:
+                slots = index.get(s)
+                if slots is not None:
+                    for slot in slots:
+                        hits[slot] = hits.get(slot, 0) + 1
+            if not hits:
+                continue
+            n_doc = len(sh)
+            bj, bi = 0.0, -1
+            for slot in sorted(hits):
+                i = hits[slot]
+                j = i / (n_doc + int(sizes[slot]) - i)
+                if j > bj:
+                    bj, bi = j, int(bench_ids[slot])
+            max_j[r], best[r] = bj, bi
+        batch = batch.append_column(
+            "max_jaccard", pa.array(max_j, pa.float64()))
+        batch = batch.append_column("bench_id", pa.array(best, pa.int64()))
+        return batch.append_column(
+            "contaminated", pa.array(max_j >= self.threshold, pa.bool_()))
+
+
+def fuzzy_decontaminate(
+    docs: ray.data.Dataset,
+    bench: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    concurrency: int | tuple[int, int] | None = None,
+) -> ray.data.Dataset:
+    """Near-duplicate benchmark decontamination: for every training
+    doc, the EXACT maximum shingle-set Jaccard against any benchmark
+    doc sharing at least one shingle (else 0.0), the arg-max
+    benchmark doc_id (ties -> smallest id; -1 when none shares a
+    shingle), and ``contaminated = max_jaccard >= threshold``.
+
+    Complements ``ngram_decontaminate`` (the GPT-3/Llama verbatim
+    13-gram recipe): reworded or lightly edited benchmark leaks share
+    few verbatim 13-grams but keep high shingle Jaccard — the overlap
+    definition used for fuzzy train/test leakage audits (e.g. the
+    Jaccard-based dedup/contamination analyses of Lee et al. 2022).
+
+    Scale shape: the benchmark inverted index is built once
+    (distributed extraction, driver merge bounded by benchmark
+    volume), ``ray.put`` once, and the 100-TB train side streams
+    through one shuffle-free task pool at ``batch_size=None``.
+    Unlike an LSH prefilter this probes ALL shared-shingle candidates
+    — exact by construction (no band-miss probability), at the cost
+    that a shingle common to many benchmark docs fans its posting
+    list out to every probing doc; benchmarks are small and curated,
+    so posting lists stay short in practice."""
+    ensure_worker_importable()
+    ref = ray.put(
+        benchmark_shingle_index(bench, id_col, text_col, shingle_k)
+    )
+    kw = {"concurrency": concurrency} if concurrency else {}
+    return docs.map_batches(
+        _FuzzyDecontScan(ref, shingle_k, threshold, text_col),
+        batch_format="pyarrow", batch_size=None, **kw,
+    )
+
+
+# ---------------------------------------------------------------------------
 # exact duplicate-substring spans (suffix-array-equivalent window method)
 # ---------------------------------------------------------------------------
 

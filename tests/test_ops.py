@@ -876,6 +876,88 @@ def test_ngram_decontaminate(ray_session):
     assert not out3.contaminated.any()
 
 
+def test_fuzzy_decontaminate(ray_session):
+    import random
+
+    import ray.data
+
+    from clonebas_ray.ops.text_dedup import (
+        fuzzy_decontaminate, jaccard, shingle_set,
+    )
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": [
+            # near-copy of bench 100 (one word changed)
+            "alpha beta gamma delta epsilon zeta eta theta iota NOPE",
+            "a completely different sentence with no overlap here at all",
+            # shares some shingles with BOTH bench docs equally -> tie
+            # must resolve to the smaller bench id
+            "alpha beta gamma delta epsilon",
+            "",  # shingle-less: never contaminated, bench_id -1
+        ],
+    }))
+    bench = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([100, 101], pa.int64()),
+        "text": [
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        ],
+    }))
+    out = (
+        fuzzy_decontaminate(docs, bench, shingle_k=5, threshold=0.5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # doc 0: 6 shingles, 5 shared with each bench doc (6 shingles) ->
+    # J = 5/(6+6-5); tie between bench 100/101 -> 100
+    assert out.max_jaccard[0] == 5 / 7
+    assert list(out.bench_id) == [100, -1, 100, -1]
+    assert list(out.contaminated) == [True, False, False, False]
+    assert out.max_jaccard[1] == 0.0 and out.max_jaccard[3] == 0.0
+    # doc 2: single joined shingle (len<k) absent from bench shingle
+    # sets? No — it's 5 tokens -> exactly one 5-gram, shared by both
+    # bench docs: J = 1/(1+6-1)
+    assert out.max_jaccard[2] == 1 / 6
+
+    # brute-force cross-check on a random corpus
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choices(vocab, k=rng.randint(0, 18)))
+        for _ in range(60)
+    ]
+    bench_texts = texts[:8]  # overlap guaranteed: shared prefix docs
+    d = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(60), pa.int64()), "text": texts}))
+    b = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(1000, 1008), pa.int64()),
+        "text": bench_texts}))
+    got = (
+        fuzzy_decontaminate(d, b, shingle_k=5, threshold=0.4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    bsets = [shingle_set(t, 5) for t in bench_texts]
+    for r in range(60):
+        s = shingle_set(texts[r], 5)
+        bj, bi = 0.0, -1
+        for slot, bs in enumerate(bsets):
+            if s & bs:
+                j = jaccard(s, bs)
+                if j > bj:
+                    bj, bi = j, 1000 + slot
+        assert got.max_jaccard[r] == bj, r
+        assert got.bench_id[r] == bi, r
+        assert bool(got.contaminated[r]) == (bj >= 0.4), r
+
+    # empty benchmark: nothing flags, nothing crashes
+    empty = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+    ))
+    out3 = fuzzy_decontaminate(docs, empty).to_pandas()
+    assert not out3.contaminated.any()
+    assert (out3.bench_id == -1).all()
+
+
 def test_hash_split(ray_session):
     import ray.data
 
