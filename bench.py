@@ -726,6 +726,78 @@ def run_embed_lsh_smoke() -> dict:
     }
 
 
+def run_fuzzy_smoke() -> dict:
+    """1M-doc scale smoke for ``fuzzy_decontaminate``: benchmark =
+    every doc_id ≡ 96 (mod 97), so the corpus's every-97th exact-copy
+    docs (d ≡ 0 copies d-1 ≡ 96) land on opposite sides of the split —
+    each such train doc must flag at Jaccard 1.0 (known planted
+    count).  ~1/10 of the ~10.3k benchmark docs also carry the shared
+    30-token boilerplate block, so the hot-posting path (one shingle →
+    ~1k benchmark docs) is exercised at full corpus scale."""
+    import logging
+    import resource
+
+    import pyarrow as pa
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from clonebas_ray.ops.text_dedup import fuzzy_decontaminate
+
+    n_docs = int(os.environ.get("GRAFT_TEXT_SMOKE_DOCS", "1000000"))
+    path = _ensure_doc_corpus(n_docs)
+
+    def _mod_filter(m: int, r: int, invert: bool = False):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            keep = ids % m == r
+            return b.filter(pa.array(~keep if invert else keep))
+        return f
+
+    def docs():
+        return ray.data.read_parquet(path, columns=["doc_id", "text"])
+
+    t0 = time.perf_counter()
+    bench = docs().map_batches(
+        _mod_filter(97, 96), batch_format="pyarrow", batch_size=None)
+    train = docs().map_batches(
+        _mod_filter(97, 96, invert=True), batch_format="pyarrow",
+        batch_size=None)
+    out = fuzzy_decontaminate(train, bench, shingle_k=5, threshold=0.5)
+    n_contam = n_exact = 0
+    for b in out.select_columns(
+        ["max_jaccard", "contaminated"]
+    ).iter_batches(batch_format="pyarrow"):
+        n_contam += int(
+            b["contaminated"].to_numpy(zero_copy_only=False).sum())
+        n_exact += int((b["max_jaccard"].to_numpy() == 1.0).sum())
+    wall = time.perf_counter() - t0
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    # planted: every d ≡ 0 (mod 97) in train is an exact copy of the
+    # benchmark doc d-1 (except d=0, which has no predecessor)
+    planted = (n_docs - 1) // 97
+    ray.shutdown()
+    return {
+        "metric": "fuzzy_decontaminate_1m_smoke_sec",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / wall, 1),
+        "n_contaminated": n_contam,
+        "n_exact_copies_flagged": n_exact,
+        "planted_exact_copies": planted,
+        "num_cpus": NUM_CPUS,
+        "driver_rss_gb": round(rss_gb, 2),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -739,5 +811,7 @@ if __name__ == "__main__":
         print(json.dumps(run_knn_smoke()))
     elif "--embed-smoke" in sys.argv:
         print(json.dumps(run_embed_lsh_smoke()))
+    elif "--fuzzy-smoke" in sys.argv:
+        print(json.dumps(run_fuzzy_smoke()))
     else:
         print(json.dumps(run_bench()))

@@ -1067,9 +1067,10 @@ def benchmark_shingle_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 5,
-) -> tuple[dict, np.ndarray, np.ndarray]:
+) -> tuple[dict, np.ndarray, np.ndarray, np.ndarray]:
     """Inverted shingle index of a benchmark corpus:
-    ``(shingle -> np.array of bench slots, set size per slot,
+    ``(shingle -> (start, len) into the flat postings array,
+    flat postings (bench slot per entry), set size per slot,
     bench doc_id per slot)``.
 
     Raw shingle STRINGS key the index (not 64-bit hashes) so the
@@ -1102,17 +1103,30 @@ def benchmark_shingle_index(
     ]
     parts = [p for p in parts if p.num_rows]
     if not parts:
-        return {}, np.empty(0, np.int64), np.empty(0, np.int64)
+        return ({}, np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.int64))
     tab = pa.concat_tables(parts)
     bid = tab["bench_id"].to_numpy()
     bench_ids, slot_of = np.unique(bid, return_inverse=True)
     sizes = np.bincount(slot_of, minlength=len(bench_ids)).astype(np.int64)
-    index: dict[str, list] = {}
+    # postings laid out as ONE flat slot array + (start, len) per
+    # shingle: the scan concatenates raw views and counts with
+    # np.unique — C-speed even when a template shingle shared by
+    # thousands of benchmark docs (the "Question:/Answer:" case)
+    # fans a long posting list out to most probing docs
     shingles = tab["shingle"].to_pylist()
-    for s, slot in zip(shingles, slot_of):
-        index.setdefault(s, []).append(slot)
-    index = {s: np.array(v, dtype=np.int64) for s, v in index.items()}
-    return index, sizes, bench_ids.astype(np.int64)
+    order = sorted(range(len(shingles)), key=lambda i: shingles[i])
+    flat = slot_of[order].astype(np.int64)
+    index: dict[str, tuple[int, int]] = {}
+    i = 0
+    while i < len(order):
+        s = shingles[order[i]]
+        j = i
+        while j < len(order) and shingles[order[j]] == s:
+            j += 1
+        index[s] = (i, j - i)
+        i = j
+    return index, flat, sizes, bench_ids.astype(np.int64)
 
 
 class _FuzzyDecontScan:
@@ -1132,7 +1146,7 @@ class _FuzzyDecontScan:
         payload = self.index_ref
         if not isinstance(payload, tuple):
             payload = ray.get(payload)
-        index, sizes, bench_ids = payload
+        index, flat, sizes, bench_ids = payload
         texts = batch[self.text_col].to_pylist()
         max_j = np.zeros(len(texts), dtype=np.float64)
         best = np.full(len(texts), -1, dtype=np.int64)
@@ -1140,22 +1154,21 @@ class _FuzzyDecontScan:
             sh = shingle_set(t or "", self.shingle_k)
             if not sh or not index:
                 continue
-            hits: dict[int, int] = {}
+            segs = []
             for s in sh:
-                slots = index.get(s)
-                if slots is not None:
-                    for slot in slots:
-                        hits[slot] = hits.get(slot, 0) + 1
-            if not hits:
+                loc = index.get(s)
+                if loc is not None:
+                    segs.append(flat[loc[0]:loc[0] + loc[1]])
+            if not segs:
                 continue
+            # slots ascending from np.unique, so the FIRST max below
+            # is the smallest bench doc_id among Jaccard ties
+            slots, cnt = np.unique(np.concatenate(segs),
+                                   return_counts=True)
             n_doc = len(sh)
-            bj, bi = 0.0, -1
-            for slot in sorted(hits):
-                i = hits[slot]
-                j = i / (n_doc + int(sizes[slot]) - i)
-                if j > bj:
-                    bj, bi = j, int(bench_ids[slot])
-            max_j[r], best[r] = bj, bi
+            j = cnt / (n_doc + sizes[slots] - cnt)
+            k = int(np.argmax(j))
+            max_j[r], best[r] = float(j[k]), int(bench_ids[slots[k]])
         batch = batch.append_column(
             "max_jaccard", pa.array(max_j, pa.float64()))
         batch = batch.append_column("bench_id", pa.array(best, pa.int64()))
