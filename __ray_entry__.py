@@ -320,6 +320,34 @@ def _q_fuzzy_decontaminate(sf_dir: str):
     ).to_pandas()
 
 
+def _q_doc_rank(sf_dir: str):
+    # global ROW_NUMBER over (ws_tokens DESC, doc_id) — the full-sort
+    # rank export; ws_tokens shares token_counts' pinned convention
+    _quiet()
+    import pyarrow as pa
+
+    from clonebas_ray.ops.relational import global_rank
+
+    def add_tokens(b: pa.Table) -> pa.Table:
+        n = [len((t or "").split()) for t in b["text"].to_pylist()]
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "ws_tokens": pa.array(n, pa.int64()),
+        })
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_tokens, batch_format="pyarrow"
+    )
+    out = global_rank(
+        docs,
+        [("ws_tokens", "descending"), ("doc_id", "ascending")],
+        id_col="doc_id",
+    )
+    return out.select_columns(
+        ["doc_id", "ws_tokens", "rank"]
+    ).to_pandas()
+
+
 def _q_hash_split(sf_dir: str):
     _quiet()
     from clonebas_ray.ops.relational import hash_split
@@ -969,6 +997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_normalize": _q_text_normalize,
         "decontaminate": _q_decontaminate,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
+        "doc_rank": _q_doc_rank,
         "dup_spans": _q_dup_spans,
         "segment_dedup": _q_segment_dedup,
         "cut_dup_spans": _q_cut_dup_spans,
@@ -2229,6 +2258,17 @@ SELECT tr.doc_id,
 FROM train tr
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
 ORDER BY tr.doc_id
+""",
+        "doc_rank": """
+WITH t AS (
+  SELECT doc_id,
+    length(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+      AS ws_tokens
+  FROM documents
+)
+SELECT doc_id, ws_tokens,
+  row_number() OVER (ORDER BY ws_tokens DESC, doc_id) AS rank
+FROM t ORDER BY doc_id
 """,
         # md5_number_lower = the repo's pinned md5_low64 convention;
         # buckets [0,9000) train / [9000,9500) val / [9500,10000) test

@@ -1108,3 +1108,78 @@ def props_field_stats(
         .reset_index(drop=True)
     )
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def global_rank(
+    ds: ray.data.Dataset,
+    keys: list[tuple[str, str]],
+    id_col: str,
+    rank_col: str = "rank",
+) -> ray.data.Dataset:
+    """Global ``ROW_NUMBER() OVER (ORDER BY keys)`` as a Dataset
+    column (SURVEY §2.6 — the one sort shape the repo's top-k /
+    group-window operators deliberately avoid; this is the full
+    range-partitioned variant for when every row needs its global
+    position, e.g. curriculum ordering or score-ranked corpus
+    exports).
+
+    ``keys`` are ``(column, "ascending"|"descending")`` and MUST end
+    in a unique tiebreaker (``id_col``) so the order — and therefore
+    the rank — is total and deterministic.
+
+    Distributed-scan shape (same pattern as
+    ``text_analysis.token_stream_index``): ``ds.sort`` range-partitions
+    the data (the one unavoidable all-to-all here), MATERIALIZE pins
+    the sorted block boundaries, one metadata pass collects per-block
+    row counts in dataset order (one tiny row per BLOCK to the
+    driver), a driver-side cumsum turns them into block offsets keyed
+    by each block's first ``id_col`` value (unique, because the total
+    order is), and a second pass adds ``offset + local arange``.  No
+    per-row data ever lands on the driver."""
+    ensure_worker_importable()
+    cols = [c for c, _ in keys]
+    desc = [d == "descending" for _, d in keys]
+    if cols[-1] != id_col:
+        raise ValueError(
+            f"keys must end with the unique tiebreaker {id_col!r}"
+        )
+    src = ds.sort(cols, descending=desc).materialize()
+
+    def block_meta(b: pa.Table) -> pa.Table:
+        first = b[id_col][0].as_py() if b.num_rows else -1
+        return pa.table({
+            "first_id": pa.array([first], pa.int64()),
+            "n_rows": pa.array([b.num_rows], pa.int64()),
+        })
+
+    # iter_batches preserves dataset (sorted) order on the pinned blocks
+    metas = [
+        (m["first_id"][0].as_py(), m["n_rows"][0].as_py())
+        for m in src.map_batches(
+            block_meta, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        if m["n_rows"][0].as_py()
+    ]
+    offsets: dict[int, int] = {}
+    acc = 0
+    for first, n in metas:
+        offsets[first] = acc
+        acc += n
+    off_ref = ray.put(offsets)
+
+    def add_rank(b: pa.Table) -> pa.Table:
+        if not b.num_rows:
+            return b.append_column(
+                rank_col, pa.array([], pa.int64()))
+        offs = off_ref
+        if not isinstance(offs, dict):
+            offs = ray.get(offs)
+        start = offs[b[id_col][0].as_py()]
+        return b.append_column(
+            rank_col,
+            pa.array(start + 1 + np.arange(b.num_rows), pa.int64()),
+        )
+
+    return src.map_batches(
+        add_rank, batch_format="pyarrow", batch_size=None
+    )

@@ -950,3 +950,39 @@ def test_props_field_stats_all_missing_block(ray_session):
     d = out[out.event_type == "d"].iloc[0]
     assert d["n_events"] == 1
     assert pd.isna(d["sum_k"]) and pd.isna(d["max_k"])
+
+
+def test_global_rank(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from clonebas_ray.ops.relational import global_rank
+
+    rng = np.random.RandomState(3)
+    n = 5000
+    score = rng.randint(0, 50, n)  # heavy ties -> tiebreaker matters
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "score": pa.array(score, pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(17)  # force many blocks
+    out = (
+        global_rank(
+            ds, [("score", "descending"), ("doc_id", "ascending")],
+            id_col="doc_id",
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # oracle: numpy lexsort on (-score, doc_id)
+    order = np.lexsort((np.arange(n), -score))
+    want = np.empty(n, dtype=np.int64)
+    want[order] = np.arange(1, n + 1)
+    assert (out["rank"].to_numpy() == want).all()
+    # ranks are a permutation of 1..n
+    assert sorted(out["rank"]) == list(range(1, n + 1))
+
+    # missing tiebreaker fails loud
+    import pytest
+    with pytest.raises(ValueError):
+        global_rank(ds, [("score", "descending")], id_col="doc_id")
