@@ -348,6 +348,33 @@ def _q_doc_rank(sf_dir: str):
     ).to_pandas()
 
 
+def _q_budget_mix(sf_dir: str):
+    # mixture recipe fixture: even-indexed sources only, with a
+    # per-source token budget 300 + 60k — odd sources drop, low-k
+    # sources truncate mid-stream, all deterministic in doc_id order
+    _quiet()
+    import pyarrow as pa
+
+    from clonebas_ray.ops.relational import budget_mix
+
+    def add_tokens(b: pa.Table) -> pa.Table:
+        n = [len((t or "").split()) for t in b["text"].to_pylist()]
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "source": b["source"],
+            "ws_tokens": pa.array(n, pa.int64()),
+        })
+
+    docs = _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        add_tokens, batch_format="pyarrow"
+    )
+    budgets = {f"src{k}": 300 + 60 * k for k in range(0, 20, 2)}
+    out = budget_mix(docs, budgets)
+    return out.select_columns(
+        ["doc_id", "source", "ws_tokens", "cum_tokens"]
+    ).to_pandas()
+
+
 def _q_hash_split(sf_dir: str):
     _quiet()
     from clonebas_ray.ops.relational import hash_split
@@ -998,6 +1025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "doc_rank": _q_doc_rank,
+        "budget_mix": _q_budget_mix,
         "dup_spans": _q_dup_spans,
         "segment_dedup": _q_segment_dedup,
         "cut_dup_spans": _q_cut_dup_spans,
@@ -2258,6 +2286,34 @@ SELECT tr.doc_id,
 FROM train tr
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
 ORDER BY tr.doc_id
+""",
+        "budget_mix": """
+WITH t AS (
+  SELECT doc_id, source,
+    length(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+      AS ws_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, ws_tokens,
+    CAST(sum(ws_tokens) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT c.doc_id, c.source, c.ws_tokens, c.cum_tokens
+FROM c JOIN (VALUES
+    ('src0', 300),
+    ('src2', 420),
+    ('src4', 540),
+    ('src6', 660),
+    ('src8', 780),
+    ('src10', 900),
+    ('src12', 1020),
+    ('src14', 1140),
+    ('src16', 1260),
+    ('src18', 1380)) b(source, budget) ON c.source = b.source
+WHERE c.cum_tokens <= b.budget
+ORDER BY c.doc_id
 """,
         "doc_rank": """
 WITH t AS (

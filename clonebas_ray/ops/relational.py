@@ -1183,3 +1183,109 @@ def global_rank(
     return src.map_batches(
         add_rank, batch_format="pyarrow", batch_size=None
     )
+
+
+def budget_mix(
+    ds: ray.data.Dataset,
+    budgets: dict[str, int],
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "ws_tokens",
+) -> ray.data.Dataset:
+    """Token-budget mixture sampling (the Pile/Dolma-style mixing
+    step): keep each source's docs in ``id_col`` order until the
+    source's token budget is spent — a row survives iff its INCLUSIVE
+    per-source running token sum is ≤ ``budgets[source]``; sources
+    absent from ``budgets`` drop entirely.  Emits ``cum_tokens`` (the
+    inclusive running sum) alongside the surviving rows, so the output
+    is self-auditing.
+
+    Scale shape: one ``sort`` by (source, id) range-partitions the
+    corpus (sources may span MANY blocks — no one-task-per-source
+    skew), then the pinned-block offset scan from ``global_rank``:
+    pass 1 ships per-(block, source-run) token sums to the driver
+    (≤ blocks + sources tiny rows, never docs), a driver accumulator
+    turns them into per-source offsets at each block start, pass 2
+    adds ``offset + local cumsum`` and filters.  Input must already
+    carry ``tokens_col`` (token counting is a separate, reusable
+    op)."""
+    ensure_worker_importable()
+    src = ds.sort([source_col, id_col]).materialize()
+
+    def block_meta(b: pa.Table) -> pa.Table:
+        if not b.num_rows:
+            return pa.table({
+                "first_id": pa.array([], pa.int64()),
+                "source": pa.array([], pa.string()),
+                "tok_sum": pa.array([], pa.int64()),
+            })
+        srcs = np.asarray(b[source_col].to_pylist(), dtype=object)
+        toks = b[tokens_col].to_numpy(zero_copy_only=False)
+        # sorted blocks => sources are contiguous runs
+        cut = np.flatnonzero(srcs[1:] != srcs[:-1]) + 1
+        starts = np.concatenate([[0], cut])
+        ends = np.concatenate([cut, [len(srcs)]])
+        first = b[id_col][0].as_py()
+        return pa.table({
+            "first_id": pa.array(
+                np.full(len(starts), first), pa.int64()),
+            "source": pa.array(list(srcs[starts]), pa.string()),
+            "tok_sum": pa.array(
+                [int(toks[s:e].sum()) for s, e in zip(starts, ends)],
+                pa.int64()),
+        })
+
+    # iter_batches preserves dataset (sorted) order on pinned blocks:
+    # accumulate per-source totals block by block; the value BEFORE a
+    # block is that block's per-source starting offset
+    offsets: dict[int, dict[str, int]] = {}
+    acc: dict[str, int] = {}
+    for m in src.map_batches(
+        block_meta, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        if not m.num_rows:
+            continue
+        first = m["first_id"][0].as_py()
+        if first not in offsets:
+            offsets[first] = {}
+        for s, tot in zip(m["source"].to_pylist(),
+                          m["tok_sum"].to_pylist()):
+            offsets[first].setdefault(s, acc.get(s, 0))
+            acc[s] = acc.get(s, 0) + tot
+    off_ref = ray.put(offsets)
+    bud_ref = ray.put(dict(budgets))
+
+    def trim(b: pa.Table) -> pa.Table:
+        if not b.num_rows:
+            return b.append_column("cum_tokens",
+                                   pa.array([], pa.int64()))
+        offs, bud = off_ref, bud_ref
+        if not isinstance(offs, dict):
+            offs = ray.get(offs)
+        if not isinstance(bud, dict):
+            bud = ray.get(bud)
+        start = offs[b[id_col][0].as_py()]
+        srcs = np.asarray(b[source_col].to_pylist(), dtype=object)
+        toks = b[tokens_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        cum = np.cumsum(toks)
+        cut = np.flatnonzero(srcs[1:] != srcs[:-1]) + 1
+        starts = np.concatenate([[0], cut])
+        lens = np.diff(np.concatenate([starts, [len(toks)]]))
+        # restart the cumsum per source run, then add the per-source
+        # offset at block start (a sorted block holds each source as
+        # ONE run, so every run may continue from a previous block)
+        run_base = np.array([
+            start.get(srcs[i], 0) - (cum[i - 1] if i else 0)
+            for i in starts
+        ], dtype=np.int64)
+        cum_src = cum + np.repeat(run_base, lens)
+        limit = np.array(
+            [bud.get(s, -1) for s in srcs], dtype=np.int64)
+        keep = cum_src <= limit
+        b = b.append_column("cum_tokens", pa.array(cum_src, pa.int64()))
+        return b.filter(pa.array(keep))
+
+    return src.map_batches(trim, batch_format="pyarrow",
+                           batch_size=None)

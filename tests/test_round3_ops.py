@@ -986,3 +986,48 @@ def test_global_rank(ray_session):
     import pytest
     with pytest.raises(ValueError):
         global_rank(ds, [("score", "descending")], id_col="doc_id")
+
+
+def test_budget_mix(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from clonebas_ray.ops.relational import budget_mix
+
+    rng = np.random.RandomState(11)
+    n = 4000
+    src = np.array([f"s{i % 5}" for i in rng.randint(0, 50, n)])
+    toks = rng.randint(0, 30, n).astype(np.int64)
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "source": pa.array(list(src), pa.string()),
+        "ws_tokens": pa.array(toks, pa.int64()),
+    })
+    budgets = {"s0": 500, "s1": 2000, "s3": 0, "s4": 10**9}
+    out = (
+        budget_mix(ray.data.from_arrow(t).repartition(13), budgets)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # sequential oracle
+    import collections
+    acc: dict = collections.defaultdict(int)
+    keep_ids, cums = [], []
+    order = np.argsort(np.arange(n))  # id order
+    for i in order:
+        s = src[i]
+        if s not in budgets:
+            continue
+        c = acc[s] + int(toks[i])
+        acc[s] = c
+        if c <= budgets[s]:
+            keep_ids.append(i)
+            cums.append(c)
+    assert list(out["doc_id"]) == keep_ids
+    assert list(out["cum_tokens"]) == cums
+    # s2 absent from budgets -> fully dropped; s3 budget 0 -> only
+    # zero-token docs before the first positive-token doc survive
+    assert not (out["source"] == "s2").any()
+    assert (out.loc[out["source"] == "s3", "cum_tokens"] == 0).all()
+    # s4 unlimited -> every s4 doc kept
+    assert (out["source"] == "s4").sum() == int((src == "s4").sum())
