@@ -798,6 +798,85 @@ def run_fuzzy_smoke() -> dict:
     }
 
 
+def run_rank_smoke() -> dict:
+    """1M-doc scale smoke for the two sorted block-offset-scan ops:
+    ``global_rank`` (full ROW_NUMBER by token count desc) and
+    ``budget_mix`` (per-source token-budget truncation over 50
+    synthetic sources).  Both sort the corpus — the one all-to-all —
+    then ship only per-block metadata to the driver."""
+    import logging
+    import resource
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from clonebas_ray.ops.relational import budget_mix, global_rank
+
+    n_docs = int(os.environ.get("GRAFT_TEXT_SMOKE_DOCS", "1000000"))
+    path = _ensure_doc_corpus(n_docs)
+
+    def add_cols(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        n = [len(t.split()) for t in b["text"].to_pylist()]
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "source": pa.array(
+                [f"s{i % 50}" for i in ids], pa.string()),
+            "ws_tokens": pa.array(n, pa.int64()),
+        })
+
+    def docs():
+        return ray.data.read_parquet(
+            path, columns=["doc_id", "text"]
+        ).map_batches(add_cols, batch_format="pyarrow")
+
+    t0 = time.perf_counter()
+    ranked = global_rank(
+        docs(), [("ws_tokens", "descending"), ("doc_id", "ascending")],
+        id_col="doc_id",
+    )
+    n_ranked = ranked.count()
+    rank_s = time.perf_counter() - t0
+
+    budgets = {f"s{k}": 100_000 + 1_000 * k for k in range(50)}
+    t0 = time.perf_counter()
+    mixed = budget_mix(docs(), budgets)
+    kept = tok = 0
+    for b in mixed.select_columns(
+        ["ws_tokens"]).iter_batches(batch_format="pyarrow"):
+        kept += b.num_rows
+        tok += int(b["ws_tokens"].to_numpy().sum())
+    mix_s = time.perf_counter() - t0
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    total_budget = sum(budgets.values())
+    ray.shutdown()
+    return {
+        "metric": "rank_mix_1m_smoke_sec",
+        "value": round(rank_s + mix_s, 3),
+        "unit": "sec",
+        "n_docs": n_docs,
+        "global_rank_s": round(rank_s, 3),
+        "n_ranked": n_ranked,
+        "budget_mix_s": round(mix_s, 3),
+        "n_kept": kept,
+        "kept_tokens": tok,
+        "total_budget": total_budget,
+        "budget_fill": round(tok / total_budget, 4),
+        "num_cpus": NUM_CPUS,
+        "driver_rss_gb": round(rss_gb, 2),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -813,5 +892,7 @@ if __name__ == "__main__":
         print(json.dumps(run_embed_lsh_smoke()))
     elif "--fuzzy-smoke" in sys.argv:
         print(json.dumps(run_fuzzy_smoke()))
+    elif "--rank-smoke" in sys.argv:
+        print(json.dumps(run_rank_smoke()))
     else:
         print(json.dumps(run_bench()))
