@@ -67,6 +67,7 @@ def run_dedup_pipeline(
     concurrency: int | tuple[int, int] | None = None,
     checkpoint: bool = True,
     score_report: bool = False,
+    parse_distinct: bool | None = None,
 ) -> DedupResult:
     """``score_report=True`` adds the reference's per-run corpus
     quality score (A4, ``ScoreController``) to the run metrics: a
@@ -81,14 +82,37 @@ def run_dedup_pipeline(
     cfg_hash = config.config_hash()
 
     # --- fingerprints ------------------------------------------------
+    # parse-distinct: parse each (sha, lang) once and map sigs back —
+    # identical output (pytest-pinned), ~1/dup-factor parse CPU.
+    # Default OFF: on the 1.6 KB-file bench corpus (dup 4.8x) the
+    # dedup shuffle + rejoin overhead slightly exceeds the ~120 CPU-s
+    # of parse saved at 32 cores (A/B in BASELINE.md), because the
+    # single-box wall is latency- not CPU-bound there.  Turn it on
+    # when parse CPU is the scarce resource — larger files (parse
+    # cost ~0.25 s/MB/core vs ~10 ms/MB to shuffle) or higher dup
+    # factors.  Unavailable under checkpointing (cross-shard dedup
+    # would break per-shard cache independence) and in block mode.
+    if parse_distinct is None:
+        parse_distinct = False
+    parse_distinct = parse_distinct and not checkpoint \
+        and not config.block_mode
+    metrics["parse_distinct"] = parse_distinct
+
     def build_fingerprints() -> ray.data.Dataset:
+        from clonebas_ray.stages.fingerprint import (
+            fingerprint_distinct_stage,
+        )
         from clonebas_ray.stages.ingest import read_split_blocks
 
         ds = read_files(
             input_path, override_num_blocks=read_split_blocks()
         )
         ds = prepare_stage(ds)
-        return fingerprint_stage(ds, config, concurrency=concurrency)
+        stage = (
+            fingerprint_distinct_stage if parse_distinct
+            else fingerprint_stage
+        )
+        return stage(ds, config, concurrency=concurrency)
 
     t0 = time.perf_counter()
     if checkpoint:

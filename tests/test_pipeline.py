@@ -367,3 +367,63 @@ def test_label_propagation_fallback_identical_clusters(
     assert base.metrics["cluster_path"] == "union_find"
     assert forced.clusters.equals(base.clusters)
     assert forced.cluster_stats.equals(base.cluster_stats)
+
+
+def test_parse_distinct_identical_output(
+    ray_session, corpus_dir, pipeline_result, tmp_path_factory
+):
+    """parse_distinct=True (parse one rep per (sha, lang), map sigs
+    back) reproduces the default path's cluster and stats tables
+    bit-for-bit — a physical knob, never a semantic one."""
+    from clonebas_ray.pipelines.dedup import run_dedup_pipeline
+
+    d, _ = corpus_dir
+    base, _ = pipeline_result
+    dedup = run_dedup_pipeline(
+        f"{d}/files.parquet",
+        str(tmp_path_factory.mktemp("pd_run")),
+        checkpoint=False,
+        parse_distinct=True,
+    )
+    assert dedup.metrics["parse_distinct"] is True
+    assert base.metrics["parse_distinct"] is False
+    assert dedup.clusters.equals(base.clusters)
+    assert dedup.cluster_stats.equals(base.cluster_stats)
+
+
+def test_parse_distinct_keys_on_sha_and_lang(ray_session, tmp_path):
+    """Identical bytes under different lang profiles must fingerprint
+    independently — the rep key is (sha, lang), never sha alone."""
+    import pyarrow as pa
+    import ray.data
+
+    from clonebas_ray.config import DEFAULT_CONFIG
+    from clonebas_ray.stages.fingerprint import (
+        fingerprint_distinct_stage, fingerprint_stage,
+    )
+    from clonebas_ray.stages.ingest import prepare_stage
+
+    code = "int f(int a) { return a + 1; }\n" * 12
+    t = pa.table({
+        "repo": ["r"] * 4, "path": ["a", "b", "c", "d"],
+        "commit": ["c0"] * 4,
+        "lang": ["cpp", "python", "cpp", "python"],
+        "content": [code] * 4,
+    })
+    ds = prepare_stage(ray.data.from_arrow(t))
+
+    def rows(stage):
+        return (
+            stage(ds, DEFAULT_CONFIG, concurrency=2)
+            .to_pandas()
+            .sort_values("file_key")
+            .reset_index(drop=True)
+        )
+
+    plain, dist = rows(fingerprint_stage), rows(fingerprint_distinct_stage)
+    assert plain.equals(dist)
+    by_lang = dist.groupby("lang")[["sig_hi", "sig_lo"]].nunique()
+    assert (by_lang <= 1).all().all()  # same content+lang -> same sig
+    cpp = dist[dist.lang == "cpp"].iloc[0]
+    py = dist[dist.lang == "python"].iloc[0]
+    assert (cpp.sig_hi, cpp.sig_lo) != (py.sig_hi, py.sig_lo)
