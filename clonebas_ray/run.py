@@ -26,6 +26,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--t-high", type=int, default=1)
     p.add_argument("--t-normal", type=int, default=-1)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--no-checkpoint", action="store_true",
+                   help="skip per-shard checkpointing (one-shot runs)")
+    p.add_argument("--parse-distinct", action="store_true",
+                   help="parse each distinct (sha, lang) once and map "
+                        "signatures back (needs --no-checkpoint; wins "
+                        "when parse CPU is scarce — see BASELINE.md)")
     p.add_argument("--score", action="store_true",
                    help="add the A4 corpus quality score to the report "
                         "(second content pass)")
@@ -126,6 +132,8 @@ def main(argv: list[str] | None = None) -> int:
             report = run_dedup_pipeline(
                 args.input, args.run_dir, config=config,
                 resume=not args.no_resume, score_report=args.score,
+                checkpoint=not args.no_checkpoint,
+                parse_distinct=args.parse_distinct or None,
             ).metrics
     finally:
         ray.shutdown()
