@@ -427,3 +427,37 @@ def test_parse_distinct_keys_on_sha_and_lang(ray_session, tmp_path):
     cpp = dist[dist.lang == "cpp"].iloc[0]
     py = dist[dist.lang == "python"].iloc[0]
     assert (cpp.sig_hi, cpp.sig_lo) != (py.sig_hi, py.sig_lo)
+
+
+def test_parse_distinct_broadcast_limit_fallback(ray_session):
+    """Above broadcast_limit distinct reps the stage must fall back to
+    the plain path (the sig map no longer belongs on one node) — and
+    the fallback is output-identical."""
+    import pyarrow as pa
+    import ray.data
+
+    from clonebas_ray.config import DEFAULT_CONFIG
+    from clonebas_ray.stages.fingerprint import (
+        fingerprint_distinct_stage, fingerprint_stage,
+    )
+    from clonebas_ray.stages.ingest import prepare_stage
+
+    t = pa.table({
+        "repo": ["r"] * 6,
+        "path": [f"p{i}" for i in range(6)],
+        "commit": ["c"] * 6,
+        "lang": ["cpp"] * 6,
+        "content": [f"int f() {{ return {i % 3}; }}\n" * 9
+                    for i in range(6)],
+    })
+    ds = prepare_stage(ray.data.from_arrow(t))
+    plain = (
+        fingerprint_stage(ds, DEFAULT_CONFIG, concurrency=2)
+        .to_pandas().sort_values("file_key").reset_index(drop=True)
+    )
+    fallback = (
+        fingerprint_distinct_stage(
+            ds, DEFAULT_CONFIG, concurrency=2, broadcast_limit=1)
+        .to_pandas().sort_values("file_key").reset_index(drop=True)
+    )
+    assert plain.equals(fallback)
