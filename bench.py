@@ -249,6 +249,8 @@ def run_scaling() -> dict:
         f"files_per_sec_{hi}": thru_hi,
         f"all_files_per_sec_{lo}": [r["files_per_sec"] for r in runs_lo],
         f"all_files_per_sec_{hi}": [r["files_per_sec"] for r in runs_hi],
+        f"host_mem_gbps_{lo}": [r.get("host_mem_gbps") for r in runs_lo],
+        f"host_mem_gbps_{hi}": [r.get("host_mem_gbps") for r in runs_hi],
         "bench_files": r_lo["bench_files"],
         "num_cpus": [lo, hi],
         "pool_fraction": 0.5,
