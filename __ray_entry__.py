@@ -375,6 +375,57 @@ def _q_budget_mix(sf_dir: str):
     ).to_pandas()
 
 
+def _q_lm_score(sf_dir: str):
+    """CCNet-style unigram-LM quality scoring: model trained on the
+    doc_id % 5 == 0 reference split, every doc scored by mean token
+    log-prob (add-one smoothing) + OOV count."""
+    _quiet()
+    from clonebas_ray.ops.text_analysis import unigram_lm_score
+
+    import pyarrow as pa
+
+    def ref_split(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 5 == 0))
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    ref = docs.map_batches(ref_split, batch_format="pyarrow")
+    out = unigram_lm_score(docs, ref)
+    return out.to_pandas()
+
+
+def _q_topic_mix(sf_dir: str):
+    """Semantic-domain mixture: docs labeled by nearest-anchor topic
+    over their embeddings (8 lowest-id anchors), then per-topic token
+    budgets applied in doc_id order — even topics only, budget
+    400 + 250*t, so odd topics drop and low-budget topics truncate
+    mid-stream."""
+    _quiet()
+    import pyarrow as pa
+    import ray.data
+
+    from clonebas_ray.ops.similarity import topic_budget_mix
+
+    def add_tokens(b: pa.Table) -> pa.Table:
+        n = [len((t or "").split()) for t in b["text"].to_pylist()]
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "ws_tokens": pa.array(n, pa.int64()),
+        })
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_tokens, batch_format="pyarrow"
+    )
+    vecs = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    budgets = {t: 400 + 250 * t for t in range(0, 8, 2)}
+    out = topic_budget_mix(docs, vecs, budgets, n_topics=8)
+    return out.select_columns(
+        ["doc_id", "topic", "ws_tokens", "cum_tokens"]
+    ).to_pandas()
+
+
 def _q_hash_split(sf_dir: str):
     _quiet()
     from clonebas_ray.ops.relational import hash_split
@@ -1026,6 +1077,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "doc_rank": _q_doc_rank,
         "budget_mix": _q_budget_mix,
+        "lm_score": _q_lm_score,
+        "topic_mix": _q_topic_mix,
         "dup_spans": _q_dup_spans,
         "segment_dedup": _q_segment_dedup,
         "cut_dup_spans": _q_cut_dup_spans,
@@ -2312,6 +2365,74 @@ FROM c JOIN (VALUES
     ('src14', 1140),
     ('src16', 1260),
     ('src18', 1380)) b(source, budget) ON c.source = b.source
+WHERE c.cum_tokens <= b.budget
+ORDER BY c.doc_id
+""",
+        # unigram LM trained on the doc_id % 5 == 0 split; per-token
+        # logprob ln((c+1)/(T+V)); mean = strict sequential left fold
+        # over doc-order tokens (list_reduce = np.add.accumulate)
+        "lm_score": r"""
+WITH tk AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+), ref AS (
+  SELECT unnest(t) AS w FROM tk WHERE doc_id % 5 = 0
+), m AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM ref GROUP BY w
+), z AS (
+  SELECT CAST(count(*) AS BIGINT) AS tt,
+         CAST(count(DISTINCT w) AS BIGINT) AS v
+  FROM ref
+), tok AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i
+  FROM tk WHERE len(t) > 0
+), lp AS (
+  SELECT tok.doc_id, tok.i,
+    ln(CAST(coalesce(m.c, 0) + 1 AS DOUBLE) / (z.tt + z.v)) AS l,
+    CASE WHEN m.c IS NULL THEN 1 ELSE 0 END AS o
+  FROM tok LEFT JOIN m ON m.w = tok.w CROSS JOIN z
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(o) AS BIGINT) AS oov,
+  list_reduce(list_prepend(0.0, list(l ORDER BY i)),
+              (a, b) -> a + b) / count(*) AS mean_logprob
+FROM lp GROUP BY doc_id ORDER BY doc_id
+""",
+        # anchors = 8 lowest vec_ids; assignment argmax on
+        # (round(cos,6) DESC, anchor ASC); even topics only, budget
+        # 400 + 250*t, inclusive per-topic running sum in doc_id order
+        "topic_mix": r"""
+WITH tk AS (
+  SELECT doc_id,
+    length(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+      AS ws_tokens
+  FROM documents
+), a AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS anchor_id,
+         embedding AS ae
+  FROM embeddings ORDER BY vec_id LIMIT 8
+), asg AS (
+  SELECT e.vec_id, a.anchor_id,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY round(list_cosine_similarity(CAST(a.ae AS DOUBLE[]),
+                          CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                    a.anchor_id) AS rn
+  FROM embeddings e CROSS JOIN a
+), lab AS (
+  SELECT vec_id AS doc_id, CAST(anchor_id AS BIGINT) AS topic
+  FROM asg WHERE rn = 1
+), c AS (
+  SELECT lab.doc_id, lab.topic, tk.ws_tokens,
+    CAST(sum(tk.ws_tokens) OVER (
+      PARTITION BY lab.topic ORDER BY lab.doc_id
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM lab JOIN tk USING (doc_id)
+)
+SELECT c.doc_id, c.topic, c.ws_tokens, c.cum_tokens
+FROM c JOIN (VALUES (0, 400), (2, 900), (4, 1400), (6, 1900))
+  b(topic, budget) ON c.topic = b.topic
 WHERE c.cum_tokens <= b.budget
 ORDER BY c.doc_id
 """,

@@ -1217,7 +1217,7 @@ def budget_mix(
         if not b.num_rows:
             return pa.table({
                 "first_id": pa.array([], pa.int64()),
-                "source": pa.array([], pa.string()),
+                "source": pa.array([], b[source_col].type),
                 "tok_sum": pa.array([], pa.int64()),
             })
         srcs = np.asarray(b[source_col].to_pylist(), dtype=object)
@@ -1230,7 +1230,7 @@ def budget_mix(
         return pa.table({
             "first_id": pa.array(
                 np.full(len(starts), first), pa.int64()),
-            "source": pa.array(list(srcs[starts]), pa.string()),
+            "source": pa.array(list(srcs[starts]), b[source_col].type),
             "tok_sum": pa.array(
                 [int(toks[s:e].sum()) for s, e in zip(starts, ends)],
                 pa.int64()),

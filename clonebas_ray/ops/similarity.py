@@ -1197,3 +1197,99 @@ def knn_join(
         .map_groups(local_topk, batch_format="pyarrow")
     )
     return _merge_topk_distributed(parts, k)
+
+
+def topic_assign(
+    vectors: ray.data.Dataset,
+    n_topics: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Semantic domain labeling: assign every vector to the nearest of
+    ``n_topics`` anchor centroids (the ``n_topics`` smallest-id
+    vectors — the :func:`semantic_dedup` ``codebook='anchors'``
+    convention, argmax on ``(round(cos, 6) desc, anchor asc)``, so the
+    labels are DuckDB-oracle-verifiable).  One broadcast, one
+    map_batches — no shuffle.  Returns ``(id_col, topic)``."""
+    ensure_worker_importable()
+    cents = _lowest_id_vectors(vectors, n_topics, id_col, emb_col)
+    c_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "topic": pa.array([], pa.int64()),
+            })
+        c = ray.get(c_ref)
+        emb = _normalize(_batch_embeddings(batch, emb_col))
+        cos = np.round(emb @ c.T, 6)
+        topic = np.argmax(cos, axis=1).astype(np.int64)
+        return pa.table({
+            id_col: batch[id_col],
+            "topic": pa.array(topic, pa.int64()),
+        })
+
+    return vectors.select_columns([id_col, emb_col]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+
+def topic_budget_mix(
+    docs: ray.data.Dataset,
+    vectors: ray.data.Dataset,
+    budgets: dict[int, int],
+    n_topics: int = 8,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    tokens_col: str = "ws_tokens",
+) -> ray.data.Dataset:
+    """Semantic-domain mixture sampling — the embedding-space variant
+    of the Pile/Dolma source mixing step: label every document with
+    its nearest-anchor TOPIC (:func:`topic_assign` over the document
+    embeddings), then keep each topic's documents in id order until
+    the topic's token budget is spent (``ops.relational.budget_mix``
+    with the topic as the source key).  Curation recipes state "x
+    billion tokens per domain"; when documents carry no source label,
+    the domain IS the embedding cluster.
+
+    ``docs`` must carry ``(doc_id_col, tokens_col)``; ``vectors``
+    carries ``(vec_id_col, emb_col)`` with ids joinable to the docs.
+    Topics absent from ``budgets`` drop entirely.  Output:
+    ``(doc_id_col, topic, tokens_col, cum_tokens)``.
+
+    Scale shape: anchor broadcast + assignment map_batches (no
+    shuffle), one explicit bucketed hash join (token counts x topic
+    labels — both sides large, so no broadcast), then budget_mix's
+    single sort + two pinned-block passes.  Per-topic running sums
+    ship per (block, topic-run) — never per doc."""
+    ensure_worker_importable()
+    from clonebas_ray.ops.relational import budget_mix, hash_join
+
+    labeled = topic_assign(
+        vectors, n_topics, id_col=vec_id_col, emb_col=emb_col
+    )
+    joined = hash_join(
+        docs.select_columns([doc_id_col, tokens_col]),
+        labeled,
+        left_key=doc_id_col,
+        right_key=vec_id_col,
+        left_cols=[doc_id_col, tokens_col],
+        right_cols=[vec_id_col, "topic"],
+        left_dtypes={doc_id_col: "int64", tokens_col: "int64"},
+        right_dtypes={vec_id_col: "int64", "topic": "int64"},
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            doc_id_col: b[doc_id_col].cast(pa.int64()),
+            "topic": b["topic"].cast(pa.int64()),
+            tokens_col: b[tokens_col].cast(pa.int64()),
+        })
+
+    slim = joined.map_batches(project, batch_format="pyarrow")
+    return budget_mix(
+        slim, budgets,
+        source_col="topic", id_col=doc_id_col, tokens_col=tokens_col,
+    )

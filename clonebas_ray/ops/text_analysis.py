@@ -770,3 +770,130 @@ def token_stream_index(
     return src.map_batches(
         index_block, batch_format="pyarrow", batch_size=None
     )
+
+
+def unigram_lm_score(
+    ds: ray.data.Dataset,
+    ref: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """CCNet-style language-model quality scoring: score every
+    document by its mean per-token log-probability under an add-one
+    smoothed UNIGRAM model trained on ``ref`` (a trusted reference
+    split — CCNet trains KenLM on Wikipedia and buckets a crawl by
+    perplexity; the unigram variant keeps the exact same pipeline
+    shape with a model a SQL oracle can recompute).
+
+    Pinned conventions (SQL-recomputable): tokens = whitespace split;
+    token log-prob ``ln((c_w + 1) / (T + V))`` with ``c_w`` the token's
+    reference count (0 if out-of-vocabulary), ``T`` total reference
+    tokens, ``V`` reference vocab size; ``mean_logprob`` = STRICT
+    left-to-right sequential sum of per-token log-probs in document
+    order divided by token count (``np.add.accumulate`` here,
+    ``list_reduce(list_prepend(0.0, list(... ORDER BY i)))`` in the
+    oracle — same IEEE add sequence), log-probs evaluated ONCE per
+    vocab entry with scalar ``math.log`` (numpy's vectorized log
+    rounds the last ulp differently from libm — same pin as
+    :func:`tfidf_top_terms`).  Zero-token documents drop.  Output:
+    ``(id_col, n_tokens, oov, mean_logprob)``.
+
+    Scale shape: pass 1 reduces the reference split to a ``(term,
+    count)`` table via per-block partial Counters + a hash-bucketed
+    merge (the :func:`tfidf_top_terms` DF pattern — no per-term
+    ``map_groups``); the model ships ONCE via ``ray.put`` as a sorted
+    term array + per-term log-prob array (``np.searchsorted`` per
+    block); pass 2 scores every block locally — no shuffle touches
+    document text.  The broadcast assumes the reference vocab fits a
+    worker heap (the reference split is the CURATED side — small by
+    construction; a 10⁷-term vocab is ~300 MB)."""
+    ensure_worker_importable()
+    import math
+
+    import ray
+
+    from clonebas_ray.ops.relational import auto_partitions
+
+    P = auto_partitions()
+
+    def ref_partial(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in b[text_col].to_pylist():
+            c.update((t or "").split())
+        terms = np.asarray(list(c.keys()), dtype=object)
+        kh = pd.util.hash_pandas_object(
+            pd.Series(terms), index=False
+        ).to_numpy() if len(terms) else np.array([], dtype=np.uint64)
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "c": pa.array(
+                np.fromiter(c.values(), dtype=np.int64, count=len(c)),
+                pa.int64()),
+            "__bucket": pa.array(
+                (kh % np.uint64(P)).astype(np.int32), pa.int32()),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("term", sort=False)["c"].sum().reset_index()
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    cnt_ds = (
+        ref.select_columns([text_col])
+        .map_batches(ref_partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+    _sch = pa.schema([("term", pa.string()), ("c", pa.int64())])
+    parts = [
+        t.select(["term", "c"])
+        for t in ray.get(list(cnt_ds.to_arrow_refs()))
+        if t.num_rows > 0 and t.num_columns > 0
+    ]
+    tab = pa.concat_tables(parts) if parts else _sch.empty_table()
+    order = pc.sort_indices(tab["term"].combine_chunks())
+    terms_sorted = np.asarray(
+        tab["term"].combine_chunks().take(order).to_pylist(),
+        dtype=object)
+    counts_sorted = tab["c"].combine_chunks().take(order).to_numpy(
+        zero_copy_only=False)
+    total = int(counts_sorted.sum())
+    vocab = len(counts_sorted)
+    z = total + vocab
+    lp_sorted = np.fromiter(
+        ((math.log((c + 1) / z)) for c in counts_sorted.tolist()),
+        dtype=np.float64, count=vocab,
+    )
+    lp_oov = math.log(1 / z) if z else 0.0
+    model_ref = ray.put((terms_sorted, lp_sorted))
+
+    def score(b: pa.Table) -> pa.Table:
+        ts, lpv = ray.get(model_ref)
+        ids, nts, oovs, means = [], [], [], []
+        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            toks = np.asarray((t or "").split(), dtype=object)
+            n = len(toks)
+            if not n:
+                continue
+            idx = np.searchsorted(ts, toks)
+            hit = idx < len(ts)
+            hit &= np.where(
+                hit, ts[np.minimum(idx, max(len(ts) - 1, 0))] == toks,
+                False)
+            lp = np.where(hit, lpv[np.minimum(idx, max(len(ts) - 1, 0))],
+                          lp_oov)
+            ids.append(i)
+            nts.append(n)
+            oovs.append(int(n - hit.sum()))
+            means.append(float(np.add.accumulate(lp)[-1]) / n)
+        return pa.table({
+            id_col: pa.array(ids, b[id_col].type),
+            "n_tokens": pa.array(nts, pa.int64()),
+            "oov": pa.array(oovs, pa.int64()),
+            "mean_logprob": pa.array(means, pa.float64()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow")

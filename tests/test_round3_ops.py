@@ -1031,3 +1031,123 @@ def test_budget_mix(ray_session):
     assert (out.loc[out["source"] == "s3", "cum_tokens"] == 0).all()
     # s4 unlimited -> every s4 doc kept
     assert (out["source"] == "s4").sum() == int((src == "s4").sum())
+
+
+def test_unigram_lm_score_hand_computed(ray_session):
+    import math
+
+    import ray.data
+
+    from clonebas_ray.ops.text_analysis import unigram_lm_score
+
+    ref = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["a a b", "b c"], pa.string()),
+    }))
+    # model: a:2 b:2 c:1, T=5, V=3, z=8
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11, 12], pa.int64()),
+        "text": pa.array(["a x c", "", "b b"], pa.string()),
+    })).repartition(3)
+    out = (
+        unigram_lm_score(docs, ref)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # the zero-token doc drops
+    assert list(out["doc_id"]) == [10, 12]
+    assert list(out["n_tokens"]) == [3, 2]
+    assert list(out["oov"]) == [1, 0]
+    lp = lambda c: math.log((c + 1) / 8)
+    exp10 = ((0.0 + lp(2)) + lp(0) + lp(1)) / 3
+    exp12 = ((0.0 + lp(2)) + lp(2)) / 2
+    assert out["mean_logprob"][0] == exp10
+    assert out["mean_logprob"][1] == exp12
+
+
+def test_unigram_lm_score_ref_blocks_merge(ray_session):
+    # reference counts must be global across many reference blocks
+    import math
+
+    import ray.data
+
+    from clonebas_ray.ops.text_analysis import unigram_lm_score
+
+    ref = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": pa.array(["w"] * 40, pa.string()),
+    })).repartition(8)
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["w"], pa.string()),
+    }))
+    out = unigram_lm_score(docs, ref).to_pandas()
+    # T=40, V=1, z=41, c=40 -> ln(41/41) = 0.0
+    assert out["mean_logprob"][0] == math.log((40 + 1) / 41)
+    assert out["oov"][0] == 0
+
+
+def test_topic_assign_anchor_convention(ray_session):
+    import ray.data
+
+    from clonebas_ray.ops.similarity import topic_assign
+
+    vecs = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "embedding": pa.array(
+            [[1.0, 0.0], [0.0, 1.0],          # the two anchors
+             [0.9, 0.1], [0.1, 0.9],
+             [0.7071, 0.7071]],               # exact tie after round6
+            pa.list_(pa.float32())),
+    })).repartition(2)
+    out = (
+        topic_assign(vecs, n_topics=2)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    # anchors label themselves; the tie goes to the LOWEST anchor id
+    assert list(out["topic"]) == [0, 1, 0, 1, 0]
+
+
+def test_topic_budget_mix_sequential_oracle(ray_session):
+    import collections
+
+    import ray.data
+
+    from clonebas_ray.ops.similarity import topic_assign, topic_budget_mix
+
+    rng = np.random.RandomState(7)
+    n = 600
+    emb = rng.randn(n, 4).astype(np.float32)
+    vecs = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([list(r) for r in emb],
+                              pa.list_(pa.float32())),
+    })).repartition(5)
+    toks = rng.randint(0, 25, n).astype(np.int64)
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "ws_tokens": pa.array(toks, pa.int64()),
+    })).repartition(4)
+    budgets = {0: 120, 1: 0, 3: 10**9}
+    out = (
+        topic_budget_mix(docs, vecs, budgets, n_topics=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    topics = (
+        topic_assign(vecs, n_topics=4)
+        .to_pandas().sort_values("vec_id")["topic"].to_numpy()
+    )
+    acc: dict = collections.defaultdict(int)
+    keep_ids, cums = [], []
+    for i in range(n):
+        t = int(topics[i])
+        if t not in budgets:
+            continue
+        c = acc[t] + int(toks[i])
+        acc[t] = c
+        if c <= budgets[t]:
+            keep_ids.append(i)
+            cums.append(c)
+    assert list(out["doc_id"]) == keep_ids
+    assert list(out["cum_tokens"]) == cums
+    assert not (out["topic"] == 2).any()          # absent from budgets
+    assert (out["topic"].to_numpy() == topics[out["doc_id"]]).all()
