@@ -100,6 +100,41 @@ def _host_mem_gbps() -> float:
     return round((2 * 2 * a.nbytes / 1e9) / (time.perf_counter() - t0), 2)
 
 
+def _host_mem_gbps_mc(nproc: int = 8) -> float:
+    """AGGREGATE memory-copy bandwidth across ``nproc`` concurrent
+    processes (~1 s).  The single-core probe is NOT sufficient: on
+    2026-08-19 a host measured 3.5 GB/s single-core (quiet-regime
+    value) while the 8-way aggregate collapsed to 0.8 GB/s and the
+    headline ran 40-44 s on code that reads 15.2 s in the quiet
+    regime — the contention only appears under parallel load.  Both
+    probes are recorded so any BENCH reading carries a certificate
+    for the regime the *parallel* pipeline actually ran in.  Quiet
+    aggregate here is >=15 GB/s; readings under ~3 mean the wall
+    times are host-noise, not code."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def worker(q):
+        a = np.empty(1 << 26, dtype=np.uint8)
+        b = np.empty_like(a)
+        t0 = time.perf_counter()
+        n = 0
+        while time.perf_counter() - t0 < 0.8:
+            np.copyto(b, a)
+            n += 1
+        q.put(n * a.nbytes * 2 / (time.perf_counter() - t0) / 1e9)
+
+    q = mp.Queue()
+    ps = [mp.Process(target=worker, args=(q,)) for _ in range(nproc)]
+    for p in ps:
+        p.start()
+    total = sum(q.get() for _ in ps)
+    for p in ps:
+        p.join()
+    return round(total, 2)
+
+
 def run_bench() -> dict:
     import logging
     import shutil
@@ -183,6 +218,7 @@ def run_bench() -> dict:
         "bench_files": BENCH_FILES,
         "headline_runs": headline_runs,
         "host_mem_gbps": _host_mem_gbps(),
+        "host_mem_gbps_mc8": _host_mem_gbps_mc(),
         "files_per_sec": round(files_per_sec, 1),
         "mb_per_sec": round(mb_per_sec, 2),
         "n_clusters": res.metrics.get("n_clusters"),
@@ -251,6 +287,12 @@ def run_scaling() -> dict:
         f"all_files_per_sec_{hi}": [r["files_per_sec"] for r in runs_hi],
         f"host_mem_gbps_{lo}": [r.get("host_mem_gbps") for r in runs_lo],
         f"host_mem_gbps_{hi}": [r.get("host_mem_gbps") for r in runs_hi],
+        f"host_mem_gbps_mc8_{lo}": [
+            r.get("host_mem_gbps_mc8") for r in runs_lo
+        ],
+        f"host_mem_gbps_mc8_{hi}": [
+            r.get("host_mem_gbps_mc8") for r in runs_hi
+        ],
         "bench_files": r_lo["bench_files"],
         "num_cpus": [lo, hi],
         "pool_fraction": 0.5,
