@@ -394,6 +394,25 @@ def _q_lm_score(sf_dir: str):
     return out.to_pandas()
 
 
+def _q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    bag models (1024 buckets, md5_low64) of the doc_id % 7 == 0 target
+    split vs the raw corpus; per-doc log-likelihood-ratio weight."""
+    _quiet()
+    from clonebas_ray.ops.text_analysis import dsir_importance
+
+    import pyarrow as pa
+
+    def tgt_split(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 7 == 0))
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    target = docs.map_batches(tgt_split, batch_format="pyarrow")
+    out = dsir_importance(docs, target, n_buckets=1024)
+    return out.to_pandas()
+
+
 def _q_topic_mix(sf_dir: str):
     """Semantic-domain mixture: docs labeled by nearest-anchor topic
     over their embeddings (8 lowest-id anchors), then per-topic token
@@ -1078,6 +1097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rank": _q_doc_rank,
         "budget_mix": _q_budget_mix,
         "lm_score": _q_lm_score,
+        "dsir_weights": _q_dsir_weights,
         "topic_mix": _q_topic_mix,
         "dup_spans": _q_dup_spans,
         "segment_dedup": _q_segment_dedup,
@@ -2399,6 +2419,55 @@ SELECT doc_id,
   list_reduce(list_prepend(0.0, list(l ORDER BY i)),
               (a, b) -> a + b) / count(*) AS mean_logprob
 FROM lp GROUP BY doc_id ORDER BY doc_id
+""",
+        # DSIR: features = whitespace unigrams (ord i) then bigrams
+        # (ord n+i), hashed md5_number_lower % 1024; target split
+        # doc_id % 7 = 0, raw = whole corpus; add-one-smoothed bucket
+        # log-ratio; per-doc weight = ordered left-fold sum (the
+        # lm_score list_reduce convention)
+        "dsir_weights": r"""
+WITH tk AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i,
+         len(t) AS n
+  FROM tk WHERE len(t) > 0
+), feat AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS ord, w FROM tok
+  UNION ALL
+  SELECT a.doc_id, CAST(a.n + a.i AS BIGINT) AS ord,
+         a.w || ' ' || b.w AS w
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+), fb AS (
+  SELECT doc_id, ord,
+         CAST(md5_number_lower(w) % 1024 AS BIGINT) AS bkt
+  FROM feat
+), cr AS (
+  SELECT bkt, CAST(count(*) AS BIGINT) AS c FROM fb GROUP BY bkt
+), ct AS (
+  SELECT bkt, CAST(count(*) AS BIGINT) AS c FROM fb
+  WHERE doc_id % 7 = 0 GROUP BY bkt
+), zr AS (SELECT CAST(count(*) AS BIGINT) AS t FROM fb),
+zt AS (
+  SELECT CAST(count(*) AS BIGINT) AS t FROM fb WHERE doc_id % 7 = 0
+), lr AS (
+  SELECT r.range AS bkt,
+    ln((coalesce(ct.c, 0) + 1.0) / (zt.t + 1024))
+      - ln((coalesce(cr.c, 0) + 1.0) / (zr.t + 1024)) AS l
+  FROM range(1024) r
+  LEFT JOIN ct ON ct.bkt = r.range
+  LEFT JOIN cr ON cr.bkt = r.range
+  CROSS JOIN zr CROSS JOIN zt
+), lp AS (
+  SELECT fb.doc_id, fb.ord, lr.l FROM fb JOIN lr ON lr.bkt = fb.bkt
+)
+SELECT lp.doc_id, CAST(tk2.n AS BIGINT) AS n_tokens,
+  list_reduce(list_prepend(0.0, list(lp.l ORDER BY lp.ord)),
+              (a, b) -> a + b) AS dsir_logweight
+FROM lp JOIN (SELECT doc_id, len(t) AS n FROM tk) tk2 USING (doc_id)
+GROUP BY lp.doc_id, tk2.n ORDER BY lp.doc_id
 """,
         # anchors = 8 lowest vec_ids; assignment argmax on
         # (round(cos,6) DESC, anchor ASC); even topics only, budget

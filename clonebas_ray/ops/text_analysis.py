@@ -897,3 +897,136 @@ def unigram_lm_score(
 
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow")
+
+
+def _dsir_features(texts: list[str]) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Per-doc (unigram, bigram) feature arrays in document order.
+
+    Features are the DSIR paper's hashed n-gram bag (unigrams +
+    bigrams; Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): tokens = whitespace split (the repo's
+    pinned tokenizer, same as :func:`unigram_lm_score`); a bigram is
+    the two tokens joined by one space.
+    """
+    out = []
+    for t in texts:
+        toks = np.asarray((t or "").split(), dtype=object)
+        if len(toks) >= 2:
+            bigs = np.add(np.add(toks[:-1], " "), toks[1:])
+        else:
+            bigs = np.empty(0, dtype=object)
+        out.append((toks, bigs))
+    return out
+
+
+def _dsir_buckets(feats: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Feature string → hash bucket via the pinned ``md5_low64 %
+    n_buckets`` convention (DuckDB: ``md5_number_lower(w) % B``).
+    Hashes once per DISTINCT feature in the input (np.unique memo)."""
+    from clonebas_ray.functions.murmur3 import md5_low64
+
+    if not len(feats):
+        return np.empty(0, dtype=np.int64)
+    uniq, inv = np.unique(feats, return_inverse=True)
+    ub = np.fromiter(
+        (md5_low64(u.encode("utf-8")) % n_buckets for u in uniq.tolist()),
+        dtype=np.int64, count=len(uniq),
+    )
+    return ub[inv]
+
+
+def dsir_importance(
+    ds: ray.data.Dataset,
+    target: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> ray.data.Dataset:
+    """DSIR importance weights (Xie et al. 2023): score every document
+    by the log-likelihood ratio of a hashed-n-gram bag model of a
+    curated TARGET split over one of the RAW corpus, the published
+    recipe for importance-resampling pretraining data toward a target
+    domain.  Selection (top-k or Gumbel-noised sampling) composes
+    downstream; this operator emits the weights.
+
+    Pinned conventions (SQL-recomputable, see the ``dsir_weights``
+    oracle): features = unigrams then bigrams of the whitespace
+    tokenizer, hashed into ``n_buckets`` by ``md5_low64 % B``; bucket
+    log-ratio ``lr[b] = ln((c_t[b]+1)/(T_t+B)) - ln((c_r[b]+1)/(T_r+B))``
+    (add-one smoothing; scalar ``math.log`` per bucket — the libm/
+    DuckDB-``ln`` parity pin of :func:`unigram_lm_score`); per-doc
+    ``dsir_logweight`` = STRICT left-to-right sum of ``lr`` over the
+    doc's feature occurrences, unigrams in position order then bigrams
+    in position order (``np.add.accumulate``, matching the oracle's
+    ``list_reduce(list_prepend(0.0, list(l ORDER BY ord)))``).
+    Zero-token documents drop.  Output: ``(id_col, n_tokens,
+    dsir_logweight)``.
+
+    Scale shape: pass 1 reduces EACH side to one ``n_buckets``-long
+    int64 vector via per-block ``bincount`` partials packed as binary
+    blobs (one tiny row per block — the byte-bound-exchange pattern;
+    driver traffic is ``n_blocks x 8*B`` bytes, independent of corpus
+    size); the ``B`` log-ratios ship once via ``ray.put``; pass 2
+    scores every block locally.  No shuffle ever touches document
+    text, and per-block hashing is memoized per distinct feature.
+    """
+    ensure_worker_importable()
+    import math
+
+    import ray
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        counts = np.zeros(n_buckets, dtype=np.int64)
+        for toks, bigs in _dsir_features(b[text_col].to_pylist()):
+            for arr in (toks, bigs):
+                bk = _dsir_buckets(arr, n_buckets)
+                if len(bk):
+                    counts += np.bincount(bk, minlength=n_buckets)
+        return pa.table({"blob": pa.array([counts.tobytes()], pa.binary())})
+
+    def side_counts(side: ray.data.Dataset) -> np.ndarray:
+        total = np.zeros(n_buckets, dtype=np.int64)
+        for row in side.select_columns([text_col]).map_batches(
+            count_partial, batch_format="pyarrow", batch_size=None
+        ).iter_rows():
+            total += np.frombuffer(row["blob"], dtype=np.int64)
+        return total
+
+    c_raw = side_counts(ds)
+    c_tgt = side_counts(target)
+    z_raw = int(c_raw.sum()) + n_buckets
+    z_tgt = int(c_tgt.sum()) + n_buckets
+    lr = np.fromiter(
+        (
+            math.log((int(ct) + 1) / z_tgt) - math.log((int(cr) + 1) / z_raw)
+            for ct, cr in zip(c_tgt.tolist(), c_raw.tolist())
+        ),
+        dtype=np.float64, count=n_buckets,
+    )
+    lr_ref = ray.put(lr)
+
+    def score(b: pa.Table) -> pa.Table:
+        lrv = ray.get(lr_ref)
+        ids, nts, ws = [], [], []
+        for i, (toks, bigs) in zip(
+            b[id_col].to_pylist(),
+            _dsir_features(b[text_col].to_pylist()),
+        ):
+            n = len(toks)
+            if not n:
+                continue
+            seq = np.concatenate([
+                lrv[_dsir_buckets(toks, n_buckets)],
+                lrv[_dsir_buckets(bigs, n_buckets)],
+            ])
+            ids.append(i)
+            nts.append(n)
+            ws.append(float(np.add.accumulate(seq)[-1]))
+        return pa.table({
+            id_col: pa.array(ids, b[id_col].type),
+            "n_tokens": pa.array(nts, pa.int64()),
+            "dsir_logweight": pa.array(ws, pa.float64()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow")

@@ -1,0 +1,69 @@
+"""Round-4 session-2 operators: DSIR importance weights, rollup /
+pivot / lead-lag relational breadth."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def test_dsir_importance_hand_computed(ray_session):
+    """Hand-computed DSIR weights on a tiny corpus: hashed unigram+
+    bigram bags, add-one smoothed log-ratio of target over raw,
+    ordered left-fold per-doc sum (uni then bigram occurrences)."""
+    import math
+
+    import ray.data
+
+    from clonebas_ray.functions.murmur3 import md5_low64
+    from clonebas_ray.ops.text_analysis import dsir_importance
+
+    B = 16
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(
+            ["a b a", "b c", "", "a c"], pa.string()),
+    })).repartition(2)
+    # target = docs 0 and 2 (2 drops: zero tokens, but it still
+    # contributes nothing to the counts)
+    target = docs.map_batches(
+        lambda b: b.filter(pa.array(
+            (b["doc_id"].to_numpy(zero_copy_only=False) % 2) == 0)),
+        batch_format="pyarrow")
+
+    out = (
+        dsir_importance(docs, target, n_buckets=B)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == [0, 1, 3]
+    assert list(out["n_tokens"]) == [3, 2, 2]
+
+    bk = lambda w: md5_low64(w.encode()) % B
+    feats = {
+        0: ["a", "b", "a", "a b", "b a"],
+        1: ["b", "c", "b c"],
+        3: ["a", "c", "a c"],
+    }
+    raw: dict[int, int] = {}
+    tgt: dict[int, int] = {}
+    for d, fs in feats.items():
+        for f in fs:
+            raw[bk(f)] = raw.get(bk(f), 0) + 1
+            if d % 2 == 0:
+                tgt[bk(f)] = tgt.get(bk(f), 0) + 1
+    z_raw = sum(raw.values()) + B
+    z_tgt = sum(tgt.values()) + B
+    lr = {
+        b: math.log((tgt.get(b, 0) + 1) / z_tgt)
+        - math.log((raw.get(b, 0) + 1) / z_raw)
+        for b in range(B)
+    }
+    for i, d in enumerate([0, 1, 3]):
+        acc = 0.0
+        for f in feats[d]:
+            acc += lr[bk(f)]
+        assert out["dsir_logweight"][i] == pytest.approx(acc, rel=1e-12)
+    # the target-like doc scores above the raw-only one
+    assert out["dsir_logweight"][0] > out["dsir_logweight"][1]
