@@ -1058,6 +1058,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_stats": rel.docs_lang_stats,
         "distinct_langs": rel.distinct_langs,
         "customers_without_orders": rel.customers_without_orders,
+        "revenue_rollup": rel.revenue_rollup,
+        "lang_source_pivot": rel.lang_source_pivot,
+        "event_gaps": rel.event_gaps,
         "big_spender_segments": rel.big_spender_segments,
         "orders_monthly": rel.orders_monthly,
         "user_sessions": rel.user_sessions,
@@ -1186,6 +1189,59 @@ FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name ORDER BY r.r_name
+""",
+        # rollup levels as explicit unions (same rows as GROUP BY
+        # ROLLUP with 'ALL' markers); revenue in integer cents
+        "revenue_rollup": """
+WITH base AS (
+  SELECT r.r_name, n.n_name,
+    CAST(floor(o.o_totalprice*100.0+0.5) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+)
+SELECT r_name, n_name, CAST(sum(cents) AS BIGINT) AS rev_cents,
+  CAST(count(*) AS BIGINT) AS n_orders
+FROM base GROUP BY r_name, n_name
+UNION ALL
+SELECT r_name, 'ALL', CAST(sum(cents) AS BIGINT),
+  CAST(count(*) AS BIGINT)
+FROM base GROUP BY r_name
+UNION ALL
+SELECT 'ALL', 'ALL', CAST(sum(cents) AS BIGINT),
+  CAST(count(*) AS BIGINT)
+FROM base
+ORDER BY r_name, n_name
+""",
+        "lang_source_pivot": """
+SELECT source,
+  CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+  CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+  CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+  CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh,
+  CAST(sum(CASE WHEN lang NOT IN ('de','en','es','fr','zh')
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_other,
+  CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY source ORDER BY source
+""",
+        # LAG ordered by (ts, event_id) — deterministic under ts ties;
+        # avg = BIGINT sum / count (int/int -> DOUBLE, bit-identical)
+        "event_gaps": """
+WITH g AS (
+  SELECT user_id,
+    CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS gap
+  FROM events
+)
+SELECT user_id,
+  CAST(count(*) + 1 AS BIGINT) AS n_events,
+  CAST(count(*) AS BIGINT) AS n_gaps,
+  CAST(max(gap) AS BIGINT) AS max_gap_us,
+  CAST(sum(gap) AS BIGINT) / count(*) AS avg_gap_us
+FROM g WHERE gap IS NOT NULL
+GROUP BY user_id ORDER BY user_id
 """,
         "brand_revenue": """
 SELECT p.p_brand,

@@ -1289,3 +1289,150 @@ def budget_mix(
 
     return src.map_batches(trim, batch_format="pyarrow",
                            batch_size=None)
+
+
+def revenue_rollup(sf_dir: str) -> pa.Table:
+    """ROLLUP(region, nation) over order revenue: one distributed
+    groupby at the FINEST grain (region, nation), then the coarser
+    rollup levels derived from that ~|nations|-row aggregate on the
+    driver — the scale-correct shape (never re-scan the fact table per
+    level).  Customer→nation→region dims broadcast via ``ray.put`` (at
+    100-TB orders scale the dim side stays small; were customer itself
+    huge, swap the broadcast for :func:`hash_join`).  Revenue in
+    integer cents (``floor(x*100+0.5)``, the repo's float-parity
+    convention); aggregated-out columns carry the literal ``'ALL'``.
+    Output: ``(r_name, n_name, rev_cents, n_orders)`` with nation
+    rows + per-region subtotals + one grand total."""
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    dim = (
+        cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    )[["c_custkey", "n_name", "r_name"]]
+    dim_ref = ray.put(dim)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        d = ray.get(dim_ref)
+        df = pd.DataFrame({
+            "o_custkey": batch["o_custkey"].to_numpy(zero_copy_only=False),
+            "cents": _cents(batch["o_totalprice"]),
+        })
+        df = df.merge(d, left_on="o_custkey", right_on="c_custkey")
+        return pa.Table.from_pandas(
+            df[["r_name", "n_name", "cents"]], preserve_index=False
+        )
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    fine = (
+        orders.map_batches(tag, batch_format="pyarrow")
+        .groupby(["r_name", "n_name"])
+        .aggregate(
+            Sum("cents", alias_name="rev_cents"),
+            Count(alias_name="n_orders"),
+        )
+        .to_pandas()
+    )
+    fine["rev_cents"] = fine["rev_cents"].astype("int64")
+    fine["n_orders"] = fine["n_orders"].astype("int64")
+    per_region = (
+        fine.groupby("r_name", as_index=False)[["rev_cents", "n_orders"]]
+        .sum()
+        .assign(n_name="ALL")
+    )
+    total = pd.DataFrame({
+        "r_name": ["ALL"], "n_name": ["ALL"],
+        "rev_cents": [fine["rev_cents"].sum()],
+        "n_orders": [fine["n_orders"].sum()],
+    })
+    out = pd.concat([fine, per_region, total], ignore_index=True)[
+        ["r_name", "n_name", "rev_cents", "n_orders"]
+    ].sort_values(["r_name", "n_name"]).reset_index(drop=True)
+    out["rev_cents"] = out["rev_cents"].astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+#: pivot column set for :func:`lang_source_pivot` — the corpus lang
+#: tags; anything else lands in ``n_other`` so the schema is stable
+#: regardless of data drift
+PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def lang_source_pivot(sf_dir: str) -> pa.Table:
+    """Pivot documents to one row per source with per-language doc
+    counts as COLUMNS (``n_de .. n_zh`` + ``n_other`` + ``n_docs``).
+    One distributed groupby at the (source, lang) grain; the pivot
+    itself runs on that tiny aggregate on the driver — a pivot output
+    is small by construction (|sources| rows), so this never touches
+    corpus-scale data sideways."""
+    docs = _read(sf_dir, "documents", ["source", "lang"])
+    fine = (
+        docs.groupby(["source", "lang"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    fine["col"] = np.where(
+        fine["lang"].isin(PIVOT_LANGS), "n_" + fine["lang"], "n_other"
+    )
+    wide = (
+        fine.pivot_table(index="source", columns="col", values="n",
+                         aggfunc="sum", fill_value=0)
+        .reset_index()
+    )
+    for lang in PIVOT_LANGS:
+        if f"n_{lang}" not in wide.columns:
+            wide[f"n_{lang}"] = 0
+    if "n_other" not in wide.columns:
+        wide["n_other"] = 0
+    cols = [f"n_{lang}" for lang in PIVOT_LANGS] + ["n_other"]
+    for c in cols:
+        wide[c] = wide[c].astype("int64")
+    wide["n_docs"] = wide[cols].sum(axis=1).astype("int64")
+    wide = wide[["source"] + cols + ["n_docs"]].sort_values(
+        "source").reset_index(drop=True)
+    wide.columns.name = None
+    return pa.Table.from_pandas(wide, preserve_index=False)
+
+
+def event_gaps(sf_dir: str) -> pa.Table:
+    """LEAD/LAG window: per-user inter-event gaps.  Events group by
+    ``user_id`` (`groupby.map_groups` — at corpus scale users are
+    many, so groups spread; within a group the sort is per-user-sized)
+    and sort by ``(ts, event_id)`` — the event_id tiebreak makes the
+    LAG deterministic under timestamp ties.  Gap = microseconds to the
+    previous event.  ``avg_gap_us`` = int-sum / int-count (the exact
+    int/int → double division both engines round identically).
+    Output: ``(user_id, n_events, n_gaps, max_gap_us, avg_gap_us)``;
+    single-event users emit no row (no gaps, like SQL's LAG+WHERE)."""
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        d = np.diff(t)
+        if not len(d):
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "n_gaps": pd.Series([], dtype="int64"),
+                "max_gap_us": pd.Series([], dtype="int64"),
+                "avg_gap_us": pd.Series([], dtype="float64"),
+            })
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "n_events": [len(g)],
+            "n_gaps": [len(d)],
+            "max_gap_us": [int(d.max())],
+            "avg_gap_us": [int(d.sum()) / len(d)],
+        })
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    out = (
+        ev.groupby("user_id")
+        .map_groups(gaps, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("user_id", "n_events", "n_gaps", "max_gap_us"):
+        out[c] = out[c].astype("int64")
+    out = out.sort_values("user_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

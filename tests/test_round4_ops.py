@@ -67,3 +67,77 @@ def test_dsir_importance_hand_computed(ray_session):
         assert out["dsir_logweight"][i] == pytest.approx(acc, rel=1e-12)
     # the target-like doc scores above the raw-only one
     assert out["dsir_logweight"][0] > out["dsir_logweight"][1]
+
+
+def test_revenue_rollup_levels_consistent(ray_session):
+    """Rollup invariants on the sf0.001 tables: nation rows sum to
+    their region subtotal, regions sum to the grand total, and the
+    grand total equals the raw orders sum."""
+    from clonebas_ray.ops.relational import revenue_rollup
+
+    sf = "/root/testdata/sf0.001"
+    out = revenue_rollup(sf).to_pandas()
+    fine = out[(out.r_name != "ALL") & (out.n_name != "ALL")]
+    regions = out[(out.r_name != "ALL") & (out.n_name == "ALL")]
+    total = out[(out.r_name == "ALL")]
+    assert len(total) == 1
+    for _, r in regions.iterrows():
+        sub = fine[fine.r_name == r.r_name]
+        assert sub.rev_cents.sum() == r.rev_cents
+        assert sub.n_orders.sum() == r.n_orders
+    assert regions.rev_cents.sum() == total.rev_cents.iloc[0]
+    import pyarrow.parquet as pq
+    raw = pq.read_table(f"{sf}/orders.parquet", columns=["o_totalprice"])
+    cents = np.floor(
+        raw["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+    ).astype("int64")
+    assert int(cents.sum()) == int(total.rev_cents.iloc[0])
+    assert len(raw) == int(total.n_orders.iloc[0])
+
+
+def test_lang_source_pivot_schema_stable(ray_session, tmp_path):
+    """Pivot keeps every pinned lang column (zero-filled when absent)
+    and routes unknown langs to n_other."""
+    import pyarrow.parquet as pq
+
+    from clonebas_ray.ops.relational import lang_source_pivot
+
+    tab = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "source": pa.array(["a", "a", "b", "b"], pa.string()),
+        "lang": pa.array(["en", "xx", "en", "en"], pa.string()),
+    })
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    out = lang_source_pivot(str(tmp_path)).to_pandas()
+    assert list(out.columns) == [
+        "source", "n_de", "n_en", "n_es", "n_fr", "n_zh",
+        "n_other", "n_docs",
+    ]
+    a = out[out.source == "a"].iloc[0]
+    assert (a.n_en, a.n_other, a.n_docs, a.n_de) == (1, 1, 2, 0)
+    b = out[out.source == "b"].iloc[0]
+    assert (b.n_en, b.n_other, b.n_docs) == (2, 0, 2)
+
+
+def test_event_gaps_single_event_user_drops(ray_session, tmp_path):
+    """A one-event user has no LAG rows; ties on ts break by
+    event_id so the gap sequence is deterministic."""
+    import pyarrow.parquet as pq
+
+    from clonebas_ray.ops.relational import event_gaps
+
+    ts = pa.array(
+        np.array([1_000_000, 3_000_000, 3_000_000, 500_000],
+                 dtype="datetime64[us]")
+    )
+    tab = pa.table({
+        "event_id": pa.array([1, 2, 3, 9], pa.int64()),
+        "ts": ts,
+        "user_id": pa.array([7, 7, 7, 42], pa.int64()),
+    })
+    pq.write_table(tab, str(tmp_path / "events.parquet"))
+    out = event_gaps(str(tmp_path)).to_pandas()
+    assert list(out.user_id) == [7]
+    r = out.iloc[0]
+    assert (r.n_events, r.n_gaps, r.max_gap_us) == (3, 2, 2_000_000)
+    assert r.avg_gap_us == (2_000_000 + 0) / 2
