@@ -860,6 +860,71 @@ def run_fuzzy_smoke() -> dict:
     }
 
 
+def run_dsir_smoke() -> dict:
+    """1M-doc scale smoke for ``dsir_importance``: target = every
+    doc_id ≡ 0 (mod 7).  Exercises the two-pass shape at corpus
+    scale — driver traffic is one 8 KB count blob per block per pass
+    plus the broadcast log-ratio table, so driver RSS must stay flat.
+    Sanity: the mean weight of target-split docs must exceed the
+    non-target mean (the split's own n-grams are upweighted)."""
+    import logging
+    import resource
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from clonebas_ray.ops.text_analysis import dsir_importance
+
+    n_docs = int(os.environ.get("GRAFT_TEXT_SMOKE_DOCS", "1000000"))
+    path = _ensure_doc_corpus(n_docs)
+
+    def tgt(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 7 == 0))
+
+    docs = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    t0 = time.perf_counter()
+    out = dsir_importance(
+        docs, docs.map_batches(tgt, batch_format="pyarrow"),
+        n_buckets=8192,
+    )
+    n = 0
+    s_t = s_r = 0.0
+    n_t = n_r = 0
+    for b in out.iter_batches(batch_format="pyarrow"):
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        w = b["dsir_logweight"].to_numpy(zero_copy_only=False)
+        m = ids % 7 == 0
+        s_t += float(w[m].sum()); n_t += int(m.sum())
+        s_r += float(w[~m].sum()); n_r += int((~m).sum())
+        n += len(ids)
+    wall = time.perf_counter() - t0
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    ray.shutdown()
+    return {
+        "metric": "dsir_1m_smoke_sec",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "n_docs": n_docs,
+        "n_scored": n,
+        "docs_per_sec": round(n / wall, 1),
+        "mean_logweight_target": round(s_t / max(n_t, 1), 6),
+        "mean_logweight_rest": round(s_r / max(n_r, 1), 6),
+        "num_cpus": NUM_CPUS,
+        "driver_rss_gb": round(rss_gb, 2),
+    }
+
+
 def run_rank_smoke() -> dict:
     """1M-doc scale smoke for the two sorted block-offset-scan ops:
     ``global_rank`` (full ROW_NUMBER by token count desc) and
@@ -956,5 +1021,7 @@ if __name__ == "__main__":
         print(json.dumps(run_fuzzy_smoke()))
     elif "--rank-smoke" in sys.argv:
         print(json.dumps(run_rank_smoke()))
+    elif "--dsir-smoke" in sys.argv:
+        print(json.dumps(run_dsir_smoke()))
     else:
         print(json.dumps(run_bench()))
