@@ -741,6 +741,21 @@ def _q_media_frames(sf_dir: str):
     return media_frame_pipeline(media).to_pandas()
 
 
+def _q_media_probe(sf_dir: str):
+    """REAL container-header parsing (PNG IHDR / JPEG SOF segment walk
+    / RIFF-WAVE fmt chunk) over blobs built from the documents table;
+    every parsed field is arithmetic in doc_id, so the oracle verifies
+    the byte-level parse independently."""
+    _quiet()
+    from clonebas_ray.ops.multimodal import (
+        docs_as_container_media,
+        media_probe_pipeline,
+    )
+
+    media = docs_as_container_media(_docs(sf_dir, ["doc_id", "text"]))
+    return media_probe_pipeline(media).to_pandas()
+
+
 def _q_clone_corpus(sf_dir: str):
     """The reference conformance pipeline itself on the deterministic
     synthetic source-code corpus (pytest enforces exactness vs the
@@ -1118,6 +1133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_stats": _q_props_stats,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
+        "media_probe": _q_media_probe,
         "clone_corpus_clusters": _q_clone_corpus,
         "clone_block_clusters": _q_block_clusters,
         "model_clone_clusters": _q_model_clusters,
@@ -1732,6 +1748,32 @@ SELECT media_id, frame,
   CAST(md5_number_lower(substr(text, frame * step + 1, step))
        % 9223372036854775808 AS BIGINT) AS digest
 FROM f ORDER BY media_id, frame
+""",
+        # header fields are arithmetic in doc_id (see
+        # docs_as_container_media); the Ray side re-derives them by
+        # PARSING the built container bytes, so the hash verifies the
+        # byte-level probe
+        "media_probe": """
+SELECT doc_id AS media_id,
+  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+    ELSE 'wav' END AS fmt,
+  CAST(CASE WHEN doc_id % 3 = 2 THEN -1
+    ELSE 16 + doc_id % 2048 END AS BIGINT) AS width,
+  CAST(CASE WHEN doc_id % 3 = 2 THEN -1
+    ELSE 16 + (doc_id * 7) % 2048 END AS BIGINT) AS height,
+  CAST(CASE doc_id % 3
+    WHEN 0 THEN CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END
+    WHEN 1 THEN CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END
+    ELSE 1 + doc_id % 2 END AS BIGINT) AS channels,
+  CAST(CASE WHEN doc_id % 3 = 2 THEN 8000 * (1 + doc_id % 4)
+    ELSE -1 END AS BIGINT) AS sample_rate,
+  CAST(CASE WHEN doc_id % 3 = 2 THEN 16 ELSE 8 END AS BIGINT)
+    AS bit_depth,
+  CAST(CASE WHEN doc_id % 3 = 2 THEN
+    octet_length(encode(text)) * 1000
+      // (8000 * (1 + doc_id % 4) * (1 + doc_id % 2) * 2)
+    ELSE -1 END AS BIGINT) AS duration_ms
+FROM documents ORDER BY media_id
 """,
         "embed_near_dup_clusters": """
 WITH RECURSIVE p AS (

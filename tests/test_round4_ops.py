@@ -141,3 +141,94 @@ def test_event_gaps_single_event_user_drops(ray_session, tmp_path):
     r = out.iloc[0]
     assert (r.n_events, r.n_gaps, r.max_gap_us) == (3, 2, 2_000_000)
     assert r.avg_gap_us == (2_000_000 + 0) / 2
+
+
+def test_media_header_probe_hand_vectors():
+    """Byte-level container parsing against hand-assembled vectors,
+    including shapes the synthetic fixture never builds (grayscale
+    PNG, progressive-ish SOF2 JPEG, restart markers, extra RIFF
+    chunks, truncation, garbage)."""
+    import struct
+    import zlib
+
+    from clonebas_ray.ops.multimodal import (
+        _jpeg_blob,
+        _png_blob,
+        _wav_blob,
+        probe_media_header,
+    )
+
+    # grayscale 16-bit PNG assembled by hand (not via _png_blob)
+    ihdr = struct.pack(">II", 300, 200) + bytes([16, 0, 0, 0, 0])
+    png = (b"\x89PNG\r\n\x1a\n"
+           + struct.pack(">I", 13) + b"IHDR" + ihdr
+           + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr)))
+    r = probe_media_header(png)
+    assert (r["fmt"], r["width"], r["height"], r["channels"],
+            r["bit_depth"]) == ("png", 300, 200, 1, 16)
+
+    # JPEG: restart marker (standalone, no length) before a SOF2
+    sof2 = bytes([12]) + struct.pack(">HH", 64, 48) + bytes([1, 1, 0x11, 0])
+    jpg = (b"\xff\xd8"
+           + b"\xff\xd0"                                  # RST0, no length
+           + b"\xff\xfe" + struct.pack(">H", 4) + b"ab"   # COM
+           + b"\xff\xc2" + struct.pack(">H", len(sof2) + 2) + sof2)
+    r = probe_media_header(jpg)
+    assert (r["fmt"], r["width"], r["height"], r["channels"],
+            r["bit_depth"]) == ("jpeg", 48, 64, 1, 12)
+
+    # WAV with an extra LIST chunk before fmt, odd-length padding rule
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+    body = (b"WAVE"
+            + b"LIST" + struct.pack("<I", 3) + b"abc\x00"  # odd + pad
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", 44100 * 4) + b"")
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    r = probe_media_header(wav)
+    assert (r["fmt"], r["channels"], r["sample_rate"], r["bit_depth"],
+            r["duration_ms"]) == ("wav", 2, 44100, 16, 1000)
+
+    # builders round-trip
+    assert probe_media_header(_png_blob(1, 1, 6, b""))["channels"] == 4
+    assert probe_media_header(_jpeg_blob(2048, 16, 1, b"x"))["width"] == 2048
+    assert probe_media_header(_wav_blob(1, 8000, b""))["duration_ms"] == 0
+
+    # hostile: truncation and garbage degrade, never raise
+    for blob in (b"", b"\x89PNG\r\n\x1a\n", png[:20], jpg[:3],
+                 b"RIFF\x00\x00\x00\x00JUNK", b"garbage" * 3):
+        out = probe_media_header(blob)
+        assert out["fmt"] in ("unknown", "png", "jpeg", "wav")
+
+
+def test_media_probe_pipeline_roundtrip(ray_session):
+    """Fixture-built containers parse back to the doc_id arithmetic
+    (the oracle contract) through the actor-pool stage."""
+    import ray.data
+
+    from clonebas_ray.ops.multimodal import (
+        docs_as_container_media,
+        media_probe_pipeline,
+    )
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(12)), pa.int64()),
+        "text": pa.array([f"doc {i} body" for i in range(12)],
+                         pa.string()),
+    })).repartition(3)
+    out = (
+        media_probe_pipeline(docs_as_container_media(docs))
+        .to_pandas().sort_values("media_id").reset_index(drop=True)
+    )
+    assert len(out) == 12
+    for _, r in out.iterrows():
+        i = int(r.media_id)
+        exp_fmt = ["png", "jpeg", "wav"][i % 3]
+        assert r.fmt == exp_fmt
+        if exp_fmt == "wav":
+            assert r.sample_rate == 8000 * (1 + i % 4)
+            assert r.channels == 1 + i % 2
+            assert (r.width, r.height) == (-1, -1)
+        else:
+            assert r.width == 16 + i % 2048
+            assert r.height == 16 + (i * 7) % 2048
+            assert r.sample_rate == -1
