@@ -691,6 +691,21 @@ def _q_ivf_knn(sf_dir: str):
     ).to_pandas()
 
 
+def _q_label_centroids(sf_dir: str):
+    """Per-label embedding centroids (long form), sequential-fold
+    float parity vs the DOUBLE[] oracle."""
+    _quiet()
+    from clonebas_ray.ops.similarity import label_centroids
+
+    import ray.data
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "label", "embedding"],
+    )
+    return label_centroids(emb).to_pandas()
+
+
 def _q_props_stats(sf_dir: str):
     """Semi-structured payload aggregation: integer field extracted
     from the JSON-string props column via RE2 (pyarrow extract_regex
@@ -1131,6 +1146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_knn": _q_ivf_knn,
         "knn_join": _q_knn_join,
         "props_stats": _q_props_stats,
+        "label_centroids": _q_label_centroids,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "media_probe": _q_media_probe,
@@ -1722,6 +1738,21 @@ SELECT m.sha,
   CAST(1 AS TINYINT) AS tier
 FROM comp c JOIN members m USING (rep)
 ORDER BY m.sha
+""",
+        # per-(label, dim) sequential left-fold sum / count — matches
+        # the Python np.cumsum axis-0 fold bit-for-bit on DOUBLE
+        "label_centroids": """
+WITH e AS (
+  SELECT vec_id, label,
+    unnest(CAST(embedding AS DOUBLE[])) AS v,
+    generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+  CAST(count(*) AS BIGINT) AS n_vecs,
+  list_reduce(list_prepend(0.0, list(v ORDER BY vec_id)),
+              (a, b) -> a + b) / count(*) AS centroid
+FROM e GROUP BY label, dim ORDER BY label, dim
 """,
         "media_features": """
 SELECT doc_id AS media_id,

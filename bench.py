@@ -201,7 +201,8 @@ def run_bench() -> dict:
             "segment_dedup", "semantic_dedup", "corpus_filter",
             "cut_dup_spans", "incremental_neardup",
             "incremental_semdedup", "token_stream", "pretrain_clean", "props_stats",
-            "knn_join",
+            "knn_join", "dsir_weights", "revenue_rollup", "event_gaps",
+            "media_probe",
         ):
             t0 = time.perf_counter()
             q[name](SF_DIR)

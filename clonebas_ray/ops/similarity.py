@@ -1293,3 +1293,50 @@ def topic_budget_mix(
         slim, budgets,
         source_col="topic", id_col=doc_id_col, tokens_col=tokens_col,
     )
+
+
+def label_centroids(
+    ds: ray.data.Dataset,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Per-label embedding centroids in LONG form ``(label, dim,
+    n_vecs, centroid)`` — the vector-aggregate primitive behind data
+    maps, IVF codebook seeding and per-domain drift monitors.
+
+    Float-parity pin: the per-dimension sum is a STRICT sequential
+    left fold over the label's vectors in ``id_col`` order
+    (``np.cumsum`` along axis 0 — numpy's accumulate IS the sequential
+    fold; the oracle mirrors it with ``list_reduce(list_prepend(0.0,
+    list(v ORDER BY vec_id)))`` per (label, dim)), then one division
+    by the int count.  float32 inputs upcast to float64 exactly, so a
+    ``CAST(embedding AS DOUBLE[])`` oracle is bit-identical.
+
+    Scale shape: one shuffle groups by label; each group is ONE task
+    doing a single (n_label × dim) cumsum — cheap compute, but a
+    mega-label is a straggler by construction because the bit-pinned
+    sequential fold cannot be split into per-block partials (float
+    adds don't reassociate).  For production (no oracle pin), per-block
+    partial sums + a tiny merge drop the straggler at the cost of a
+    last-ulp different centroid.
+    """
+
+    def centroid(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        tab = pa.Table.from_pandas(g[[emb_col]], preserve_index=False)
+        m = _batch_embeddings(tab, emb_col)
+        n, dim = m.shape
+        s = np.cumsum(m, axis=0)[-1]
+        return pd.DataFrame({
+            label_col: np.repeat(np.int64(g[label_col].iloc[0]), dim),
+            "dim": np.arange(1, dim + 1, dtype=np.int64),
+            "n_vecs": np.repeat(np.int64(n), dim),
+            "centroid": s / n,
+        })
+
+    return (
+        ds.select_columns([label_col, id_col, emb_col])
+        .groupby(label_col)
+        .map_groups(centroid, batch_format="pandas")
+    )

@@ -232,3 +232,39 @@ def test_media_probe_pipeline_roundtrip(ray_session):
             assert r.width == 16 + i % 2048
             assert r.height == 16 + (i * 7) % 2048
             assert r.sample_rate == -1
+
+
+def test_label_centroids_sequential_fold(ray_session):
+    """Centroid equals the strict in-id-order sequential float fold
+    (NOT a reassociated sum) divided by the count, per (label, dim)."""
+    import ray.data
+
+    from clonebas_ray.ops.similarity import label_centroids
+
+    rng = np.random.default_rng(7)
+    n, dim = 200, 4
+    emb = rng.normal(size=(n, dim)).astype(np.float32)
+    labels = (np.arange(n) % 3).astype(np.int32)
+    ids = rng.permutation(n).astype(np.int64)  # ids out of row order
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "label": pa.array(labels, pa.int32()),
+        "embedding": pa.array(
+            [r.tolist() for r in emb], pa.list_(pa.float32(), dim)),
+    })).repartition(5)
+    out = (
+        label_centroids(ds)
+        .to_pandas().sort_values(["label", "dim"]).reset_index(drop=True)
+    )
+    assert len(out) == 3 * dim
+    for lbl in range(3):
+        m = emb[labels == lbl].astype(np.float64)
+        order = np.argsort(ids[labels == lbl])
+        m = m[order]
+        for d in range(dim):
+            acc = 0.0
+            for x in m[:, d]:
+                acc += x
+            got = out[(out.label == lbl) & (out.dim == d + 1)]
+            assert got.n_vecs.iloc[0] == len(m)
+            assert got.centroid.iloc[0] == acc / len(m)
