@@ -290,6 +290,31 @@ def _q_decontaminate(sf_dir: str):
     return out.select_columns(["doc_id", "n_grams", "n_hits"]).to_pandas()
 
 
+def _q_bloom_decontaminate(sf_dir: str):
+    """Bloom-filter decontamination (fixed-memory scale path of
+    `decontaminate`): same every-23rd benchmark split, 8-token grams,
+    2^20-bit filter, k=3 double hashing — flags (false positives
+    included) are exact integer math the oracle recomputes."""
+    _quiet()
+    from clonebas_ray.ops.text_dedup import bloom_decontaminate
+
+    import pyarrow as pa
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def every_23rd(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 23 == 0))
+
+    bench = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        every_23rd, batch_format="pyarrow", batch_size=None
+    )
+    out = bloom_decontaminate(docs, bench, n=8, m_bits=1 << 20, k=3)
+    return out.select_columns(
+        ["doc_id", "n_grams", "n_bloom_hits"]
+    ).to_pandas()
+
+
 def _q_fuzzy_decontaminate(sf_dir: str):
     # same every-23rd benchmark fixture as `decontaminate`, but the
     # TRAIN side excludes the benchmark docs (a genuine cross-corpus
@@ -1126,6 +1151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngrams": _q_dup_ngrams,
         "text_normalize": _q_text_normalize,
         "decontaminate": _q_decontaminate,
+        "bloom_decontaminate": _q_bloom_decontaminate,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "doc_rank": _q_doc_rank,
         "budget_mix": _q_budget_mix,
@@ -2441,6 +2467,54 @@ WITH t AS (
 SELECT t.doc_id,
   coalesce(h.n_grams, CAST(0 AS BIGINT)) AS n_grams,
   coalesce(h.n_hits, CAST(0 AS BIGINT)) AS n_hits
+FROM t LEFT JOIN h USING (doc_id)
+""",
+        # Bloom positions recomputed exactly: gram hash = rolling
+        # mod-2^64 polynomial (base 0x100000001B3 = 1099511628211)
+        # over md5_number_lower token hashes; pos_i = (g % m + i*(1 +
+        # g % (m-1))) % m, m = 2^20, k = 3; a gram hits iff ALL its
+        # positions land in the benchmark bit set (FPs included)
+        "bloom_decontaminate": """
+WITH t AS (
+  SELECT doc_id,
+    list_transform(
+      list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+      w -> CAST(md5_number_lower(w) AS HUGEINT)) AS th
+  FROM documents
+), g AS (
+  SELECT doc_id, generate_subscripts(r, 1) AS gi, unnest(r) AS gh
+  FROM (
+    SELECT doc_id, list_transform(
+        range(1, greatest(len(th) - 7, 0) + 1),
+        i -> list_reduce(
+          list_prepend(CAST(0 AS HUGEINT), list_slice(th, i, i + 7)),
+          (a, b) -> (a * 1099511628211 + b) % 18446744073709551616)
+      ) AS r
+    FROM t
+  )
+), pos AS (
+  SELECT doc_id, gi, unnest([
+      CAST((gh % 1048576 + 0 * (1 + gh % 1048575)) % 1048576 AS BIGINT),
+      CAST((gh % 1048576 + 1 * (1 + gh % 1048575)) % 1048576 AS BIGINT),
+      CAST((gh % 1048576 + 2 * (1 + gh % 1048575)) % 1048576 AS BIGINT)
+    ]) AS p
+  FROM g
+), bloom AS (
+  SELECT DISTINCT p FROM pos WHERE doc_id % 23 = 0
+), gram_hit AS (
+  SELECT pos.doc_id, pos.gi,
+    bool_and(bloom.p IS NOT NULL) AS hit
+  FROM pos LEFT JOIN bloom ON bloom.p = pos.p
+  GROUP BY pos.doc_id, pos.gi
+), h AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+    CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_bloom_hits
+  FROM gram_hit GROUP BY doc_id
+)
+SELECT t.doc_id,
+  coalesce(h.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+  coalesce(h.n_bloom_hits, CAST(0 AS BIGINT)) AS n_bloom_hits
 FROM t LEFT JOIN h USING (doc_id)
 """,
         # shingle CTE identical to minhash_pairs (5-word shingles);

@@ -1057,6 +1057,113 @@ def ngram_decontaminate(
     )
 
 
+
+def bloom_bits_from_hashes(
+    gram_hashes: np.ndarray, m_bits: int, k: int
+) -> np.ndarray:
+    """Bloom bit array over 64-bit gram hashes with double hashing:
+    ``pos_i = (g % m + i * (1 + g % (m-1))) % m`` for ``i < k`` — pure
+    integer arithmetic so a DuckDB oracle recomputes the EXACT same
+    bit positions (false positives included) on HUGEINTs."""
+    bits = np.zeros(m_bits, dtype=bool)
+    if len(gram_hashes):
+        g = np.asarray(gram_hashes, dtype=np.uint64)
+        m = np.uint64(m_bits)
+        m1 = np.uint64(m_bits - 1)
+        h1 = g % m
+        h2 = np.uint64(1) + g % m1
+        for i in range(k):
+            bits[((h1 + np.uint64(i) * h2) % m).astype(np.int64)] = True
+    return bits
+
+
+class _BloomScan(_GramHashes):
+    """Per-block scan against a broadcast Bloom bit array: a gram hits
+    iff ALL ``k`` of its bit positions are set."""
+
+    def __init__(self, bits_ref, n: int, m_bits: int, k: int,
+                 text_col: str):
+        super().__init__(n, text_col)
+        self.bits_ref = bits_ref
+        self.m_bits = m_bits
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bits = self.bits_ref
+        if not isinstance(bits, np.ndarray):
+            bits = ray.get(bits)
+        texts = batch[self.text_col].to_pylist()
+        seqs = [self.doc_grams(t) for t in texts]
+        counts = np.array([len(s) for s in seqs], dtype=np.int64)
+        if counts.sum():
+            g = np.concatenate([s for s in seqs if len(s)])
+            m = np.uint64(self.m_bits)
+            m1 = np.uint64(self.m_bits - 1)
+            h1 = g % m
+            h2 = np.uint64(1) + g % m1
+            hit = np.ones(len(g), dtype=bool)
+            for i in range(self.k):
+                hit &= bits[
+                    ((h1 + np.uint64(i) * h2) % m).astype(np.int64)
+                ]
+            cum = np.concatenate([[0], np.cumsum(hit)])
+            ends = np.cumsum(counts)
+            n_hits = cum[ends] - cum[ends - counts]
+        else:
+            n_hits = np.zeros(len(texts), dtype=np.int64)
+        batch = batch.append_column("n_grams", pa.array(counts, pa.int64()))
+        batch = batch.append_column(
+            "n_bloom_hits", pa.array(n_hits.astype(np.int64), pa.int64())
+        )
+        return batch.append_column(
+            "contaminated_bloom", pa.array(n_hits > 0, pa.bool_())
+        )
+
+
+def bloom_decontaminate(
+    docs: ray.data.Dataset,
+    bench: ray.data.Dataset | None = None,
+    *,
+    gram_hashes: np.ndarray | None = None,
+    text_col: str = "text",
+    n: int = 13,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    concurrency: int | tuple[int, int] | None = None,
+) -> ray.data.Dataset:
+    """Bloom-filter benchmark decontamination — the fixed-memory scale
+    path of :func:`ngram_decontaminate`.  The exact variant broadcasts
+    the full sorted gram-hash array (8 bytes/distinct gram: a 10^9-gram
+    benchmark union is an 8 GB broadcast); this one compresses the set
+    into an ``m_bits`` Bloom bit array (2^30 bits = 128 MB regardless
+    of gram count) at a documented false-positive rate of roughly
+    ``(1 - exp(-k * n_grams / m_bits)) ** k`` — false positives only
+    ever OVER-flag, the accepted direction for decontamination.
+
+    Determinism/SQL-parity pin: gram hash = the repo's rolling
+    mod-2^64 polynomial over ``md5_low64`` token hashes (base
+    0x100000001B3); bit positions = double hashing ``(g % m + i * (1 +
+    g % (m-1))) % m``.  All integer math, so the DuckDB oracle
+    reproduces the EXACT flag set, false positives included.
+
+    Appends ``n_grams``, ``n_bloom_hits``, ``contaminated_bloom``.
+    Same broadcast-scan discipline as the exact variant:
+    ``batch_size=None``, plain task pool, one ``ray.put`` bit array.
+    """
+    ensure_worker_importable()
+    if gram_hashes is None:
+        if bench is None:
+            raise ValueError("pass either bench dataset or gram_hashes")
+        gram_hashes = benchmark_gram_hashes(bench, text_col=text_col, n=n)
+    bits = bloom_bits_from_hashes(gram_hashes, m_bits, k)
+    ref = ray.put(bits)
+    kw = {"concurrency": concurrency} if concurrency else {}
+    return docs.map_batches(
+        _BloomScan(ref, n, m_bits, k, text_col),
+        batch_format="pyarrow", batch_size=None, **kw,
+    )
+
+
 # ---------------------------------------------------------------------------
 # fuzzy (near-duplicate) benchmark decontamination
 # ---------------------------------------------------------------------------

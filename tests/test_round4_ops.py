@@ -268,3 +268,56 @@ def test_label_centroids_sequential_fold(ray_session):
             got = out[(out.label == lbl) & (out.dim == d + 1)]
             assert got.n_vecs.iloc[0] == len(m)
             assert got.centroid.iloc[0] == acc / len(m)
+
+
+def test_bloom_decontaminate_superset_of_exact(ray_session):
+    """Bloom flags are a SUPERSET of the exact gram-overlap flags
+    (false positives only over-flag, never under-flag), and every
+    gram of a verbatim copy hits."""
+    import ray.data
+
+    from clonebas_ray.ops.text_dedup import (
+        bloom_decontaminate,
+        ngram_decontaminate,
+    )
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(400)]
+    texts = [
+        " ".join(rng.choice(vocab, size=20)) for _ in range(60)
+    ]
+    texts[10] = texts[0]          # verbatim copy of a bench doc
+    texts[11] = texts[5]
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(60)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(4)
+    bench = docs.map_batches(
+        lambda b: b.filter(pa.array(
+            b["doc_id"].to_numpy(zero_copy_only=False) < 8)),
+        batch_format="pyarrow")
+
+    exact = (
+        ngram_decontaminate(docs, bench, n=5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    bloom = (
+        bloom_decontaminate(docs, bench, n=5, m_bits=1 << 16, k=3)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(bloom.n_grams) == list(exact.n_grams)
+    # superset: bloom hit count >= exact hit count, per position
+    assert (bloom.n_bloom_hits >= exact.n_hits).all()
+    # verbatim copies fully flagged
+    for d in (10, 11):
+        assert bloom.contaminated_bloom[d]
+        assert bloom.n_bloom_hits[d] == bloom.n_grams[d]
+    # a tiny filter forces false positives; flags stay deterministic
+    tiny = bloom_decontaminate(
+        docs, bench, n=5, m_bits=64, k=2
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (tiny.n_bloom_hits >= bloom.n_bloom_hits).all()
+    tiny2 = bloom_decontaminate(
+        docs, bench, n=5, m_bits=64, k=2
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(tiny.n_bloom_hits) == list(tiny2.n_bloom_hits)
