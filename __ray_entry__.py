@@ -192,6 +192,24 @@ def _q_minhash_dedup_filter(sf_dir: str):
     return kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_minhash_keep_longest(sf_dir: str):
+    """Quality-aware dedup action: minhash clusters → keep the LONGEST
+    member per cluster (argmax n_chars, ties to smallest doc_id) plus
+    every unclustered doc."""
+    _quiet()
+    from clonebas_ray.ops.text_dedup import (
+        dedup_filter_best, minhash_dedup_clusters,
+    )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    clusters = minhash_dedup_clusters(docs, threshold=0.5)
+    kept = dedup_filter_best(
+        _docs(sf_dir, ["doc_id", "n_chars"]), clusters,
+        score_col="n_chars",
+    )
+    return kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_langid(sf_dir: str):
     _quiet()
     from clonebas_ray.ops.text_analysis import LanguageId
@@ -1142,6 +1160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "substring_dups": _q_substring_dups,
         "minhash_dedup_filter": _q_minhash_dedup_filter,
+        "minhash_keep_longest": _q_minhash_keep_longest,
         "minhash_clusters": _q_minhash_clusters,
         "language_id": _q_langid,
         "quality_score": _q_quality,
@@ -2283,6 +2302,52 @@ inter AS (
 )
 SELECT d.doc_id FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
+ORDER BY d.doc_id
+""",
+        # same exact-Jaccard clusters as minhash_dedup_filter, but
+        # the kept member per cluster is argmax(n_chars, ties -> min
+        # doc_id) instead of min doc_id
+        "minhash_keep_longest": """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+         WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(t) - 3),
+                i -> array_to_string(t[i:i+4], ' ')))
+    END AS s
+  FROM toks
+), e AS (SELECT doc_id, unnest(s) AS sng FROM sh),
+sz AS (SELECT doc_id, len(s) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM e a JOIN e b ON a.sng = b.sng AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+  WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  SELECT a AS id, a AS lbl FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.id = e.a
+), cc AS (
+  SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+), win AS (
+  SELECT cc.doc_id,
+    row_number() OVER (PARTITION BY cc.cluster_id
+      ORDER BY d.n_chars DESC, cc.doc_id) AS rn
+  FROM cc JOIN documents d USING (doc_id)
+)
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM win WHERE rn > 1)
 ORDER BY d.doc_id
 """,
         "minhash_clusters": """

@@ -837,6 +837,59 @@ def dedup_filter(
     return docs.map_batches(keep, batch_format="pyarrow")
 
 
+def dedup_filter_best(
+    docs: ray.data.Dataset, clusters: pa.Table,
+    score_col: str = "n_chars",
+    id_col: str = "doc_id", cluster_col: str = "cluster_id",
+) -> ray.data.Dataset:
+    """Quality-aware dedup ACTION: keep the BEST member per near-dup
+    cluster instead of the smallest id — winner = argmax(``score_col``,
+    ties to the smallest id), the "keep the longest/highest-quality
+    duplicate" convention production pipelines actually use.
+
+    Scale shape mirrors :func:`dedup_filter`: the cluster table is
+    near-dup-sized, so winner selection is driver-side pandas over it;
+    the only corpus-scale work is two stateless broadcast-filter scans
+    (grab scores for clustered ids, then drop non-winners), and the
+    corpus never shuffles."""
+    ensure_worker_importable()
+    import ray as ray_api
+
+    import pyarrow.compute as pc
+
+    cdf = clusters.to_pandas()
+    id_set = pa.array(cdf[id_col].to_numpy())
+    id_ref = ray_api.put(id_set)
+
+    def grab(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch[id_col], value_set=ray_api.get(id_ref))
+        return batch.filter(m).select([id_col, score_col])
+
+    scores = (
+        docs.select_columns([id_col, score_col])
+        .map_batches(grab, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    cdf = cdf.merge(scores, on=id_col)
+    cdf = cdf.sort_values(
+        [cluster_col, score_col, id_col],
+        ascending=[True, False, True],
+    )
+    winners = cdf.groupby(cluster_col, sort=False).head(1)[id_col]
+    drop = pa.array(
+        cdf.loc[~cdf[id_col].isin(winners), id_col].to_numpy()
+    )
+    drop_ref = ray_api.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = ray_api.get(drop_ref)
+        mask = pc.invert(pc.is_in(batch[id_col], value_set=d))
+        return batch.filter(mask)
+
+    return docs.map_batches(keep, batch_format="pyarrow",
+                            batch_size=None)
+
+
 def docs_as_files(docs: ray.data.Dataset) -> ray.data.Dataset:
     """Adapt (doc_id, text, ...) to the flagship file-table shape with
     ``lang='text'`` so the clone pipeline's token-shingle mode applies."""

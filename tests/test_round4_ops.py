@@ -321,3 +321,27 @@ def test_bloom_decontaminate_superset_of_exact(ray_session):
         docs, bench, n=5, m_bits=64, k=2
     ).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert list(tiny.n_bloom_hits) == list(tiny2.n_bloom_hits)
+
+
+def test_dedup_filter_best_keeps_argmax(ray_session):
+    """Winner per cluster = argmax(score), ties to smallest id;
+    unclustered docs always survive."""
+    import ray.data
+
+    from clonebas_ray.ops.text_dedup import dedup_filter_best
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "n_chars": pa.array([10, 99, 99, 7, 50, 3], pa.int64()),
+    })).repartition(2)
+    clusters = pa.table({
+        "doc_id": pa.array([0, 1, 2, 4, 5], pa.int64()),
+        "cluster_id": pa.array([0, 0, 0, 4, 4], pa.int64()),
+    })
+    kept = (
+        dedup_filter_best(docs, clusters, score_col="n_chars")
+        .to_pandas().sort_values("doc_id")
+    )
+    # cluster 0: ids 0/1/2, max n_chars 99 tie between 1 and 2 -> 1
+    # cluster 4: ids 4/5 -> 4 (50 > 3); doc 3 unclustered -> kept
+    assert list(kept.doc_id) == [1, 3, 4]
