@@ -1002,6 +1002,35 @@ def _q_running_totals(sf_dir: str):
     ).to_pandas()
 
 
+def _q_rolling_spend(sf_dir: str):
+    # bounded sliding window (ROWS BETWEEN 4 PRECEDING AND CURRENT
+    # ROW): per-customer 5-order spend, integer cents so the window
+    # sum is engine-independent
+    _quiet()
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from clonebas_ray.ops.relational import group_window
+
+    def add_cents(batch: pa.Table) -> pa.Table:
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        cents = np.floor(p * 100 + 0.5).astype(np.int64)
+        return batch.append_column("cents", pa.array(cents, pa.int64()))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(add_cents, batch_format="pyarrow")
+    out = group_window(
+        orders, "o_custkey", ["o_orderdate", "o_orderkey"],
+        value_col="cents", rolling_window=5,
+    )
+    return out.select_columns(
+        ["o_custkey", "o_orderkey", "rn", "w5_sum_cents", "w5_n"]
+    ).to_pandas()
+
+
 def _q_incremental_dedup(sf_dir: str):
     # cross-run dedup fixture: docs with doc_id % 3 == 0 play the
     # already-accepted corpus (seeded into a fresh hash store), the
@@ -1147,6 +1176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "tfidf_terms": _q_tfidf_terms,
         "running_totals": _q_running_totals,
+        "rolling_spend": _q_rolling_spend,
         "incremental_dedup": _q_incremental_dedup,
         "incremental_neardup": _q_incremental_neardup,
         "incremental_semdedup": _q_incremental_semdedup,
@@ -1610,6 +1640,17 @@ SELECT event_type, user_id, cnt AS count_lo, rank FROM (
 """,
         # integer-cents running sum (exact under any addition order);
         # COALESCE(-1) keeps the lag column BIGINT on both sides
+        "rolling_spend": """
+SELECT o_custkey, o_orderkey,
+  ROW_NUMBER() OVER w AS rn,
+  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+       OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+       AS BIGINT) AS w5_sum_cents,
+  CAST(COUNT(*) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+       AS BIGINT) AS w5_n
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
         "running_totals": """
 SELECT o_custkey, o_orderkey,
   ROW_NUMBER() OVER w AS rn,

@@ -927,6 +927,7 @@ def group_window(
     lag_cols: list[str] | None = None,
     lag_fill: int = -1,
     num_buckets: int = 0,
+    rolling_window: int | None = None,
 ) -> ray.data.Dataset:
     """Per-group ordered running-window columns — the cumulative
     window operator (running account totals, event sequence numbers,
@@ -970,6 +971,20 @@ def group_window(
             out[f"cum_{value_col}"] = (
                 g[value_col].cumsum().astype("int64")
             )
+            if rolling_window:
+                # ROWS BETWEEN (W-1) PRECEDING AND CURRENT ROW as a
+                # prefix-sum difference — integer-exact, so it
+                # bit-matches SQL's windowed SUM regardless of the
+                # engine's summation tree
+                w = rolling_window
+                cum = out[f"cum_{value_col}"]
+                prior = g[value_col].cumsum().groupby(
+                    [out[k] for k in keys], sort=False
+                ).shift(w).fillna(0)
+                out[f"w{w}_sum_{value_col}"] = (
+                    cum - prior.astype("int64")
+                ).astype("int64")
+                out[f"w{w}_n"] = np.minimum(out["rn"], w).astype("int64")
         for c in lags:
             prev = g[c].shift(1)
             out[f"prev_{c}"] = prev.fillna(lag_fill).astype(out[c].dtype)

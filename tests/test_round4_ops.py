@@ -345,3 +345,24 @@ def test_dedup_filter_best_keeps_argmax(ray_session):
     # cluster 0: ids 0/1/2, max n_chars 99 tie between 1 and 2 -> 1
     # cluster 4: ids 4/5 -> 4 (50 > 3); doc 3 unclustered -> kept
     assert list(kept.doc_id) == [1, 3, 4]
+
+
+def test_group_window_rolling_sum(ray_session):
+    """Bounded ROWS-window sum via prefix-sum difference: exact ints,
+    window truncated at the group head."""
+    import ray.data
+
+    from clonebas_ray.ops.relational import group_window
+
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+        "o": pa.array([1, 2, 3, 4, 1, 2], pa.int64()),
+        "v": pa.array([10, 20, 30, 40, 5, 7], pa.int64()),
+    })).repartition(3)
+    out = (
+        group_window(ds, "k", ["o"], value_col="v", rolling_window=2)
+        .to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    )
+    assert list(out.w2_sum_v) == [10, 30, 50, 70, 5, 12]
+    assert list(out.w2_n) == [1, 2, 2, 2, 1, 2]
+    assert list(out.cum_v) == [10, 30, 60, 100, 5, 12]
