@@ -391,6 +391,34 @@ def _q_doc_rank(sf_dir: str):
     ).to_pandas()
 
 
+def _q_doc_deciles(sf_dir: str):
+    # NTILE(10) curriculum bucketing over (ws_tokens DESC, doc_id) —
+    # rides the global_rank distributed-scan shape
+    _quiet()
+    import pyarrow as pa
+
+    from clonebas_ray.ops.relational import global_ntile
+
+    def add_tokens(b: pa.Table) -> pa.Table:
+        n = [len((t or "").split()) for t in b["text"].to_pylist()]
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "ws_tokens": pa.array(n, pa.int64()),
+        })
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_tokens, batch_format="pyarrow"
+    )
+    out = global_ntile(
+        docs,
+        [("ws_tokens", "descending"), ("doc_id", "ascending")],
+        id_col="doc_id", k=10, tile_col="decile",
+    )
+    return out.select_columns(
+        ["doc_id", "ws_tokens", "rank", "decile"]
+    ).to_pandas()
+
+
 def _q_budget_mix(sf_dir: str):
     # mixture recipe fixture: even-indexed sources only, with a
     # per-source token budget 300 + 60k — odd sources drop, low-k
@@ -1203,6 +1231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_decontaminate": _q_bloom_decontaminate,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "doc_rank": _q_doc_rank,
+        "doc_deciles": _q_doc_deciles,
         "budget_mix": _q_budget_mix,
         "lm_score": _q_lm_score,
         "dsir_weights": _q_dsir_weights,
@@ -2823,6 +2852,18 @@ WITH t AS (
 )
 SELECT doc_id, ws_tokens,
   row_number() OVER (ORDER BY ws_tokens DESC, doc_id) AS rank
+FROM t ORDER BY doc_id
+""",
+        "doc_deciles": """
+WITH t AS (
+  SELECT doc_id,
+    length(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+      AS ws_tokens
+  FROM documents
+)
+SELECT doc_id, ws_tokens,
+  row_number() OVER (ORDER BY ws_tokens DESC, doc_id) AS rank,
+  ntile(10) OVER (ORDER BY ws_tokens DESC, doc_id) AS decile
 FROM t ORDER BY doc_id
 """,
         # md5_number_lower = the repo's pinned md5_low64 convention;

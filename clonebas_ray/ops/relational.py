@@ -1451,3 +1451,40 @@ def event_gaps(sf_dir: str) -> pa.Table:
         out[c] = out[c].astype("int64")
     out = out.sort_values("user_id").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def global_ntile(
+    ds: ray.data.Dataset,
+    keys: list[tuple[str, str]],
+    id_col: str,
+    k: int,
+    tile_col: str = "tile",
+) -> ray.data.Dataset:
+    """``NTILE(k) OVER (ORDER BY keys)`` — quantile bucketing for
+    curriculum schedules / quality tiers.  Rides :func:`global_rank`
+    (same one-sort distributed-scan shape) plus one count; the
+    rank→tile map reproduces SQL NTILE exactly: with ``n`` rows,
+    ``size = n // k`` and ``rem = n % k``, the first ``rem`` buckets
+    hold ``size + 1`` rows."""
+    ranked = global_rank(ds, keys, id_col=id_col)
+    n = ranked.count()
+    size, rem = divmod(n, k)
+    cut = rem * (size + 1)
+
+    def add_tile(b: pa.Table) -> pa.Table:
+        r = b["rank"].to_numpy(zero_copy_only=False)
+        if size:
+            tile = np.where(
+                r <= cut,
+                (r - 1) // (size + 1) + 1,
+                rem + (r - 1 - cut) // size + 1,
+            )
+        else:
+            tile = r
+        return b.append_column(
+            tile_col, pa.array(tile.astype(np.int64), pa.int64())
+        )
+
+    return ranked.map_batches(
+        add_tile, batch_format="pyarrow", batch_size=None
+    )

@@ -366,3 +366,28 @@ def test_group_window_rolling_sum(ray_session):
     assert list(out.w2_sum_v) == [10, 30, 50, 70, 5, 12]
     assert list(out.w2_n) == [1, 2, 2, 2, 1, 2]
     assert list(out.cum_v) == [10, 30, 60, 100, 5, 12]
+
+
+def test_global_ntile_matches_sql_ntile(ray_session):
+    """NTILE bucket sizes: first n%k buckets hold one extra row; k>n
+    degenerates to tile=rank."""
+    import ray.data
+
+    from clonebas_ray.ops.relational import global_ntile
+
+    ds = ray.data.from_arrow(pa.table({
+        "id": pa.array(list(range(13)), pa.int64()),
+        "v": pa.array([i * 3 % 7 for i in range(13)], pa.int64()),
+    })).repartition(4)
+    out = (
+        global_ntile(ds, [("v", "ascending"), ("id", "ascending")],
+                     id_col="id", k=4)
+        .to_pandas().sort_values("rank").reset_index(drop=True)
+    )
+    # 13 rows / 4 tiles -> sizes 4,3,3,3
+    assert list(out.tile) == [1]*4 + [2]*3 + [3]*3 + [4]*3
+    big = (
+        global_ntile(ds, [("id", "ascending")], id_col="id", k=50)
+        .to_pandas().sort_values("rank").reset_index(drop=True)
+    )
+    assert list(big.tile) == list(big["rank"])
