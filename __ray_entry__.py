@@ -192,6 +192,32 @@ def _q_minhash_dedup_filter(sf_dir: str):
     return kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking: rolling-hash boundaries (4-token
+    window, low-4-bits-zero cut) split every doc into edit-robust
+    chunks; digests pin the repo's md5_low64 % 2^63 convention."""
+    _quiet()
+    from clonebas_ray.ops.text_dedup import cdc_chunks
+
+    out = cdc_chunks(
+        _docs(sf_dir, ["doc_id", "text"]), window=4, boundary_bits=4,
+    )
+    return out.to_pandas()
+
+
+def _q_cdc_shared(sf_dir: str):
+    """Cross-document shared CDC chunks (the sub-document dedup
+    discovery step): digests seen 2+ times with occurrence/doc
+    counts."""
+    _quiet()
+    from clonebas_ray.ops.text_dedup import cdc_chunks, cdc_shared_chunks
+
+    chunks = cdc_chunks(
+        _docs(sf_dir, ["doc_id", "text"]), window=4, boundary_bits=4,
+    )
+    return cdc_shared_chunks(chunks).to_pandas()
+
+
 def _q_minhash_keep_longest(sf_dir: str):
     """Quality-aware dedup action: minhash clusters → keep the LONGEST
     member per cluster (argmax n_chars, ties to smallest doc_id) plus
@@ -1219,6 +1245,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dups": _q_substring_dups,
         "minhash_dedup_filter": _q_minhash_dedup_filter,
         "minhash_keep_longest": _q_minhash_keep_longest,
+        "cdc_chunks": _q_cdc_chunks,
+        "cdc_shared": _q_cdc_shared,
         "minhash_clusters": _q_minhash_clusters,
         "language_id": _q_langid,
         "quality_score": _q_quality,
@@ -2373,6 +2401,100 @@ inter AS (
 SELECT d.doc_id FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
 ORDER BY d.doc_id
+""",
+        # rolling mod-2^64 hash over md5 token hashes (the bloom/
+        # decontaminate kernel); cut after token e where the 4-token
+        # window ending at e has low 4 bits zero; digest = md5 of the
+        # space-joined chunk
+        "cdc_chunks": """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), th AS (
+  SELECT doc_id, toks,
+    list_transform(toks, w -> CAST(md5_number_lower(w) AS HUGEINT)) AS h
+  FROM t WHERE len(toks) > 0
+), tok AS (
+  SELECT doc_id, unnest(toks) AS w,
+         generate_subscripts(toks, 1) AS j
+  FROM th
+), g AS (
+  SELECT doc_id, generate_subscripts(r, 1) AS i, unnest(r) AS gh
+  FROM (
+    SELECT doc_id, list_transform(
+        range(1, greatest(len(h) - 3, 0) + 1),
+        i -> list_reduce(
+          list_prepend(CAST(0 AS HUGEINT), list_slice(h, i, i + 3)),
+          (a, b) -> (a * 1099511628211 + b) % 18446744073709551616)
+      ) AS r
+    FROM th
+  )
+), cut AS (
+  SELECT doc_id, i + 3 AS e FROM g WHERE gh % 16 = 0
+), seg AS (
+  SELECT tok.doc_id, tok.j, tok.w,
+    CAST(count(c.e) AS BIGINT) AS chunk_idx
+  FROM tok LEFT JOIN cut c
+    ON c.doc_id = tok.doc_id AND c.e < tok.j
+  GROUP BY tok.doc_id, tok.j, tok.w
+), chunks AS (
+  SELECT doc_id, chunk_idx,
+    CAST(min(j) AS BIGINT) AS start_tok,
+    CAST(count(*) AS BIGINT) AS n_tokens,
+    CAST(md5_number_lower(string_agg(w, ' ' ORDER BY j))
+         % 9223372036854775808 AS BIGINT) AS digest
+  FROM seg GROUP BY doc_id, chunk_idx
+)
+SELECT doc_id, chunk_idx, start_tok, n_tokens, digest
+FROM chunks ORDER BY doc_id, chunk_idx
+""",
+        "cdc_shared": """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), th AS (
+  SELECT doc_id, toks,
+    list_transform(toks, w -> CAST(md5_number_lower(w) AS HUGEINT)) AS h
+  FROM t WHERE len(toks) > 0
+), tok AS (
+  SELECT doc_id, unnest(toks) AS w,
+         generate_subscripts(toks, 1) AS j
+  FROM th
+), g AS (
+  SELECT doc_id, generate_subscripts(r, 1) AS i, unnest(r) AS gh
+  FROM (
+    SELECT doc_id, list_transform(
+        range(1, greatest(len(h) - 3, 0) + 1),
+        i -> list_reduce(
+          list_prepend(CAST(0 AS HUGEINT), list_slice(h, i, i + 3)),
+          (a, b) -> (a * 1099511628211 + b) % 18446744073709551616)
+      ) AS r
+    FROM th
+  )
+), cut AS (
+  SELECT doc_id, i + 3 AS e FROM g WHERE gh % 16 = 0
+), seg AS (
+  SELECT tok.doc_id, tok.j, tok.w,
+    CAST(count(c.e) AS BIGINT) AS chunk_idx
+  FROM tok LEFT JOIN cut c
+    ON c.doc_id = tok.doc_id AND c.e < tok.j
+  GROUP BY tok.doc_id, tok.j, tok.w
+), chunks AS (
+  SELECT doc_id, chunk_idx,
+    CAST(min(j) AS BIGINT) AS start_tok,
+    CAST(count(*) AS BIGINT) AS n_tokens,
+    CAST(md5_number_lower(string_agg(w, ' ' ORDER BY j))
+         % 9223372036854775808 AS BIGINT) AS digest
+  FROM seg GROUP BY doc_id, chunk_idx
+)
+SELECT digest,
+  CAST(count(*) AS BIGINT) AS n_occurrences,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(min(n_tokens) AS BIGINT) AS n_tokens
+FROM chunks GROUP BY digest HAVING count(*) >= 2
+ORDER BY digest
 """,
         # same exact-Jaccard clusters as minhash_dedup_filter, but
         # the kept member per cluster is argmax(n_chars, ties -> min

@@ -890,6 +890,122 @@ def dedup_filter_best(
                             batch_size=None)
 
 
+def cdc_chunks(
+    docs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 4,
+    boundary_bits: int = 4,
+) -> ray.data.Dataset:
+    """Content-defined chunking (the LBFS/rsync/restic technique, over
+    TOKENS): a chunk boundary falls after token ``e`` wherever the
+    rolling hash of the ``window`` tokens ending at ``e`` has its low
+    ``boundary_bits`` bits zero — so boundaries move WITH the content,
+    and an insertion near the top of a document only re-chunks its
+    own neighborhood instead of shifting every downstream fixed-size
+    block (the property that makes sub-document dedup robust to
+    edits; expected chunk length ≈ 2^boundary_bits tokens).
+
+    Pinned, SQL-recomputable conventions: tokens = whitespace split;
+    rolling hash = the repo's mod-2^64 polynomial (base 0x100000001B3)
+    over ``md5_low64`` token hashes — the same kernel as
+    :func:`ngram_decontaminate`; chunk digest = ``md5_low64(tokens
+    joined by one space) % 2^63``.  No min/max-length clamps: the cut
+    set is exactly the boundary-hash predicate, so the oracle is pure
+    relational algebra (a stateful min/max walk is the documented
+    production knob this query variant omits).
+
+    One stateless ``map_batches`` pass; rows explode ~1 per
+    2^boundary_bits tokens.  Output: ``(id_col, chunk_idx, start_tok,
+    n_tokens, digest)``; zero-token documents emit nothing.
+    """
+    ensure_worker_importable()
+    mask = np.uint64((1 << boundary_bits) - 1)
+    zero = np.uint64(0)
+    mod63 = (1 << 63) - 1
+
+    class _Chunker(_GramHashes):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids_out, idx_out, start_out, n_out, dig_out = \
+                [], [], [], [], []
+            md5 = self._md5
+            for i, t in zip(
+                batch[id_col].to_pylist(),
+                batch[text_col].to_pylist(),
+            ):
+                toks = (t or "").split()
+                m = len(toks)
+                if not m:
+                    continue
+                th = self._tok_hashes(t or "")
+                gh = _gram_position_hashes(th, self.n)
+                # gram at 0-based pos p ends at token e = p + w - 1;
+                # cut after e (split index e + 1)
+                cuts = (
+                    np.flatnonzero((gh & mask) == zero) + self.n
+                    if len(gh) else np.empty(0, dtype=np.int64)
+                )
+                bounds = np.concatenate(
+                    [[0], cuts[cuts < m], [m]]
+                ).astype(np.int64)
+                bounds = np.unique(bounds)
+                for ci in range(len(bounds) - 1):
+                    lo, hi = int(bounds[ci]), int(bounds[ci + 1])
+                    chunk = " ".join(toks[lo:hi])
+                    ids_out.append(i)
+                    idx_out.append(ci)
+                    start_out.append(lo + 1)
+                    n_out.append(hi - lo)
+                    dig_out.append(
+                        md5(chunk.encode("utf-8", "surrogatepass"))
+                        & mod63
+                    )
+            return pa.table({
+                id_col: pa.array(ids_out, batch[id_col].type),
+                "chunk_idx": pa.array(idx_out, pa.int64()),
+                "start_tok": pa.array(start_out, pa.int64()),
+                "n_tokens": pa.array(n_out, pa.int64()),
+                "digest": pa.array(dig_out, pa.int64()),
+            })
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        _Chunker(window, text_col), batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def cdc_shared_chunks(
+    chunks: ray.data.Dataset, id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Cross-document shared-content discovery over CDC chunks: one
+    ``groupby(digest)`` reduces the chunk stream to per-digest
+    ``(n_occurrences, n_docs, n_tokens)`` and keeps digests occurring
+    more than once — the boilerplate/quotation blobs a sub-document
+    deduplicator would collapse.  The exchange ships digest rows (a
+    few ints per ~2^b tokens of corpus), never text."""
+    ensure_worker_importable()
+
+    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({
+                "digest": pd.Series([], dtype="int64"),
+                "n_occurrences": pd.Series([], dtype="int64"),
+                "n_docs": pd.Series([], dtype="int64"),
+                "n_tokens": pd.Series([], dtype="int64"),
+            })
+        return pd.DataFrame({
+            "digest": [int(g["digest"].iloc[0])],
+            "n_occurrences": [len(g)],
+            "n_docs": [int(g[id_col].nunique())],
+            "n_tokens": [int(g["n_tokens"].iloc[0])],
+        })
+
+    return (
+        chunks.groupby("digest")
+        .map_groups(reduce_group, batch_format="pandas")
+    )
+
+
 def docs_as_files(docs: ray.data.Dataset) -> ray.data.Dataset:
     """Adapt (doc_id, text, ...) to the flagship file-table shape with
     ``lang='text'`` so the clone pipeline's token-shingle mode applies."""

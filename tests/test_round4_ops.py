@@ -391,3 +391,37 @@ def test_global_ntile_matches_sql_ntile(ray_session):
         .to_pandas().sort_values("rank").reset_index(drop=True)
     )
     assert list(big.tile) == list(big["rank"])
+
+
+def test_cdc_chunks_edit_locality(ray_session):
+    """The CDC property: inserting tokens near the head of a doc only
+    changes chunks around the edit — the tail chunk digests are
+    identical (a fixed-size chunker would shift every block)."""
+    import ray.data
+
+    from clonebas_ray.ops.text_dedup import cdc_chunks, cdc_shared_chunks
+
+    rng = np.random.default_rng(11)
+    body = " ".join(rng.choice([f"w{i}" for i in range(500)], size=300))
+    edited = "INS0 INS1 INS2 " + body
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([body, edited], pa.string()),
+    })).repartition(2)
+    out = cdc_chunks(docs, window=4, boundary_bits=3).to_pandas()
+    d1 = out[out.doc_id == 1]
+    d2 = out[out.doc_id == 2]
+    # coverage invariants: chunks tile the doc exactly
+    for d, ntok in ((d1, 300), (d2, 303)):
+        d = d.sort_values("chunk_idx")
+        assert d.n_tokens.sum() == ntok
+        assert list(d.start_tok) == list(
+            np.concatenate([[1], np.cumsum(d.n_tokens)[:-1] + 1]))
+    # edit locality: the shared tail dominates
+    shared = set(d1.digest) & set(d2.digest)
+    assert len(shared) >= 0.8 * len(d1)
+    # shared-chunk discovery sees those digests as cross-doc
+    sh = cdc_shared_chunks(
+        cdc_chunks(docs, window=4, boundary_bits=3)
+    ).to_pandas()
+    assert set(sh[sh.n_docs == 2].digest) >= shared
