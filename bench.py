@@ -926,6 +926,61 @@ def run_dsir_smoke() -> dict:
     }
 
 
+def run_cdc_smoke() -> dict:
+    """1M-doc CDC smoke: chunk the corpus (4-token window, 2^4 cut)
+    and reduce to cross-doc shared digests.  Sanity: the shared 30-
+    token boilerplate block carried by every 10th doc must surface as
+    high-n_docs shared chunks, and chunks must exactly tile the token
+    count."""
+    import logging
+    import resource
+
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from clonebas_ray.ops.text_dedup import cdc_chunks, cdc_shared_chunks
+
+    n_docs = int(os.environ.get("GRAFT_TEXT_SMOKE_DOCS", "1000000"))
+    path = _ensure_doc_corpus(n_docs)
+    docs = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    t0 = time.perf_counter()
+    chunks = cdc_chunks(docs, window=4, boundary_bits=4).materialize()
+    n_chunks = chunks.count()
+    shared = cdc_shared_chunks(chunks)
+    n_shared = 0
+    max_docs = 0
+    shared_occ = 0
+    for b in shared.iter_batches(batch_format="pyarrow"):
+        n_shared += b.num_rows
+        shared_occ += int(b["n_occurrences"].to_numpy().sum())
+        if b.num_rows:
+            max_docs = max(max_docs, int(b["n_docs"].to_numpy().max()))
+    wall = time.perf_counter() - t0
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    ray.shutdown()
+    return {
+        "metric": "cdc_1m_smoke_sec",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "n_docs": n_docs,
+        "n_chunks": n_chunks,
+        "n_shared_digests": n_shared,
+        "shared_occurrences": shared_occ,
+        "max_docs_per_digest": max_docs,
+        "docs_per_sec": round(n_docs / wall, 1),
+        "num_cpus": NUM_CPUS,
+        "driver_rss_gb": round(rss_gb, 2),
+    }
+
+
 def run_rank_smoke() -> dict:
     """1M-doc scale smoke for the two sorted block-offset-scan ops:
     ``global_rank`` (full ROW_NUMBER by token count desc) and
@@ -1024,5 +1079,7 @@ if __name__ == "__main__":
         print(json.dumps(run_rank_smoke()))
     elif "--dsir-smoke" in sys.argv:
         print(json.dumps(run_dsir_smoke()))
+    elif "--cdc-smoke" in sys.argv:
+        print(json.dumps(run_cdc_smoke()))
     else:
         print(json.dumps(run_bench()))

@@ -977,32 +977,55 @@ def cdc_chunks(
 def cdc_shared_chunks(
     chunks: ray.data.Dataset, id_col: str = "doc_id",
 ) -> ray.data.Dataset:
-    """Cross-document shared-content discovery over CDC chunks: one
-    ``groupby(digest)`` reduces the chunk stream to per-digest
-    ``(n_occurrences, n_docs, n_tokens)`` and keeps digests occurring
-    more than once — the boilerplate/quotation blobs a sub-document
-    deduplicator would collapse.  The exchange ships digest rows (a
-    few ints per ~2^b tokens of corpus), never text."""
-    ensure_worker_importable()
+    """Cross-document shared-content discovery over CDC chunks:
+    reduce the chunk stream to per-digest ``(n_occurrences, n_docs,
+    n_tokens)`` and keep digests occurring more than once — the
+    boilerplate/quotation blobs a sub-document deduplicator would
+    collapse.
 
-    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({
-                "digest": pd.Series([], dtype="int64"),
-                "n_occurrences": pd.Series([], dtype="int64"),
-                "n_docs": pd.Series([], dtype="int64"),
-                "n_tokens": pd.Series([], dtype="int64"),
-            })
-        return pd.DataFrame({
-            "digest": [int(g["digest"].iloc[0])],
-            "n_occurrences": [len(g)],
-            "n_docs": [int(g[id_col].nunique())],
-            "n_tokens": [int(g["n_tokens"].iloc[0])],
+    Scale shape: per-block partials first collapse each block to
+    distinct ``(digest, doc_id)`` rows with occurrence counts (the
+    pre-aggregation that bounds the exchange by distinct pairs, not
+    chunk occurrences), then ONE hash-bucketed merge groups whole
+    digests inside ``pair_partitions`` pandas tasks — never one
+    ``map_groups`` call per digest (4.7M tiny groups measured ~2 min
+    at 1M docs; the bucketed merge is seconds).  The exchange ships
+    digest rows (a few ints per ~2^b tokens of corpus), never text."""
+    ensure_worker_importable()
+    from clonebas_ray.ops.relational import auto_partitions
+
+    P = auto_partitions()
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "digest": b["digest"].to_numpy(zero_copy_only=False),
+            id_col: b[id_col].to_numpy(zero_copy_only=False),
+            "n_tokens": b["n_tokens"].to_numpy(zero_copy_only=False),
         })
+        g = df.groupby(["digest", id_col], sort=False).agg(
+            n_occ=("n_tokens", "size"), n_tokens=("n_tokens", "first")
+        ).reset_index()
+        g["__bucket"] = (
+            g["digest"].to_numpy().astype(np.uint64) % np.uint64(P)
+        ).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("digest", sort=False).agg(
+            n_occurrences=("n_occ", "sum"),
+            n_docs=(id_col, "nunique"),
+            n_tokens=("n_tokens", "first"),
+        ).reset_index()
+        out = out[out["n_occurrences"] >= 2]
+        for c in ("digest", "n_occurrences", "n_docs", "n_tokens"):
+            out[c] = out[c].astype("int64")
+        return out
 
     return (
-        chunks.groupby("digest")
-        .map_groups(reduce_group, batch_format="pandas")
+        chunks.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+        .groupby("__bucket")
+        .map_groups(merge, batch_format="pandas")
     )
 
 
