@@ -389,6 +389,18 @@ def _q_fuzzy_decontaminate(sf_dir: str):
     ).to_pandas()
 
 
+def _q_cross_source_overlap(sf_dir: str):
+    """Cross-source n-gram contamination matrix: distinct 3-gram
+    counts per corpus source, shared-gram counts and gram-set Jaccard
+    for every unordered source pair (which split leaks into which)."""
+    _quiet()
+    from clonebas_ray.ops.text_dedup import cross_source_overlap
+
+    return cross_source_overlap(
+        _docs(sf_dir, ["source", "text"]), n=3
+    )
+
+
 def _q_doc_rank(sf_dir: str):
     # global ROW_NUMBER over (ws_tokens DESC, doc_id) — the full-sort
     # rank export; ws_tokens shares token_counts' pinned convention
@@ -1258,6 +1270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "bloom_decontaminate": _q_bloom_decontaminate,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
+        "cross_source_overlap": _q_cross_source_overlap,
         "doc_rank": _q_doc_rank,
         "doc_deciles": _q_doc_deciles,
         "budget_mix": _q_budget_mix,
@@ -2819,6 +2832,38 @@ SELECT tr.doc_id,
 FROM train tr
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
 ORDER BY tr.doc_id
+""",
+        # distinct 3-gram sets per source joined on raw gram STRINGS
+        # (gram hash identity == joined-string identity; see
+        # _GramHashes); jaccard = int/int DOUBLE division in the
+        # Python kernel's op order (s / (na + nb - s))
+        "cross_source_overlap": """
+WITH t AS (
+  SELECT source,
+    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT DISTINCT source, unnest(list_transform(
+      range(1, greatest(len(toks) - 2, 0) + 1),
+      i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS gram
+  FROM t
+), tot AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY source
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+    CAST(count(*) AS BIGINT) AS shared
+  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT ta.source AS source_a, tb.source AS source_b,
+  coalesce(p.shared, CAST(0 AS BIGINT)) AS shared_grams,
+  ta.n AS grams_a, tb.n AS grams_b,
+  coalesce(p.shared, CAST(0 AS BIGINT))
+    / CAST(ta.n + tb.n - coalesce(p.shared, 0) AS DOUBLE) AS jaccard
+FROM tot ta
+JOIN tot tb ON ta.source < tb.source
+LEFT JOIN pairs p ON p.source_a = ta.source AND p.source_b = tb.source
+ORDER BY source_a, source_b
 """,
         "budget_mix": """
 WITH t AS (

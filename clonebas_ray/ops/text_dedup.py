@@ -1987,3 +1987,172 @@ def segment_dedup(
     return src.map_batches(
         rebuild, batch_format="pyarrow", batch_size=None,
     )
+
+
+def cross_source_overlap(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    group_col: str = "source",
+    n: int = 3,
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Cross-source n-gram contamination matrix: for every unordered
+    pair of corpus sources, the number of distinct word ``n``-grams
+    they share, each side's distinct-gram count, and the gram-set
+    Jaccard — the train/test overlap audit of the GPT-3 appendix /
+    Dolma decontamination reports, generalized to all source pairs
+    (which split is leaking into which).
+
+    Layout (never ships gram strings, never materializes the corpus):
+
+    1. one ``map_batches`` pass per block extracts each source's
+       DISTINCT gram hashes (:class:`_GramHashes` — md5 token hashes,
+       rolling polynomial gram hash, the repo's SQL-verifiable
+       convention) and packs them into per-``(bucket, source)``
+       binary blobs, bucketed by a splitmix64 mix of the gram hash so
+       every bucket is an independent partition of gram space;
+    2. ``groupby(bucket).map_groups`` unions each source's blobs
+       (``np.unique`` over ``np.frombuffer``) and emits per-bucket
+       partial rows: one distinct-count row per source plus one
+       intersection-count row per source pair (``np.intersect1d`` on
+       sorted arrays);
+    3. the driver sums the tiny partial table (``buckets x
+       (sources + pairs)`` rows) and assembles the matrix.
+
+    The exchange is byte-bound: 8 bytes per block-distinct gram, the
+    same budget as :func:`ngram_decontaminate`'s benchmark side, and
+    per-bucket task memory is ``total_distinct_grams / num_buckets *
+    8 B`` — size ``num_buckets`` up (4096+) for a 100-TB corpus.
+    Counts are exact up to 64-bit gram-hash collisions
+    (``~m^2/2^65`` expected — the accepted failure mode documented on
+    :class:`_GramHashes`); the DuckDB oracle counts distinct gram
+    STRINGS, identical barring such a collision.
+
+    Returns a pandas DataFrame (the matrix is ``O(sources^2)`` rows —
+    driver-small by construction): ``source_a < source_b``,
+    ``shared_grams``, ``grams_a``, ``grams_b``, ``jaccard`` (int/int
+    division, bit-identical to the oracle's), sorted by the pair.
+    """
+    ensure_worker_importable()
+    from clonebas_ray.ops.relational import auto_partitions
+
+    P = int(num_buckets) if num_buckets else auto_partitions(mult=2, lo=32)
+    nn = int(n)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        gh = _GramHashes(nn, text_col)
+        per_src: dict[str, list[np.ndarray]] = {}
+        for s, t in zip(
+            batch[group_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            g = gh.doc_grams(t)
+            if len(g):
+                per_src.setdefault(s, []).append(g)
+        buckets: list[int] = []
+        srcs: list[str] = []
+        blobs: list[bytes] = []
+        for s, arrs in per_src.items():
+            u = np.unique(np.concatenate(arrs))
+            bk = (_mix64(u) % np.uint64(P)).astype(np.int32)
+            for b in np.unique(bk):
+                buckets.append(int(b))
+                srcs.append(s)
+                blobs.append(u[bk == b].tobytes())
+        return pa.table(
+            {
+                "bucket": pa.array(buckets, pa.int32()),
+                "grp": pa.array(srcs, pa.string()),
+                "blob": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        per: dict[str, list[np.ndarray]] = {}
+        for s, blob in zip(g["grp"], g["blob"]):
+            per.setdefault(s, []).append(np.frombuffer(blob, np.uint64))
+        sets = {s: np.unique(np.concatenate(a)) for s, a in per.items()}
+        names = sorted(sets)
+        kind, col_a, col_b, cnt = [], [], [], []
+        for s in names:
+            kind.append("tot")
+            col_a.append(s)
+            col_b.append("")
+            cnt.append(int(sets[s].size))
+        for i, a in enumerate(names):
+            for b in names[i + 1:]:
+                kind.append("pair")
+                col_a.append(a)
+                col_b.append(b)
+                cnt.append(
+                    int(
+                        np.intersect1d(
+                            sets[a], sets[b], assume_unique=True
+                        ).size
+                    )
+                )
+        return pd.DataFrame(
+            {
+                "kind": kind,
+                "source_a": col_a,
+                "source_b": col_b,
+                "cnt": np.array(cnt, np.int64),
+            }
+        )
+
+    empty = pd.DataFrame(
+        {
+            "source_a": pd.Series([], dtype="object"),
+            "source_b": pd.Series([], dtype="object"),
+            "shared_grams": pd.Series([], dtype="int64"),
+            "grams_a": pd.Series([], dtype="int64"),
+            "grams_b": pd.Series([], dtype="int64"),
+            "jaccard": pd.Series([], dtype="float64"),
+        }
+    )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    if parts.count() == 0:
+        return empty
+    partials = (
+        parts.groupby("bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    tot = (
+        partials[partials["kind"] == "tot"]
+        .groupby("source_a")["cnt"]
+        .sum()
+        .sort_index()
+    )
+    pair_sum = (
+        partials[partials["kind"] == "pair"]
+        .groupby(["source_a", "source_b"])["cnt"]
+        .sum()
+    )
+    names = list(tot.index)
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            s = int(pair_sum.get((a, b), 0))
+            na, nb = int(tot[a]), int(tot[b])
+            rows.append(
+                (a, b, s, na, nb, s / float(na + nb - s))
+            )
+    if not rows:
+        return empty
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "source_a", "source_b", "shared_grams",
+            "grams_a", "grams_b", "jaccard",
+        ],
+    ).astype(
+        {
+            "shared_grams": "int64",
+            "grams_a": "int64",
+            "grams_b": "int64",
+            "jaccard": "float64",
+        }
+    )

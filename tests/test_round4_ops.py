@@ -425,3 +425,29 @@ def test_cdc_chunks_edit_locality(ray_session):
         cdc_chunks(docs, window=4, boundary_bits=3)
     ).to_pandas()
     assert set(sh[sh.n_docs == 2].digest) >= shared
+
+
+def test_cross_source_overlap_hand_computed(ray_session):
+    """3 sources with known distinct 2-gram sets: A={ab,bc,cd},
+    B={bc,cd,de}, C={xy} -> shared(A,B)=2 (J=2/4), others 0; the
+    per-source distinct union must cross block boundaries (A's grams
+    arrive from two blocks with an overlapping gram)."""
+    import ray.data
+
+    from clonebas_ray.ops.text_dedup import cross_source_overlap
+
+    docs = ray.data.from_arrow(pa.table({
+        "source": pa.array(["A", "A", "B", "C"], pa.string()),
+        "text": pa.array(
+            ["a b c", "b c d", "b c d e", "x y"], pa.string()),
+    })).repartition(4)
+    out = cross_source_overlap(docs, n=2, num_buckets=4)
+    out = out.set_index(["source_a", "source_b"])
+    assert len(out) == 3
+    ab = out.loc[("A", "B")]
+    assert (ab.shared_grams, ab.grams_a, ab.grams_b) == (2, 3, 3)
+    assert ab.jaccard == 2 / 4
+    assert out.loc[("A", "C")].shared_grams == 0
+    assert out.loc[("B", "C")].jaccard == 0.0
+    ac = out.loc[("A", "C")]
+    assert (ac.grams_a, ac.grams_b) == (3, 1)
