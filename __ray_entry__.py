@@ -401,6 +401,38 @@ def _q_cross_source_overlap(sf_dir: str):
     )
 
 
+def _q_seeded_shuffle(sf_dir: str):
+    """Deterministic seeded global shuffle of the corpus (seed 17)
+    with round-robin assignment to 8 output shards — the
+    every-epoch-identical training-order export."""
+    _quiet()
+    from clonebas_ray.ops.relational import seeded_shuffle
+
+    out = seeded_shuffle(
+        _docs(sf_dir, ["doc_id"]), "doc_id", seed=17, n_shards=8
+    )
+    return out.select_columns(
+        ["doc_id", "shuffle_pos", "shard"]
+    ).to_pandas()
+
+
+def _q_upsample_mix(sf_dir: str):
+    """Deterministic source re-weighting: src0 x2, src1 x1.5,
+    src2 x0.5 (hash-fraction down-sample), src3 x3, src4 x0.25;
+    all other sources drop."""
+    _quiet()
+    from clonebas_ray.ops.relational import upsample_mix
+
+    out = upsample_mix(
+        _docs(sf_dir, ["doc_id", "source"]),
+        {"src0": 2.0, "src1": 1.5, "src2": 0.5,
+         "src3": 3.0, "src4": 0.25},
+    )
+    return out.select_columns(
+        ["doc_id", "source", "copy_idx"]
+    ).to_pandas()
+
+
 def _q_doc_rank(sf_dir: str):
     # global ROW_NUMBER over (ws_tokens DESC, doc_id) — the full-sort
     # rank export; ws_tokens shares token_counts' pinned convention
@@ -813,6 +845,23 @@ def _q_label_centroids(sf_dir: str):
         columns=["vec_id", "label", "embedding"],
     )
     return label_centroids(emb).to_pandas()
+
+
+def _q_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means (k=8, 2 refinement iterations,
+    smallest-id anchor init, round6-cosine argmax assignment,
+    sequential-fold centroid means) — final cluster assignment."""
+    _quiet()
+    from clonebas_ray.ops.similarity import kmeans_lloyd
+
+    import ray.data
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    )
+    out = kmeans_lloyd(emb, k=8, n_iter=2)
+    return out.to_pandas().sort_values("vec_id").reset_index(drop=True)
 
 
 def _q_props_stats(sf_dir: str):
@@ -1272,6 +1321,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "cross_source_overlap": _q_cross_source_overlap,
         "doc_rank": _q_doc_rank,
+        "seeded_shuffle": _q_seeded_shuffle,
+        "upsample_mix": _q_upsample_mix,
         "doc_deciles": _q_doc_deciles,
         "budget_mix": _q_budget_mix,
         "lm_score": _q_lm_score,
@@ -1292,6 +1343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_join": _q_knn_join,
         "props_stats": _q_props_stats,
         "label_centroids": _q_label_centroids,
+        "kmeans": _q_kmeans,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "media_probe": _q_media_probe,
@@ -1897,6 +1949,61 @@ ORDER BY m.sha
 """,
         # per-(label, dim) sequential left-fold sum / count — matches
         # the Python np.cumsum axis-0 fold bit-for-bit on DOUBLE
+        # 2 unrolled Lloyd iterations: anchor init (8 smallest ids),
+        # round6-cosine argmax assignment (ties -> lowest cluster),
+        # sequential-fold per-(cluster, dim) mean (label_centroids'
+        # bit-parity pin), final assignment from the 2nd-pass means
+        "kmeans": """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), a AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+  FROM e ORDER BY vec_id LIMIT 8
+), asg0 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, a.cid,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY round(list_cosine_similarity(a.cv, e.v), 6) DESC,
+                 a.cid) AS rn
+    FROM e CROSS JOIN a) t WHERE rn = 1
+), d1 AS (
+  SELECT g.cid, e.vec_id, generate_subscripts(e.v, 1) AS dim,
+         unnest(e.v) AS val
+  FROM asg0 g JOIN e USING (vec_id)
+), m1 AS (
+  SELECT cid, dim,
+    list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)),
+                (x, y) -> x + y) / count(*) AS m
+  FROM d1 GROUP BY cid, dim
+), c1 AS (
+  SELECT cid, list(m ORDER BY dim) AS cv FROM m1 GROUP BY cid
+), asg1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY round(list_cosine_similarity(c.cv, e.v), 6) DESC,
+                 c.cid) AS rn
+    FROM e CROSS JOIN c1 c) t WHERE rn = 1
+), d2 AS (
+  SELECT g.cid, e.vec_id, generate_subscripts(e.v, 1) AS dim,
+         unnest(e.v) AS val
+  FROM asg1 g JOIN e USING (vec_id)
+), m2 AS (
+  SELECT cid, dim,
+    list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)),
+                (x, y) -> x + y) / count(*) AS m
+  FROM d2 GROUP BY cid, dim
+), c2 AS (
+  SELECT cid, list(m ORDER BY dim) AS cv FROM m2 GROUP BY cid
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
+  SELECT e.vec_id, c.cid,
+    row_number() OVER (PARTITION BY e.vec_id
+      ORDER BY round(list_cosine_similarity(c.cv, e.v), 6) DESC,
+               c.cid) AS rn
+  FROM e CROSS JOIN c2 c) t WHERE rn = 1
+ORDER BY vec_id
+""",
         "label_centroids": """
 WITH e AS (
   SELECT vec_id, label,
@@ -3009,6 +3116,39 @@ FROM c JOIN (VALUES (0, 400), (2, 900), (4, 1400), (6, 1900))
   b(topic, budget) ON c.topic = b.topic
 WHERE c.cum_tokens <= b.budget
 ORDER BY c.doc_id
+""",
+        # shuffle key = md5_number_lower('17:' || id), the repo's
+        # pinned SQL-parity 64-bit hash; shard = (pos - 1) % 8
+        "seeded_shuffle": """
+WITH t AS (
+  SELECT doc_id, row_number() OVER (
+    ORDER BY md5_number_lower(concat('17:', CAST(doc_id AS VARCHAR))),
+             doc_id) AS shuffle_pos
+  FROM documents
+)
+SELECT doc_id, CAST(shuffle_pos AS BIGINT) AS shuffle_pos,
+  CAST((shuffle_pos - 1) % 8 AS BIGINT) AS shard
+FROM t ORDER BY doc_id
+""",
+        # thresholds = frac(weight) * 2^64 as exact integer literals:
+        # 0.5 -> 9223372036854775808, 0.25 -> 4611686018427387904
+        "upsample_mix": """
+WITH w(source, n_base, thr) AS (VALUES
+  ('src0', 2, CAST(0 AS HUGEINT)),
+  ('src1', 1, CAST(9223372036854775808 AS HUGEINT)),
+  ('src2', 0, CAST(9223372036854775808 AS HUGEINT)),
+  ('src3', 3, CAST(0 AS HUGEINT)),
+  ('src4', 0, CAST(4611686018427387904 AS HUGEINT))
+), r AS (
+  SELECT d.doc_id, d.source,
+    w.n_base + CASE WHEN w.thr > 0 AND
+      CAST(md5_number_lower(concat('up:', CAST(d.doc_id AS VARCHAR)))
+           AS HUGEINT) < w.thr THEN 1 ELSE 0 END AS reps
+  FROM documents d JOIN w USING (source)
+)
+SELECT doc_id, source, CAST(unnest(range(reps)) AS BIGINT) AS copy_idx
+FROM r WHERE reps > 0
+ORDER BY doc_id, copy_idx
 """,
         "doc_rank": """
 WITH t AS (

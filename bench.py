@@ -202,7 +202,10 @@ def run_bench() -> dict:
             "cut_dup_spans", "incremental_neardup",
             "incremental_semdedup", "token_stream", "pretrain_clean", "props_stats",
             "knn_join", "dsir_weights", "revenue_rollup", "event_gaps",
-            "media_probe",
+            "media_probe", "bloom_decontaminate", "budget_mix",
+            "cdc_shared", "lm_score", "label_centroids",
+            "cross_source_overlap", "seeded_shuffle", "upsample_mix",
+            "kmeans", "doc_rank", "topic_mix",
         ):
             t0 = time.perf_counter()
             q[name](SF_DIR)

@@ -1306,6 +1306,131 @@ def budget_mix(
                            batch_size=None)
 
 
+def seeded_shuffle(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    *,
+    seed: int = 17,
+    n_shards: int = 8,
+    pos_col: str = "shuffle_pos",
+    shard_col: str = "shard",
+) -> ray.data.Dataset:
+    """Deterministic seeded global shuffle + round-robin shard
+    assignment — the training-data export step (every epoch/restart
+    must see the SAME order, so ``random_shuffle`` is out): each row's
+    shuffle key is ``md5_low64(f"{seed}:{id}")``, the global order is
+    ``(key, id)``, ``pos_col`` is the 1-based position in that order
+    and ``shard_col = (pos - 1) % n_shards`` balances rows across
+    output shards to within one row.
+
+    Scale shape: one hash pass adds the key (embarrassingly
+    parallel), then :func:`global_rank` does the single
+    range-partitioning sort plus its block-offset metadata scan — no
+    per-row data on the driver, and changing ``seed`` re-ranges the
+    whole corpus (a different permutation per epoch).  The key column
+    is dropped from the output; the DuckDB oracle recomputes it with
+    ``md5_number_lower`` (the repo's pinned SQL-parity hash)."""
+    ensure_worker_importable()
+    from clonebas_ray.functions.murmur3 import md5_low64
+
+    key = "_shuffle_key"
+    s = int(seed)
+
+    def add_key(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        ks = np.array(
+            [md5_low64(f"{s}:{i}".encode()) for i in ids],
+            dtype=np.uint64,
+        )
+        return b.append_column(key, pa.array(ks, pa.uint64()))
+
+    ranked = global_rank(
+        ds.map_batches(add_key, batch_format="pyarrow",
+                       batch_size=None),
+        [(key, "ascending"), (id_col, "ascending")],
+        id_col,
+        rank_col=pos_col,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        pos = b[pos_col].to_numpy(zero_copy_only=False)
+        b = b.drop_columns([key])
+        return b.append_column(
+            shard_col,
+            pa.array((pos - 1) % np.int64(n_shards), pa.int64()),
+        )
+
+    return ranked.map_batches(finish, batch_format="pyarrow",
+                              batch_size=None)
+
+
+def upsample_mix(
+    ds: ray.data.Dataset,
+    weights: dict[str, float],
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    copy_col: str = "copy_idx",
+) -> ray.data.Dataset:
+    """Deterministic mixture re-weighting (the Pile/Dolma "epochs per
+    source" step): a doc in source ``s`` with weight ``w`` is emitted
+    ``floor(w)`` times, plus one more iff ``md5_low64(f"up:{id}") <
+    frac(w) * 2^64`` — so fractional weights up/down-sample an exact
+    deterministic hash-fraction of the source with no RNG state, and
+    ``w < 1`` is a downsampling filter.  Sources absent from
+    ``weights`` drop.  Each copy carries ``copy_col`` (0-based) so
+    downstream shuffles can keep copies distinct.
+
+    Weights should be binary-exact fractions (0.5, 0.25, 1.5, ...)
+    so the integer threshold ``frac * 2^64`` is exact on both the
+    Python and SQL (``md5_number_lower``) sides.
+
+    Scale shape: one embarrassingly-parallel ``map_batches`` — the
+    weight map broadcasts once, rows replicate via ``Table.take`` on
+    a repeated index (zero-copy for fixed-width columns), and no
+    shuffle happens here; the paired :func:`seeded_shuffle` is the
+    order-randomizing step."""
+    ensure_worker_importable()
+    from clonebas_ray.functions.murmur3 import md5_low64
+
+    wmap = {
+        s: (int(np.floor(float(w))),
+            int((float(w) - np.floor(float(w))) * 2.0 ** 64))
+        for s, w in weights.items()
+    }
+    w_ref = ray.put(wmap)
+
+    def expand(b: pa.Table) -> pa.Table:
+        empty = pa.array([], pa.int64())
+        if not b.num_rows:
+            return b.append_column(copy_col, empty)
+        wm = w_ref
+        if not isinstance(wm, dict):
+            wm = ray.get(wm)
+        srcs = b[source_col].to_pylist()
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        reps = np.empty(len(ids), np.int64)
+        for j, (s, i) in enumerate(zip(srcs, ids)):
+            base, thr = wm.get(s, (0, 0))
+            reps[j] = base + (
+                1 if thr and md5_low64(f"up:{i}".encode()) < thr
+                else 0
+            )
+        idx = np.repeat(np.arange(len(ids), dtype=np.int64), reps)
+        out = b.take(pa.array(idx, pa.int64()))
+        tot = int(reps.sum())
+        copy = (
+            np.concatenate(
+                [np.arange(r, dtype=np.int64) for r in reps if r]
+            ) if tot else np.empty(0, np.int64)
+        )
+        return out.append_column(copy_col, pa.array(copy, pa.int64()))
+
+    return ds.map_batches(
+        expand, batch_format="pyarrow", batch_size=None
+    )
+
+
 def revenue_rollup(sf_dir: str) -> pa.Table:
     """ROLLUP(region, nation) over order revenue: one distributed
     groupby at the FINEST grain (region, nation), then the coarser

@@ -1340,3 +1340,98 @@ def label_centroids(
         .groupby(label_col)
         .map_groups(centroid, batch_format="pandas")
     )
+
+
+def kmeans_lloyd(
+    vectors: ray.data.Dataset,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Distributed Lloyd k-means on cosine distance — the iterative
+    primitive behind SemDeDup codebooks, IVF list training and
+    data-map clustering, run for a FIXED ``n_iter`` refinements so
+    the result is deterministic and DuckDB-verifiable (the oracle
+    unrolls the iterations).
+
+    Conventions (all pinned elsewhere in this module):
+
+    - init: the ``k`` smallest-id vectors (:func:`_lowest_id_vectors`,
+      the ``codebook='anchors'`` convention); cluster id = anchor
+      index.
+    - assignment: argmax on ``(round(cos, 6) desc, cluster asc)`` —
+      the knn/semantic_dedup rounding-tie precedent.
+    - update: per-cluster mean with :func:`label_centroids`' strict
+      sequential left fold in ``id_col`` order (bit-identical to the
+      oracle's ``list_reduce(list_prepend(0.0, list(v ORDER BY
+      id)))``); a cluster that loses every member drops out and its
+      id is never reassigned.
+
+    Scale shape: per iteration one broadcast (``ray.put`` of the
+    ``k x dim`` centroid matrix) + one assignment ``map_batches`` (no
+    shuffle) + one ``groupby(cluster)`` shuffle for the update.  The
+    oracle-pinned sequential fold makes each cluster ONE update task
+    (a mega-cluster is a straggler by construction — the same
+    documented trade as :func:`label_centroids`); production mode
+    without the bit-parity pin would use per-block partial sums and a
+    tiny merge.  Driver traffic per iteration is ``k`` centroid rows,
+    never vectors.  Returns the FINAL assignment ``(id_col,
+    cluster)`` computed from the last refined centroids."""
+    ensure_worker_importable()
+    vecs = vectors.select_columns([id_col, emb_col]).materialize()
+    cur = _lowest_id_vectors(vecs, k, id_col, emb_col)  # normalized
+    cur_ids = np.arange(len(cur), dtype=np.int64)
+
+    def make_assign(c_ref, ids_ref, keep_emb: bool):
+        def assign(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                out = batch.append_column(
+                    "cluster", pa.array([], pa.int64()))
+                return out if keep_emb else out.select(
+                    [id_col, "cluster"])
+            c, ids = c_ref, ids_ref
+            if not isinstance(c, np.ndarray):
+                c = ray.get(c)
+            if not isinstance(ids, np.ndarray):
+                ids = ray.get(ids)
+            emb = _normalize(_batch_embeddings(batch, emb_col))
+            cos = np.round(emb @ c.T, 6)
+            # np.argmax takes the FIRST max; rows of c are sorted by
+            # cluster id, so ties resolve to the lowest id
+            lab = ids[np.argmax(cos, axis=1)]
+            out = batch.append_column(
+                "cluster", pa.array(lab, pa.int64()))
+            return out if keep_emb else out.select([id_col, "cluster"])
+        return assign
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        tab = pa.Table.from_pandas(g[[emb_col]], preserve_index=False)
+        m = _batch_embeddings(tab, emb_col)
+        s = np.cumsum(m, axis=0)[-1]
+        return pd.DataFrame({
+            "cluster": [np.int64(g["cluster"].iloc[0])],
+            "centroid": [(s / len(g)).tolist()],
+        })
+
+    for _ in range(int(n_iter)):
+        assigned = vecs.map_batches(
+            make_assign(ray.put(cur), ray.put(cur_ids), True),
+            batch_format="pyarrow", batch_size=None,
+        )
+        stats = (
+            assigned.groupby("cluster")
+            .map_groups(fold, batch_format="pandas")
+            .to_pandas()
+            .sort_values("cluster")
+        )
+        cur_ids = stats["cluster"].to_numpy(dtype=np.int64)
+        cur = _normalize(np.stack(
+            [np.asarray(v, dtype=np.float64) for v in stats["centroid"]]
+        ))
+
+    return vecs.map_batches(
+        make_assign(ray.put(cur), ray.put(cur_ids), False),
+        batch_format="pyarrow", batch_size=None,
+    )

@@ -451,3 +451,98 @@ def test_cross_source_overlap_hand_computed(ray_session):
     assert out.loc[("B", "C")].jaccard == 0.0
     ac = out.loc[("A", "C")]
     assert (ac.grams_a, ac.grams_b) == (3, 1)
+
+
+def test_seeded_shuffle_permutation_and_determinism(ray_session):
+    """Positions are a permutation of 1..N, shards balance to within
+    one row, the same seed reproduces the order exactly, and a
+    different seed produces a different permutation."""
+    import ray.data
+
+    from clonebas_ray.ops.relational import seeded_shuffle
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(100)), pa.int64()),
+    })).repartition(5)
+
+    def run(seed):
+        out = seeded_shuffle(
+            docs, "doc_id", seed=seed, n_shards=4
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        return out
+
+    a = run(17)
+    assert sorted(a.shuffle_pos) == list(range(1, 101))
+    assert list((a.shuffle_pos - 1) % 4) == list(a.shard)
+    assert a.groupby("shard").size().max() == 25
+    b = run(17)
+    assert list(a.shuffle_pos) == list(b.shuffle_pos)
+    c = run(18)
+    assert list(a.shuffle_pos) != list(c.shuffle_pos)
+
+
+def test_kmeans_lloyd_separable_clusters(ray_session):
+    """Three well-separated direction bundles: after 2 Lloyd
+    iterations every bundle lands in one cluster, anchors from the
+    same bundle collapse (empty clusters drop), and the assignment is
+    deterministic across runs."""
+    import ray.data
+
+    from clonebas_ray.ops.similarity import kmeans_lloyd
+
+    rng = np.random.default_rng(7)
+    base = np.eye(3)
+    rows, ids = [], []
+    for i in range(60):
+        b = i % 3
+        v = base[b] + rng.normal(0, 0.05, 3)
+        rows.append(v.astype(np.float32).tolist())
+        ids.append(i)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(rows, pa.list_(pa.float32())),
+    })).repartition(4)
+
+    out = kmeans_lloyd(ds, k=3, n_iter=2).to_pandas()
+    assert len(out) == 60
+    grp = out.groupby(out.vec_id % 3)["cluster"].nunique()
+    assert (grp == 1).all()  # each bundle is pure
+    assert out["cluster"].nunique() == 3
+    out2 = kmeans_lloyd(ds, k=3, n_iter=2).to_pandas()
+    a = out.sort_values("vec_id").cluster.to_numpy()
+    b = out2.sort_values("vec_id").cluster.to_numpy()
+    assert (a == b).all()
+
+
+def test_upsample_mix_copies_and_downsample(ray_session):
+    """Integer weights replicate exactly (w=2 -> 2 copies each with
+    copy_idx 0,1), w<1 downsamples a deterministic hash-fraction,
+    absent sources drop, and reruns are identical."""
+    import ray.data
+
+    from clonebas_ray.ops.relational import upsample_mix
+
+    n = 200
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "source": pa.array(
+            ["a" if i % 2 == 0 else "b" for i in range(n)],
+            pa.string()),
+    })).repartition(4)
+    out = upsample_mix(
+        docs, {"a": 2.0, "b": 0.5}
+    ).to_pandas().sort_values(["doc_id", "copy_idx"])
+    a = out[out.source == "a"]
+    assert len(a) == 2 * (n // 2)
+    assert (a.groupby("doc_id")["copy_idx"].apply(list)
+            .map(lambda l: l == [0, 1])).all()
+    b = out[out.source == "b"]
+    # deterministic ~half of b's 100 docs survive, each exactly once
+    assert 30 <= len(b) <= 70
+    assert (b.copy_idx == 0).all()
+    out2 = upsample_mix(docs, {"a": 2.0, "b": 0.5}).to_pandas()
+    assert len(out2) == len(out)
+    assert set(map(tuple, out2[["doc_id", "copy_idx"]].to_numpy())) \
+        == set(map(tuple, out[["doc_id", "copy_idx"]].to_numpy()))
+    none = upsample_mix(docs, {"zzz": 5.0}).to_pandas()
+    assert len(none) == 0
