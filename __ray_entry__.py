@@ -634,6 +634,21 @@ def _q_segment_dedup(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_boilerplate_strip(sf_dir: str):
+    """Corpus-frequent span removal (C4/MassiveText boilerplate rule):
+    drop every occurrence of any 10-token window shared by >= 3
+    distinct docs — segment_dedup's grain, but remove-all instead of
+    keep-first."""
+    _quiet()
+    from clonebas_ray.ops.text_dedup import strip_boilerplate
+
+    out = strip_boilerplate(
+        _docs(sf_dir, ["doc_id", "text"]),
+        min_df=3, unit="tokens", seg_tokens=10,
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_semantic_dedup(sf_dir: str):
     """SemDeDup-style cluster-scoped embedding dedup, SQL-verifiable
     anchor-codebook mode (kmeans mode is pytest-bounded)."""
@@ -1330,6 +1345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topic_mix": _q_topic_mix,
         "dup_spans": _q_dup_spans,
         "segment_dedup": _q_segment_dedup,
+        "boilerplate_strip": _q_boilerplate_strip,
         "cut_dup_spans": _q_cut_dup_spans,
         "corpus_filter": _q_corpus_filter,
         "token_stream": _q_token_stream,
@@ -2108,6 +2124,31 @@ WITH toks AS (
 SELECT d.doc_id, COALESCE(a.n_segs, 0) AS n_segs,
        COALESCE(a.n_kept, 0) AS n_kept, COALESCE(a.text, '') AS text
 FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+""",
+        # span keys are md5_number_lower(segment) on BOTH sides (the
+        # repo's pinned SQL-parity hash), so hot-set membership is
+        # identical by construction; plain single-space split is the
+        # op's pinned tokenization (the fixtures are single-spaced)
+        "boilerplate_strip": """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), seg AS (
+  SELECT doc_id, i, array_to_string(w[i*10+1 : i*10+10], ' ') AS s
+  FROM t, unnest(range(CAST(ceil(len(w) / 10.0) AS BIGINT))) AS r(i)
+), h AS (
+  SELECT doc_id, i, s, md5_number_lower(s) AS lh FROM seg
+), hot AS (
+  SELECT lh FROM (
+    SELECT lh, count(DISTINCT doc_id) AS df FROM h GROUP BY lh
+  ) WHERE df >= 3
+)
+SELECT doc_id,
+  coalesce(string_agg(s, ' ' ORDER BY i)
+           FILTER (WHERE lh NOT IN (SELECT lh FROM hot)), '')
+    AS clean_text,
+  CAST(count(*) FILTER (WHERE lh IN (SELECT lh FROM hot)) AS BIGINT)
+    AS n_removed
+FROM h GROUP BY doc_id ORDER BY doc_id
 """,
         "pretrain_clean": r"""
 WITH lt AS (

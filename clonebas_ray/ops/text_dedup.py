@@ -2156,3 +2156,154 @@ def cross_source_overlap(
             "jaccard": "float64",
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-frequent ("boilerplate") line removal
+# ---------------------------------------------------------------------------
+
+
+def strip_boilerplate(
+    docs: ray.data.Dataset,
+    min_df: int = 3,
+    unit: str = "line",
+    seg_tokens: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hot: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Remove every occurrence of spans that appear in ``>= min_df``
+    distinct documents — the C4 / RefinedWeb / MassiveText boilerplate
+    rule (cookie banners, nav bars, license headers).  Unlike
+    :func:`segment_dedup` (which KEEPS the first occurrence), a
+    corpus-frequent span is dropped from every carrier, first included.
+    Span grain: ``unit="line"`` splits on newlines; ``unit="tokens"``
+    uses the non-overlapping ``seg_tokens``-token windows that
+    :func:`segment_dedup` pins (the fixture corpus is single-line, so
+    token windows are the grain that actually fires there).
+    Output: ``(id_col, clean_text, n_removed)`` for every input doc
+    (a doc whose every span is hot keeps an empty ``clean_text``).
+
+    Two streaming passes:
+
+    1. line-DF census — per block, each doc's DISTINCT line hashes
+       (``md5_low64``, the repo's SQL-parity convention; the oracle
+       groups by ``md5_number_lower(line)`` so both sides share the
+       same keys by construction) emit ``(hash, df_partial)`` rows; a
+       hash-BUCKETED merge (the ``exact_dedup_docs`` pattern — never
+       one task per distinct line) sums DF and keeps ``df >= min_df``
+       survivors only.  The exchange is byte-bound (hash + count, no
+       line content); a doc never spans blocks, so per-block
+       distinct-doc counts sum to the global DF exactly.
+    2. filter — survivors are by construction the SMALL side
+       (boilerplate, not the corpus); they broadcast ONCE as a sorted
+       uint64 array via ``ray.put`` and each block drops member lines
+       with one ``np.searchsorted`` over the block's flattened line
+       hashes (``batch_size=None`` — one call per block).
+
+    ``max_hot`` guards the driver: if the census yields more
+    survivors than this, raise instead of silently collecting a
+    corpus-sized set (at that point ``min_df`` is mis-set for the
+    corpus, not boilerplate-shaped).
+    """
+    ensure_worker_importable()
+    from clonebas_ray.ops.relational import auto_partitions
+
+    P = auto_partitions()
+    md = int(min_df)
+    if unit == "line":
+        joiner = "\n"
+
+        def split(t: str) -> list[str]:
+            return (t or "").split("\n")
+    elif unit == "tokens":
+        joiner = " "
+        k = int(seg_tokens)
+
+        def split(t: str) -> list[str]:
+            w = (t or "").split(" ")
+            return [" ".join(w[i:i + k]) for i in range(0, len(w), k)]
+    else:
+        raise ValueError(f"unit must be 'line' or 'tokens', got {unit!r}")
+
+    def census_partial(batch: pa.Table) -> pa.Table:
+        counts: dict[int, int] = {}
+        for t in batch[text_col].to_pylist():
+            for h in {md5_low64(ln.encode("utf-8", "surrogatepass"))
+                      for ln in split(t)}:
+                counts[h] = counts.get(h, 0) + 1
+        hs = np.fromiter(counts.keys(), np.uint64, len(counts))
+        dfs = np.fromiter(counts.values(), np.int64, len(counts))
+        return pa.table({
+            "lh": pa.array(hs, pa.uint64()),
+            "df": pa.array(dfs, pa.int64()),
+            "__bucket": pa.array(
+                (hs % np.uint64(P)).astype(np.int32), pa.int32()),
+        })
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("lh", sort=False)["df"].sum().reset_index()
+        out = out[out["df"] >= md][["lh"]]
+        out["lh"] = out["lh"].astype("uint64")
+        return out
+
+    hot_parts = [
+        ray.get(r) for r in (
+            docs.select_columns([text_col])
+            .map_batches(census_partial, batch_format="pyarrow",
+                         batch_size=None)
+            .groupby("__bucket")
+            .map_groups(merge_bucket, batch_format="pandas")
+            .to_arrow_refs()
+        )
+    ]
+    hot_parts = [p for p in hot_parts if p.num_rows]
+    hot = (
+        np.sort(pa.concat_tables(hot_parts)["lh"].to_numpy(
+            zero_copy_only=False).astype(np.uint64))
+        if hot_parts else np.empty(0, np.uint64)
+    )
+    if len(hot) > max_hot:
+        raise ValueError(
+            f"boilerplate census found {len(hot)} hot spans "
+            f"(> max_hot={max_hot}); min_df={md} is not selecting "
+            "boilerplate on this corpus — raise min_df or max_hot"
+        )
+    hot_ref = ray.put(hot)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        hv = hot_ref
+        if not isinstance(hv, np.ndarray):
+            hv = ray.get(hv)
+        texts = batch[text_col].to_pylist()
+        spans_per_doc = [split(t) for t in texts]
+        flat = [ln for spans in spans_per_doc for ln in spans]
+        fh = np.fromiter(
+            (md5_low64(ln.encode("utf-8", "surrogatepass"))
+             for ln in flat),
+            np.uint64, len(flat),
+        )
+        if len(hv) and len(fh):
+            idx = np.searchsorted(hv, fh)
+            idx[idx >= len(hv)] = 0
+            is_hot = hv[idx] == fh
+        else:
+            is_hot = np.zeros(len(fh), bool)
+        out_txt, out_rm = [], []
+        pos = 0
+        for spans in spans_per_doc:
+            n = len(spans)
+            mask = is_hot[pos:pos + n]
+            pos += n
+            out_txt.append(
+                joiner.join(ln for ln, h in zip(spans, mask) if not h))
+            out_rm.append(int(mask.sum()))
+        return pa.table({
+            id_col: batch[id_col],
+            "clean_text": pa.array(out_txt, pa.string()),
+            "n_removed": pa.array(out_rm, pa.int64()),
+        })
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        strip, batch_format="pyarrow", batch_size=None
+    )

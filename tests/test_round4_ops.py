@@ -546,3 +546,43 @@ def test_upsample_mix_copies_and_downsample(ray_session):
         == set(map(tuple, out[["doc_id", "copy_idx"]].to_numpy()))
     none = upsample_mix(docs, {"zzz": 5.0}).to_pandas()
     assert len(none) == 0
+
+
+def test_strip_boilerplate_line_mode(ray_session):
+    """Hot lines (df >= min_df) vanish from EVERY carrier including
+    the first; unique lines survive; a doc of only hot lines becomes
+    empty; the max_hot guard trips on a mis-set threshold."""
+    import pytest
+    import ray.data
+
+    from clonebas_ray.ops.text_dedup import strip_boilerplate
+
+    hot = "accept all cookies"
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            f"{hot}\nunique zero",
+            f"unique one\n{hot}\nmore one",
+            hot,
+            "only unique three",
+        ], pa.string()),
+    })).repartition(2)
+
+    out = (strip_boilerplate(docs, min_df=3, unit="line")
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.loc[0].clean_text == "unique zero"
+    assert out.loc[1].clean_text == "unique one\nmore one"
+    assert out.loc[2].clean_text == ""
+    assert out.loc[3].clean_text == "only unique three"
+    assert list(out.n_removed) == [1, 1, 1, 0]
+
+    # df=2 line stays at min_df=3
+    two = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["shared\na", "shared\nb"], pa.string()),
+    }))
+    kept = strip_boilerplate(two, min_df=3, unit="line").to_pandas()
+    assert (kept.n_removed == 0).all()
+
+    with pytest.raises(ValueError, match="max_hot"):
+        strip_boilerplate(two, min_df=1, unit="line", max_hot=1)
