@@ -1044,6 +1044,56 @@ def _q_code_metrics_corpus(sf_dir: str):
         return code_metrics(files).to_pandas()
 
 
+_CODE_CORPUS = os.path.join(_REPO, "golden", "code_corpus.parquet")
+
+
+def _code_files(columns=None):
+    """The committed deterministic code-hosting fixture (shared INPUT of
+    the repo-granularity ops AND their DuckDB oracles — unlike the
+    ``_GOLDEN_QUERIES`` output pins, these oracles COMPUTE their result
+    in SQL from this table; ``corpus.generate_code_corpus`` regenerates
+    it bit-identically, pytest-enforced)."""
+    import ray.data
+
+    return ray.data.read_parquet(_CODE_CORPUS, columns=columns)
+
+
+def _q_code_quality_filter(sf_dir: str):
+    """The Stack v1 per-file quality gates (Kocetkov et al. 2022 §3):
+    line-length / alnum-fraction / autogenerated-marker filters over the
+    code-hosting corpus."""
+    _quiet()
+    from clonebas_ray.ops.code_corpus import code_quality_filter
+
+    out = code_quality_filter(_code_files(["repo", "path", "content"]))
+    return out.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+def _q_license_scan(sf_dir: str):
+    """SPDX-style license classification census (priority-ordered RE2
+    detectors, engine-identical to the DuckDB oracle's regexp_matches)."""
+    _quiet()
+    from clonebas_ray.ops.code_corpus import license_scan
+
+    out = license_scan(_code_files(["repo", "path", "content"]))
+    return out.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+def _q_repo_forks(sf_dir: str):
+    """Repo-granularity fork detection: file-sha-set Jaccard >= 0.5
+    between repo pairs, hot vendored shas capped at max_df=20 (the
+    fixture's 25-repo vendored file exercises the cap on BOTH sides)."""
+    _quiet()
+    from clonebas_ray.ops.code_corpus import repo_fork_detect
+
+    out = repo_fork_detect(_code_files(["repo", "content"]))
+    return (
+        out.to_pandas()
+        .sort_values(["repo_a", "repo_b"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_block_clusters(sf_dir: str):
     """Block-mode clone clusters (the reference's default path) on the
     synthetic corpus (pytest enforces pair-set exactness vs the block
@@ -1369,6 +1419,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "typed_sequences": _q_typed_sequences,
         "code_metrics": _q_code_metrics,
         "code_metrics_corpus": _q_code_metrics_corpus,
+        "code_quality_filter": _q_code_quality_filter,
+        "license_scan": _q_license_scan,
+        "repo_forks": _q_repo_forks,
     }
 
 
@@ -3375,5 +3428,65 @@ WITH q AS (
     PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
   FROM s)
 SELECT query_id, rank, vec_id, cosine FROM r WHERE rank <= 5
+""",
+        # --- code-hosting corpus ops (input = the COMMITTED fixture
+        # parquet, so the oracle COMPUTES independently in SQL over the
+        # exact bytes the Ray query reads; regexes are RE2 both sides,
+        # floats are int/int divisions in identical op order) ---
+        "code_quality_filter": f"""
+WITH t AS (
+  SELECT repo, path, content, length(content) AS L,
+         len(string_split(content, chr(10))) AS n_lines,
+         list_max(list_transform(string_split(content, chr(10)),
+                                 x -> length(x))) AS max_line_len,
+         length(regexp_replace(content, '[^a-zA-Z0-9]', '', 'g')) AS alnum
+  FROM read_parquet('{_CODE_CORPUS}')
+)
+SELECT repo, path, CAST(n_lines AS BIGINT) AS n_lines,
+  CAST(max_line_len AS BIGINT) AS max_line_len,
+  (L - n_lines + 1) / n_lines AS avg_line_len,
+  CASE WHEN L > 0 THEN alnum / L ELSE 0.0 END AS alnum_frac,
+  CAST(regexp_matches(content,
+       '(?i)(auto-?generated|do not edit|generated by)') AS BIGINT)
+    AS autogen,
+  CAST((max_line_len <= 1000 AND (L - n_lines + 1) / n_lines <= 100.0
+    AND (CASE WHEN L > 0 THEN alnum / L ELSE 0.0 END) >= 0.25
+    AND NOT regexp_matches(content,
+            '(?i)(auto-?generated|do not edit|generated by)')) AS BIGINT)
+    AS keep
+FROM t ORDER BY repo, path
+""",
+        "license_scan": f"""
+SELECT repo, path,
+  CASE
+    WHEN regexp_matches(content, 'SPDX-License-Identifier: Apache-2\\.0|Licensed under the Apache License, Version 2\\.0') THEN 'apache-2.0'
+    WHEN regexp_matches(content, 'SPDX-License-Identifier: GPL-3\\.0|GNU General Public License') THEN 'gpl-3.0'
+    WHEN regexp_matches(content, 'SPDX-License-Identifier: MIT|Permission is hereby granted, free of charge') THEN 'mit'
+    WHEN regexp_matches(content, 'SPDX-License-Identifier: BSD-3-Clause|Redistribution and use in source and binary forms') THEN 'bsd-3-clause'
+    ELSE 'unknown' END AS license
+FROM read_parquet('{_CODE_CORPUS}') ORDER BY repo, path
+""",
+        "repo_forks": f"""
+WITH f AS (
+  SELECT DISTINCT repo, md5(content) AS sha
+  FROM read_parquet('{_CODE_CORPUS}')
+), sizes AS (
+  SELECT repo, count(*) AS n FROM f GROUP BY repo
+), ok AS (
+  SELECT sha FROM f GROUP BY sha HAVING count(*) BETWEEN 2 AND 20
+), shared AS (
+  SELECT a.repo AS repo_a, b.repo AS repo_b,
+         CAST(count(*) AS BIGINT) AS shared_files
+  FROM f a JOIN f b ON a.sha = b.sha AND a.repo < b.repo
+  WHERE a.sha IN (SELECT sha FROM ok) GROUP BY 1, 2
+)
+SELECT s.repo_a, s.repo_b, s.shared_files,
+       CAST(sa.n AS BIGINT) AS files_a, CAST(sb.n AS BIGINT) AS files_b,
+       s.shared_files / (sa.n + sb.n - s.shared_files) AS jaccard
+FROM shared s
+JOIN sizes sa ON sa.repo = s.repo_a
+JOIN sizes sb ON sb.repo = s.repo_b
+WHERE s.shared_files / (sa.n + sb.n - s.shared_files) >= 0.5
+ORDER BY repo_a, repo_b
 """,
     }

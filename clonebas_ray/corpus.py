@@ -363,3 +363,131 @@ def generate_bench_corpus(n_files: int, seed: int = 42) -> pa.Table:
         tables.append(t)
     out = pa.concat_tables(tables)
     return out.slice(0, n_files)
+
+# ---------------------------------------------------------------------------
+# Decorated code-hosting corpus (repo-granularity ops: fork detection,
+# Stack-style quality gates, license census).
+# ---------------------------------------------------------------------------
+
+_LICENSE_HEADERS = {
+    # public, standard license-identification phrases (SPDX ids + the
+    # canonical first lines scanners like licensee/go-license-detector key on)
+    "mit": (
+        "/* SPDX-License-Identifier: MIT\n"
+        " * Permission is hereby granted, free of charge, to any person\n"
+        " * obtaining a copy of this software. */\n"
+    ),
+    "apache-2.0": (
+        "/* SPDX-License-Identifier: Apache-2.0\n"
+        " * Licensed under the Apache License, Version 2.0 (the \"License\");\n"
+        " * you may not use this file except in compliance. */\n"
+    ),
+    "gpl-3.0": (
+        "/* SPDX-License-Identifier: GPL-3.0-or-later\n"
+        " * This program is free software under the terms of the\n"
+        " * GNU General Public License as published by the FSF. */\n"
+    ),
+    "bsd-3-clause": (
+        "/* SPDX-License-Identifier: BSD-3-Clause\n"
+        " * Redistribution and use in source and binary forms, with or\n"
+        " * without modification, are permitted. */\n"
+    ),
+}
+
+_AUTOGEN_HEADER = (
+    "/* Auto-generated by fakegen 1.2 from schema.idl. DO NOT EDIT! */\n"
+)
+
+
+def generate_code_corpus(
+    n_repos: int = 30,
+    n_forks: int = 8,
+    n_vendored: int = 25,
+    seed: int = 7,
+) -> pa.Table:
+    """Deterministic code-hosting corpus ``(repo, path, commit, lang,
+    content)`` — the same ``input_hint`` shape as :func:`generate_corpus`
+    but decorated for repo-granularity training-data ops:
+
+    * ``n_repos`` base repos of 6-16 files each, with a per-repo license
+      header (MIT / Apache-2.0 / GPL-3.0 / BSD-3-Clause / none) plus a few
+      per-file outliers, and ~6% autogenerated files;
+    * ``n_forks`` fork repos: 70-100% of some base repo's files copied
+      byte-identically (fork detection signal), plus 0-3 new files;
+    * one vendored boilerplate file copied into ``n_vendored`` repos
+      (exceeds fork-detection's ``max_df`` hot-sha cap — guard coverage);
+    * pathological files: a 4000-char single-line file (max-line gate), a
+      punctuation wall (alnum gate), and a near-empty file.
+
+    ASCII-only by construction so char-count semantics agree between
+    Python ``len`` and DuckDB ``length``.  (repo, path) pairs are unique.
+    """
+    rng = random.Random(seed)
+    rows: list[tuple[str, str, str, str, str]] = []  # repo,path,commit,lang,content
+
+    def commit() -> str:
+        return "".join(rng.choice("0123456789abcdef") for _ in range(40))
+
+    license_names = list(_LICENSE_HEADERS)
+    repo_files: dict[str, list[tuple[str, str]]] = {}
+
+    fidx = 0
+    for r in range(n_repos):
+        repo = f"host/org{r % 9}/proj{r:03d}"
+        lic = rng.choice(license_names + [None, None])  # ~1/3 unlicensed
+        files = []
+        for k in range(rng.randint(6, 16)):
+            body = _gen_file(rng, rng.randint(1, 4), 5_000 + fidx)
+            fidx += 1
+            hdr = ""
+            file_lic = lic
+            if rng.random() < 0.08:  # per-file license outlier
+                file_lic = rng.choice(license_names)
+            if file_lic is not None:
+                hdr = _LICENSE_HEADERS[file_lic]
+            if rng.random() < 0.06:
+                hdr = _AUTOGEN_HEADER + hdr
+            files.append((f"src/f{k:02d}.c", hdr + body))
+        repo_files[repo] = files
+        for path, content in files:
+            rows.append((repo, path, commit(), "c", content))
+
+    # forks: byte-identical copies of a fraction of a base repo's files
+    base_names = sorted(repo_files)
+    for f in range(n_forks):
+        src = base_names[rng.randrange(len(base_names))]
+        fork = f"host/fork{f % 5}/{src.rsplit('/', 1)[1]}-fork{f}"
+        keep = max(2, int(len(repo_files[src]) * rng.uniform(0.7, 1.0)))
+        kept = rng.sample(repo_files[src], keep)
+        for path, content in kept:
+            rows.append((fork, path, commit(), "c", content))
+        for k in range(rng.randint(0, 3)):  # fork-only additions
+            body = _gen_file(rng, rng.randint(1, 3), 9_000 + fidx)
+            fidx += 1
+            rows.append((fork, f"src/new{k}.c", commit(), "c", body))
+
+    # vendored boilerplate: one content shared by MANY repos (hot sha)
+    vend = _LICENSE_HEADERS["mit"] + _gen_file(rng, 2, 99_000)
+    all_repos = sorted({r for r, *_ in rows})
+    for repo in rng.sample(all_repos, min(n_vendored, len(all_repos))):
+        rows.append((repo, "third_party/vendored.c", commit(), "c", vend))
+
+    # pathological quality-gate rows
+    patho = base_names[0]
+    rows.append((patho, "gen/minified.c", commit(), "c",
+                 "int x[]={" + ",".join(str(i % 97) for i in range(1200)) + "};"))
+    rows.append((patho, "gen/punct.c", commit(), "c",
+                 "/* " + "*-*/+!@#$%^&();;;{}[]<> " * 40 + " */"))
+    rows.append((patho, "gen/empty.c", commit(), "c", "\n"))
+
+    rows.sort()  # deterministic order independent of dict iteration
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "repo": pa.array(cols[0], pa.string()),
+            "path": pa.array(cols[1], pa.string()),
+            "commit": pa.array(cols[2], pa.string()),
+            "lang": pa.array(cols[3], pa.string()),
+            "content": pa.array(cols[4], pa.string()),
+        }
+    )

@@ -586,3 +586,120 @@ def test_strip_boilerplate_line_mode(ray_session):
 
     with pytest.raises(ValueError, match="max_hot"):
         strip_boilerplate(two, min_df=1, unit="line", max_hot=1)
+
+
+# ---------------------------------------------------------------------------
+# code-hosting corpus ops (quality gates / license census / fork detect)
+# ---------------------------------------------------------------------------
+
+
+def test_code_corpus_fixture_pinned():
+    """The committed golden/code_corpus.parquet IS generate_code_corpus()
+    — the ops' DuckDB oracles read the committed bytes, so the generator
+    must reproduce them bit-identically."""
+    import pyarrow.parquet as pq
+
+    from clonebas_ray.corpus import generate_code_corpus
+
+    committed = pq.read_table("/root/repo/golden/code_corpus.parquet")
+    assert generate_code_corpus().equals(committed)
+
+
+def test_code_quality_gates_pathological_rows(ray_session):
+    """Each planted pathological file trips exactly its gate, and normal
+    license-headed files pass."""
+    import ray.data
+
+    from clonebas_ray.ops.code_corpus import code_quality_filter
+
+    ds = ray.data.read_parquet(
+        "/root/repo/golden/code_corpus.parquet",
+        columns=["repo", "path", "content"],
+    )
+    out = code_quality_filter(ds).to_pandas().set_index("path")
+    assert out.loc["gen/minified.c", "max_line_len"].max() > 1000
+    assert (out.loc[["gen/minified.c"], "keep"] == 0).all()
+    assert (out.loc[["gen/punct.c"], "alnum_frac"] < 0.25).all()
+    assert (out.loc[["gen/punct.c"], "keep"] == 0).all()
+    assert (out.loc[["gen/empty.c"], "keep"] == 0).all()
+    autogen = out[out["autogen"] == 1]
+    assert len(autogen) > 0 and (autogen["keep"] == 0).all()
+    assert out["keep"].mean() > 0.8  # most of the corpus passes
+
+
+def test_license_scan_priority_order(ray_session):
+    """A file matching two detectors classifies as the higher-priority
+    one (apache > gpl > mit > bsd), and no header → unknown."""
+    import ray.data
+
+    from clonebas_ray.ops.code_corpus import license_scan
+
+    tbl = pa.table({
+        "path": pa.array(["a.c", "b.c", "c.c"], pa.string()),
+        "content": pa.array([
+            "/* SPDX-License-Identifier: MIT */\n"
+            "/* Licensed under the Apache License, Version 2.0 */",
+            "int x;",
+            "/* Permission is hereby granted, free of charge */",
+        ], pa.string()),
+    })
+    out = (
+        license_scan(ray.data.from_arrow(tbl))
+        .to_pandas().set_index("path")["license"]
+    )
+    assert out["a.c"] == "apache-2.0"
+    assert out["b.c"] == "unknown"
+    assert out["c.c"] == "mit"
+
+
+def test_repo_fork_detect_planted_and_capped(ray_session):
+    """Planted fork pairs are found with the exact sha-set Jaccard; the
+    25-repo vendored sha exceeds max_df and contributes to no pair; high
+    parallelism (many tiny blocks through the aggregate) doesn't break
+    the empty-block-hardened finish stage."""
+    import collections
+    import hashlib
+    import itertools
+
+    import ray.data
+
+    from clonebas_ray.corpus import generate_code_corpus
+    from clonebas_ray.ops.code_corpus import repo_fork_detect
+
+    tbl = generate_code_corpus()
+    ds = ray.data.from_arrow(tbl).repartition(32)
+    out = (
+        repo_fork_detect(ds, min_jaccard=0.5, max_df=20)
+        .to_pandas().sort_values(["repo_a", "repo_b"])
+        .reset_index(drop=True)
+    )
+
+    # sequential oracle
+    shas = collections.defaultdict(set)
+    df_count = collections.Counter()
+    rows = tbl.to_pylist()
+    seen = set()
+    for r in rows:
+        sha = hashlib.md5(r["content"].encode()).hexdigest()
+        if (r["repo"], sha) not in seen:
+            seen.add((r["repo"], sha))
+            shas[r["repo"]].add(sha)
+    for s in {x for v in shas.values() for x in v}:
+        df_count[s] = sum(s in v for v in shas.values())
+    ok = {s for s, c in df_count.items() if 2 <= c <= 20}
+    expect = []
+    for a, b in itertools.combinations(sorted(shas), 2):
+        sh = len({x for x in shas[a] & shas[b] if x in ok})
+        if not sh:
+            continue
+        j = sh / (len(shas[a]) + len(shas[b]) - sh)
+        if j >= 0.5:
+            expect.append((a, b, sh, len(shas[a]), len(shas[b]), j))
+    got = [tuple(r) for r in out.itertuples(index=False)]
+    assert got == expect and len(expect) >= 5
+
+    # vendored sha (df=25 > max_df) is in no surviving pair's shared set:
+    # dropping max_df to a huge value must ADD pairs or raise jaccards
+    loose = repo_fork_detect(ds, min_jaccard=0.0, max_df=10**6).to_pandas()
+    tight = repo_fork_detect(ds, min_jaccard=0.0, max_df=20).to_pandas()
+    assert loose["shared_files"].sum() > tight["shared_files"].sum()
