@@ -1079,6 +1079,17 @@ def _q_license_scan(sf_dir: str):
     return out.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
 
 
+def _q_secret_scan(sf_dir: str):
+    """truffleHog/gitleaks-style credential-leak census: per-file RE2
+    match counts per detector family (AWS key ids, PEM private-key
+    blocks, basic-auth URL creds, quoted api_key/token assignments)."""
+    _quiet()
+    from clonebas_ray.ops.code_corpus import secret_scan
+
+    out = secret_scan(_code_files(["repo", "path", "content"]))
+    return out.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+
+
 def _q_repo_forks(sf_dir: str):
     """Repo-granularity fork detection: file-sha-set Jaccard >= 0.5
     between repo pairs, hot vendored shas capped at max_df=20 (the
@@ -1421,6 +1432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_metrics_corpus": _q_code_metrics_corpus,
         "code_quality_filter": _q_code_quality_filter,
         "license_scan": _q_license_scan,
+        "secret_scan": _q_secret_scan,
         "repo_forks": _q_repo_forks,
     }
 
@@ -3464,6 +3476,21 @@ SELECT repo, path,
     WHEN regexp_matches(content, 'SPDX-License-Identifier: MIT|Permission is hereby granted, free of charge') THEN 'mit'
     WHEN regexp_matches(content, 'SPDX-License-Identifier: BSD-3-Clause|Redistribution and use in source and binary forms') THEN 'bsd-3-clause'
     ELSE 'unknown' END AS license
+FROM read_parquet('{_CODE_CORPUS}') ORDER BY repo, path
+""",
+        "secret_scan": f"""
+SELECT repo, path,
+  CAST(len(regexp_extract_all(content, 'AKIA[0-9A-Z]{{16}}'))
+       AS BIGINT) AS aws_keys,
+  CAST(len(regexp_extract_all(content,
+       '-----BEGIN [A-Z ]*PRIVATE KEY-----')) AS BIGINT) AS private_keys,
+  CAST(len(regexp_extract_all(content,
+       '[a-z][a-z0-9+.-]*://[^/\\s:@]+:[^/\\s:@]+@')) AS BIGINT)
+    AS url_creds,
+  CAST(len(regexp_extract_all(content,
+       '(?i)(api[_-]?key|secret|token)\\s*=\\s*[''"][a-z0-9_\\-]{{16,}}[''"]'))
+       AS BIGINT) AS generic_tokens,
+  aws_keys + private_keys + url_creds + generic_tokens AS n_secrets
 FROM read_parquet('{_CODE_CORPUS}') ORDER BY repo, path
 """,
         "repo_forks": f"""

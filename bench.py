@@ -206,6 +206,8 @@ def run_bench() -> dict:
             "cdc_shared", "lm_score", "label_centroids",
             "cross_source_overlap", "seeded_shuffle", "upsample_mix",
             "kmeans", "doc_rank", "topic_mix",
+            "code_quality_filter", "license_scan", "secret_scan",
+            "repo_forks",
         ):
             t0 = time.perf_counter()
             q[name](SF_DIR)

@@ -703,3 +703,26 @@ def test_repo_fork_detect_planted_and_capped(ray_session):
     loose = repo_fork_detect(ds, min_jaccard=0.0, max_df=10**6).to_pandas()
     tight = repo_fork_detect(ds, min_jaccard=0.0, max_df=20).to_pandas()
     assert loose["shared_files"].sum() > tight["shared_files"].sum()
+
+
+def test_secret_scan_planted_leaks(ray_session):
+    """The five planted credential snippets are each found by their
+    detector family; the dual-leak file counts in two families; clean
+    files count zero."""
+    import ray.data
+
+    from clonebas_ray.ops.code_corpus import secret_scan
+
+    ds = ray.data.read_parquet(
+        "/root/repo/golden/code_corpus.parquet",
+        columns=["repo", "path", "content"],
+    )
+    out = secret_scan(ds).to_pandas()
+    leaks = out[out["n_secrets"] > 0]
+    assert len(leaks) == 5
+    assert leaks["aws_keys"].sum() == 2
+    assert leaks["private_keys"].sum() == 1
+    assert leaks["url_creds"].sum() == 1
+    assert leaks["generic_tokens"].sum() == 2
+    assert (leaks["n_secrets"].max()) == 2  # the dual-leak file
+    assert (out["n_secrets"] == 0).sum() == len(out) - 5
