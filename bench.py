@@ -1065,6 +1065,132 @@ def run_rank_smoke() -> dict:
     }
 
 
+def _ensure_fork_corpus(n_files: int) -> str:
+    """Repo-structured 1M-file corpus for the fork-detection smoke:
+    20-file base repos; 1/400 of files belong to fork repos that copy
+    16 of some base repo's files byte-identically plus 4 fork-only
+    files; a vendored blob replaces file #19 of the first 30k base
+    repos (hot sha — must be max_df-capped, not pair-enumerated).
+    Contents are short distinct tags: fork detection hashes content
+    once and never ships it, so the smoke measures the POSTINGS/PAIR
+    exchange, which is what scales."""
+    import pyarrow.parquet as pq
+
+    import pyarrow as pa
+
+    path = os.path.join(BENCH_DIR, f"fork_corpus_{n_files}")
+    if os.path.isdir(path):
+        return path
+    n_forks = n_files // 400
+    n_base = (n_files - n_forks * 20) // 20
+    n_vendored = min(30_000, n_base)
+    repos: list[str] = []
+    contents: list[str] = []
+    for r in range(n_base):
+        for k in range(20):
+            repos.append(f"org/base{r}")
+            contents.append(
+                "vendored-blob" if (k == 19 and r < n_vendored)
+                else f"shared-{r}-{k}"
+            )
+    for f in range(n_forks):
+        b = (f * 17) % n_base
+        for k in range(16):
+            repos.append(f"org/fork{f}")
+            contents.append(f"shared-{b}-{k}")
+        for k in range(4):
+            repos.append(f"org/fork{f}")
+            contents.append(f"only-{f}-{k}")
+    t = pa.table({
+        "repo": pa.array(repos, pa.string()),
+        "content": pa.array(contents, pa.string()),
+    })
+    os.makedirs(path + ".tmp", exist_ok=True)
+    n_shards = 64
+    per = (t.num_rows + n_shards - 1) // n_shards
+    for sh in range(n_shards):
+        part = t.slice(sh * per, per)
+        if part.num_rows:
+            pq.write_table(part, f"{path}.tmp/part-{sh:05d}.parquet")
+    os.replace(path + ".tmp", path)
+    return path
+
+
+def run_fork_smoke() -> dict:
+    """1M-file repo-granularity smoke: (a) repo_fork_detect over the
+    repo-structured corpus — expected output is EXACTLY the planted
+    fork pairs (each fork shares 16/20 files with its base, J=2/3; the
+    30k-repo vendored sha must be capped, never enumerated); (b) the
+    three linear scans (quality gates / license / secret census) over
+    the REAL 200k-file bench corpus for regex-throughput MB/s."""
+    import logging
+    import resource
+
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from clonebas_ray.ops.code_corpus import (
+        code_quality_filter, license_scan, repo_fork_detect, secret_scan,
+    )
+
+    n_files = int(os.environ.get("GRAFT_FORK_SMOKE_FILES", "1000000"))
+    path = _ensure_fork_corpus(n_files)
+    ds = ray.data.read_parquet(path)
+    n_forks = n_files // 400
+    t0 = time.perf_counter()
+    pairs = repo_fork_detect(ds, min_jaccard=0.5, max_df=50).to_pandas()
+    fork_wall = time.perf_counter() - t0
+    planted = (
+        pairs["repo_a"].str.startswith("org/fork")
+        | pairs["repo_b"].str.startswith("org/fork")
+    )
+
+    corpus_path, corpus_mb = _ensure_bench_corpus()
+    scans = {}
+    for name, op in (
+        ("quality", code_quality_filter),
+        ("license", license_scan),
+        ("secret", secret_scan),
+    ):
+        files = ray.data.read_parquet(
+            corpus_path, columns=["repo", "path", "content"]
+        )
+        t0 = time.perf_counter()
+        n = 0
+        for b in op(files).iter_batches(batch_format="pyarrow"):
+            n += b.num_rows
+        w = time.perf_counter() - t0
+        scans[f"{name}_sec"] = round(w, 3)
+        scans[f"{name}_mb_per_sec"] = round(corpus_mb / w, 1)
+        assert n == BENCH_FILES
+
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    ray.shutdown()
+    return {
+        "metric": "fork_1m_smoke_sec",
+        "value": round(fork_wall, 3),
+        "unit": "sec",
+        "n_files": n_files,
+        "files_per_sec": round(n_files / fork_wall, 1),
+        "fork_pairs": int(len(pairs)),
+        "expected_fork_pairs": n_forks,
+        "all_pairs_planted": bool(planted.all() and len(pairs) == n_forks),
+        "scan_corpus_files": BENCH_FILES,
+        "scan_corpus_mb": round(corpus_mb, 1),
+        **scans,
+        "num_cpus": NUM_CPUS,
+        "driver_rss_gb": round(rss_gb, 2),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -1086,5 +1212,7 @@ if __name__ == "__main__":
         print(json.dumps(run_dsir_smoke()))
     elif "--cdc-smoke" in sys.argv:
         print(json.dumps(run_cdc_smoke()))
+    elif "--fork-smoke" in sys.argv:
+        print(json.dumps(run_fork_smoke()))
     else:
         print(json.dumps(run_bench()))
