@@ -1105,6 +1105,43 @@ def _q_repo_forks(sf_dir: str):
     )
 
 
+def _q_import_census(sf_dir: str):
+    """Corpus dependency census: per (lang, module) import/include
+    statement and file counts, lang-dispatched RE2 line detectors
+    (partial-aggregated — the shuffle is vocabulary-sized)."""
+    _quiet()
+    from clonebas_ray.ops.code_corpus import import_census
+
+    out = import_census(_code_files(["repo", "path", "lang", "content"]))
+    return out.to_pandas().sort_values(["lang", "module"]).reset_index(drop=True)
+
+
+def _q_strip_comments(sf_dir: str):
+    """Comment-stripped normalization fingerprints per file (sha /
+    norm_sha / char accounting) — the normalize-before-hash step of
+    comment-invariant code dedup."""
+    _quiet()
+    from clonebas_ray.ops.code_corpus import strip_comments
+
+    out = strip_comments(
+        _code_files(["repo", "path", "lang", "content"])
+    )
+    return out.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+def _q_comment_dup_families(sf_dir: str):
+    """Comment-only duplicate families: norm_sha groups with > 1
+    distinct raw sha (the fixture plants 6 vendored re-licensed
+    copies)."""
+    _quiet()
+    from clonebas_ray.ops.code_corpus import comment_dup_families
+
+    out = comment_dup_families(
+        _code_files(["repo", "path", "lang", "content"])
+    )
+    return out.to_pandas().sort_values("norm_sha").reset_index(drop=True)
+
+
 def _q_block_clusters(sf_dir: str):
     """Block-mode clone clusters (the reference's default path) on the
     synthetic corpus (pytest enforces pair-set exactness vs the block
@@ -1434,6 +1471,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "license_scan": _q_license_scan,
         "secret_scan": _q_secret_scan,
         "repo_forks": _q_repo_forks,
+        "import_census": _q_import_census,
+        "strip_comments": _q_strip_comments,
+        "comment_dup_families": _q_comment_dup_families,
     }
 
 
@@ -3515,5 +3555,75 @@ JOIN sizes sa ON sa.repo = s.repo_a
 JOIN sizes sb ON sb.repo = s.repo_b
 WHERE s.shared_files / (sa.n + sb.n - s.shared_files) >= 0.5
 ORDER BY repo_a, repo_b
+""",
+        # the three comment/import oracles share the Ray side's RE2
+        # pattern strings verbatim (same engine — zero convention shims)
+        "import_census": f"""
+WITH l AS (
+  SELECT repo, path, lang,
+         unnest(string_split(content, chr(10))) AS line
+  FROM read_parquet('{_CODE_CORPUS}')
+), e AS (
+  SELECT repo, path, lang,
+    CASE lang
+      WHEN 'python' THEN regexp_extract(line,
+        '^[ \\t]*(?:from|import)[ \\t]+(?P<m>[A-Za-z_][A-Za-z0-9_.]*)', 1)
+      WHEN 'java' THEN regexp_extract(line,
+        '^[ \\t]*import[ \\t]+(?:static[ \\t]+)?(?P<m>[A-Za-z_][A-Za-z0-9_.]*)', 1)
+      ELSE regexp_extract(line,
+        '^[ \\t]*#[ \\t]*include[ \\t]*[<"](?P<m>[A-Za-z0-9_./-]+)[>"]', 1)
+    END AS module
+  FROM l
+)
+SELECT lang, module, CAST(count(*) AS BIGINT) AS n_imports,
+       CAST(count(DISTINCT repo || '|' || path) AS BIGINT) AS n_files
+FROM e WHERE module <> ''
+GROUP BY lang, module ORDER BY lang, module
+""",
+        "strip_comments": f"""
+WITH s AS (
+  SELECT repo, path, lang, content, sha256(content) AS sha,
+    CASE lang
+      WHEN 'python' THEN regexp_replace(content, '#[^\\n]*', '', 'g')
+      ELSE regexp_replace(content,
+                          '/\\*(?s:.*?)\\*/|//[^\\n]*', '', 'g')
+    END AS stripped
+  FROM read_parquet('{_CODE_CORPUS}')
+), n AS (
+  SELECT *, trim(
+    regexp_replace(
+      regexp_replace(stripped, '[ \\t]+\\n', chr(10), 'g'),
+      '\\n\\n+', chr(10), 'g'),
+    ' ' || chr(9) || chr(10)) AS norm
+  FROM s
+)
+SELECT repo, path, lang, sha, sha256(norm) AS norm_sha,
+  CAST(length(content) AS BIGINT) AS n_chars,
+  CAST(length(content) - length(stripped) AS BIGINT) AS comment_chars,
+  CAST(length(norm) AS BIGINT) AS norm_chars
+FROM n ORDER BY repo, path
+""",
+        "comment_dup_families": f"""
+WITH s AS (
+  SELECT content, sha256(content) AS sha,
+    CASE lang
+      WHEN 'python' THEN regexp_replace(content, '#[^\\n]*', '', 'g')
+      ELSE regexp_replace(content,
+                          '/\\*(?s:.*?)\\*/|//[^\\n]*', '', 'g')
+    END AS stripped
+  FROM read_parquet('{_CODE_CORPUS}')
+), n AS (
+  SELECT sha, sha256(trim(
+    regexp_replace(
+      regexp_replace(stripped, '[ \\t]+\\n', chr(10), 'g'),
+      '\\n\\n+', chr(10), 'g'),
+    ' ' || chr(9) || chr(10))) AS norm_sha
+  FROM s
+)
+SELECT norm_sha, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(count(DISTINCT sha) AS BIGINT) AS n_distinct_sha,
+       min(sha) AS rep_sha
+FROM n GROUP BY norm_sha HAVING count(DISTINCT sha) > 1
+ORDER BY norm_sha
 """,
     }

@@ -207,7 +207,8 @@ def run_bench() -> dict:
             "cross_source_overlap", "seeded_shuffle", "upsample_mix",
             "kmeans", "doc_rank", "topic_mix",
             "code_quality_filter", "license_scan", "secret_scan",
-            "repo_forks",
+            "repo_forks", "import_census", "strip_comments",
+            "comment_dup_families",
         ):
             t0 = time.perf_counter()
             q[name](SF_DIR)

@@ -398,6 +398,35 @@ _AUTOGEN_HEADER = (
     "/* Auto-generated by fakegen 1.2 from schema.idl. DO NOT EDIT! */\n"
 )
 
+# header pool for the deterministic C #include preambles (import_census
+# signal) — a mix of angle/quote forms, subdirs, and a dotted-dir name
+_C_HEADERS = (
+    "stdio.h", "stdlib.h", "string.h", "math.h", "assert.h",
+    "sys/types.h", "net/sock.h", "util/log.h", "core/engine.h",
+    "vendor/zlib-1.2/zlib.h",
+)
+_PY_MODULES = (
+    "os", "sys", "json", "re", "math", "hashlib", "itertools",
+    "collections", "numpy", "pandas",
+)
+_JAVA_MODULES = (
+    "java.util.List", "java.util.Map", "java.io.File",
+    "org.example.core.Engine", "com.acme.api.Client",
+)
+
+
+def _c_includes(repo: str, path: str) -> str:
+    """1-4 ``#include`` lines chosen by md5(repo|path) — deterministic
+    with ZERO rng draws, so adding/changing the preamble never shifts
+    the seeded placement of forks/vendored/secrets above it."""
+    d = hashlib.md5(f"inc|{repo}|{path}".encode()).digest()
+    picks = sorted({d[i] % len(_C_HEADERS) for i in range(1 + d[0] % 4)})
+    out = []
+    for i, p in enumerate(picks):
+        h = _C_HEADERS[p]
+        out.append(f'#include "{h}"' if (d[4 + i] & 1) else f"#include <{h}>")
+    return "\n".join(out) + "\n\n"
+
 
 def generate_code_corpus(
     n_repos: int = 30,
@@ -430,6 +459,9 @@ def generate_code_corpus(
 
     license_names = list(_LICENSE_HEADERS)
     repo_files: dict[str, list[tuple[str, str]]] = {}
+    # header-less (includes+body) of each repo's f00.c — source material
+    # for the planted comment-only duplicate pairs below
+    raw_f00: dict[str, str] = {}
 
     fidx = 0
     for r in range(n_repos):
@@ -447,7 +479,11 @@ def generate_code_corpus(
                 hdr = _LICENSE_HEADERS[file_lic]
             if rng.random() < 0.06:
                 hdr = _AUTOGEN_HEADER + hdr
-            files.append((f"src/f{k:02d}.c", hdr + body))
+            path = f"src/f{k:02d}.c"
+            raw = _c_includes(repo, path) + body
+            if k == 0:
+                raw_f00[repo] = raw
+            files.append((path, hdr + raw))
         repo_files[repo] = files
         for path, content in files:
             rows.append((repo, path, commit(), "c", content))
@@ -464,7 +500,9 @@ def generate_code_corpus(
         for k in range(rng.randint(0, 3)):  # fork-only additions
             body = _gen_file(rng, rng.randint(1, 3), 9_000 + fidx)
             fidx += 1
-            rows.append((fork, f"src/new{k}.c", commit(), "c", body))
+            path = f"src/new{k}.c"
+            rows.append((fork, path, commit(), "c",
+                         _c_includes(fork, path) + body))
 
     # vendored boilerplate: one content shared by MANY repos (hot sha)
     vend = _LICENSE_HEADERS["mit"] + _gen_file(rng, 2, 99_000)
@@ -505,6 +543,48 @@ def generate_code_corpus(
     rows.append((patho, "gen/punct.c", commit(), "c",
                  "/* " + "*-*/+!@#$%^&();;;{}[]<> " * 40 + " */"))
     rows.append((patho, "gen/empty.c", commit(), "c", "\n"))
+
+    # multi-language rows (import_census's python/java arms) — contents
+    # md5-keyed; rng is only used for commit shas, AFTER every
+    # rng-placement decision above, so the block is order-inert
+    for r in range(0, n_repos, 3):
+        repo = f"host/org{r % 9}/proj{r:03d}"
+        d = hashlib.md5(f"py|{repo}".encode()).digest()
+        mods = sorted({_PY_MODULES[d[i] % len(_PY_MODULES)]
+                       for i in range(2 + d[0] % 3)})
+        body = [f"import {m}" for m in mods]
+        body.append(f"from {mods[0]} import thing  # re-exported")
+        body += ["", "def main():",
+                 f"    return thing({d[8]} + {d[9]})", ""]
+        rows.append((repo, "tools/gen.py", commit(), "python",
+                     "\n".join(body)))
+    for r in range(1, n_repos, 4):
+        repo = f"host/org{r % 9}/proj{r:03d}"
+        d = hashlib.md5(f"java|{repo}".encode()).digest()
+        mods = sorted({_JAVA_MODULES[d[i] % len(_JAVA_MODULES)]
+                       for i in range(2 + d[0] % 2)})
+        body = ["package org.example;", ""]
+        body += [f"import {m};" for m in mods]
+        body.append(f"import static {mods[0]}.of;")
+        body += ["", "/* build entry point */", "class Main {",
+                 f"    int seed = {d[8]}; // tuning",
+                 "}", ""]
+        rows.append((repo, "src/Main.java", commit(), "java",
+                     "\n".join(body)))
+
+    # planted comment-only duplicates: repo B vendors repo A's f00.c
+    # under a DIFFERENT license header — same bytes after comment
+    # stripping (strip_comments norm_sha families)
+    for i in range(6):
+        src = base_names[i]
+        dst = base_names[(i + 9) % len(base_names)]
+        orig = repo_files[src][0][1]
+        for j in range(len(license_names)):  # ensure bytes differ
+            alt = license_names[(i + 2 + j) % len(license_names)]
+            if _LICENSE_HEADERS[alt] + raw_f00[src] != orig:
+                break
+        rows.append((dst, f"vendored/{src.rsplit('/', 1)[1]}_f00.c",
+                     commit(), "c", _LICENSE_HEADERS[alt] + raw_f00[src]))
 
     rows.sort()  # deterministic order independent of dict iteration
     cols = list(zip(*rows))

@@ -726,3 +726,92 @@ def test_secret_scan_planted_leaks(ray_session):
     assert leaks["generic_tokens"].sum() == 2
     assert (leaks["n_secrets"].max()) == 2  # the dual-leak file
     assert (out["n_secrets"] == 0).sum() == len(out) - 5
+
+
+def test_import_census_lang_arms(ray_session):
+    """Each detector arm on adversarial lines: indented/space-form
+    includes, quote vs angle, `from x import y`, `import static`,
+    repeated imports in one file (n_imports > n_files), non-import
+    look-alikes, and an undetected language passing through silently."""
+    import ray.data
+
+    from clonebas_ray.ops.code_corpus import import_census
+
+    tbl = pa.table({
+        "repo": pa.array(["r"] * 6, pa.string()),
+        "path": pa.array([f"f{i}" for i in range(6)], pa.string()),
+        "lang": pa.array(
+            ["c", "c", "python", "python", "java", "lisp"], pa.string()),
+        "content": pa.array([
+            '#include <stdio.h>\n  # include "sys/types.h"\n'
+            "int x; // #include <fake.h> is in a comment but ^ anchors\n"
+            "#include <stdio.h>\n",
+            "#include <stdio.h>\nno_include_here();\n",
+            "import os\nfrom os import path\nimport os.path\n"
+            "  import json\nx = 'import fake'\nimportant = 1\n",
+            "import json\n",
+            "import java.util.List;\nimport static java.util.Map.of;\n",
+            "(require 'stdio)\n",
+        ], pa.string()),
+    })
+    out = (
+        import_census(ray.data.from_arrow(tbl).repartition(4))
+        .to_pandas().set_index(["lang", "module"]).sort_index()
+    )
+    assert out.loc[("c", "stdio.h")].tolist() == [3, 2]
+    assert out.loc[("c", "sys/types.h")].tolist() == [1, 1]
+    assert ("c", "fake.h") not in out.index
+    assert out.loc[("python", "os")].tolist() == [2, 1]
+    assert out.loc[("python", "os.path")].tolist() == [1, 1]
+    assert out.loc[("python", "json")].tolist() == [2, 2]
+    assert ("python", "important") not in out.index
+    assert out.loc[("java", "java.util.List")].tolist() == [1, 1]
+    assert out.loc[("java", "java.util.Map.of")].tolist() == [1, 1]
+    assert not any(out.index.get_level_values(0) == "lisp")
+
+
+def test_strip_comments_and_dup_families(ray_session):
+    """norm_sha is invariant under comment/blank-space edits (block
+    comments spanning lines, // tails, trailing blanks); the fixture's
+    6 planted re-licensed vendored copies each form a (2 files, 2
+    shas) family; byte-identical copies do NOT form families."""
+    import ray.data
+
+    from clonebas_ray.ops.code_corpus import (
+        comment_dup_families, strip_comments,
+    )
+
+    tbl = pa.table({
+        "repo": pa.array(["r"] * 3, pa.string()),
+        "path": pa.array(["a.c", "b.c", "c.py"], pa.string()),
+        "lang": pa.array(["c", "c", "python"], pa.string()),
+        "content": pa.array([
+            "/* multi\nline */\nint x = 1; // tail\n\n\n\nint y;",
+            "int x = 1;   \nint y;",
+            "# lead\nint x = 1\n",
+        ], pa.string()),
+    })
+    sc = (
+        strip_comments(ray.data.from_arrow(tbl))
+        .to_pandas().set_index("path")
+    )
+    assert sc.loc["a.c", "norm_sha"] == sc.loc["b.c", "norm_sha"]
+    assert sc.loc["a.c", "comment_chars"] > 0
+    assert sc.loc["b.c", "comment_chars"] == 0
+    assert sc.loc["c.py", "comment_chars"] == len("# lead")
+
+    ds = ray.data.read_parquet(
+        "/root/repo/golden/code_corpus.parquet",
+        columns=["repo", "path", "lang", "content"],
+    ).repartition(32)
+    fam = comment_dup_families(ds).to_pandas()
+    assert len(fam) == 6
+    assert (fam["n_files"] == 2).all()
+    assert (fam["n_distinct_sha"] == 2).all()
+    # planted family membership: each vendored/..._f00.c matches its
+    # source repo's src/f00.c after stripping
+    sc_all = strip_comments(ds).to_pandas()
+    vend = sc_all[sc_all["path"].str.startswith("vendored/")]
+    assert len(vend) == 6
+    fam_shas = set(fam["norm_sha"])
+    assert set(vend["norm_sha"]) == fam_shas
