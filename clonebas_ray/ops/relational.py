@@ -233,26 +233,54 @@ def hash_join(
     matching buckets merge pairwise inside ``map_groups``.
     ``num_buckets=0`` auto-sizes to the cluster.  Skewed hot keys
     should be salted into sub-buckets by the caller (documented seam;
-    dimension tables here never need it)."""
+    dimension tables here never need it).
+
+    Exchange layout: each input block is split by bucket and shipped
+    as ONE Arrow-IPC binary payload row per (block, bucket) with an
+    identical 3-column schema on both sides.  The union therefore
+    never mixes schemas, so Ray's shuffle never null-pads or falls
+    back to a pandas concat — the path that silently coerced int64
+    columns to float64 and ROUNDED 63-bit hash ids (lossy above 2^53;
+    the minhash verify rejoin dropped every match this way).  Values
+    round-trip bit-exactly through IPC, and the exchange is byte-
+    bound: one row per block x bucket, not per data row."""
     if not num_buckets:
         num_buckets = auto_partitions(mult=2, lo=32)
 
     def bucketed(ds: ray.data.Dataset, key: str, side: str) -> ray.data.Dataset:
         def add(batch: pa.Table) -> pa.Table:
             k = batch[key].to_numpy(zero_copy_only=False)
-            h = pd.util.hash_array(np.asarray(k)) % num_buckets
-            t = batch.append_column(
-                "__bucket", pa.array(h.astype(np.int32), pa.int32())
+            h = (pd.util.hash_array(np.asarray(k)) % num_buckets).astype(
+                np.int64
             )
-            return t.append_column("__side", pa.array([side] * len(k)))
+            order = np.argsort(h, kind="stable")
+            hs = h[order]
+            srt = batch.take(pa.array(order, pa.int64()))
+            starts = np.concatenate(
+                [[0], np.flatnonzero(np.diff(hs)) + 1]
+            ) if len(hs) else np.empty(0, np.int64)
+            ends = np.concatenate(
+                [starts[1:], [len(hs)]]
+            ) if len(hs) else starts
+            buckets, payloads = [], []
+            for s, e in zip(starts, ends):
+                sink = pa.BufferOutputStream()
+                sub = srt.slice(s, e - s)
+                with pa.ipc.new_stream(sink, sub.schema) as w:
+                    w.write_table(sub)
+                buckets.append(int(hs[s]))
+                payloads.append(sink.getvalue().to_pybytes())
+            return pa.table({
+                "__bucket": pa.array(buckets, pa.int32()),
+                "__side": pa.array([side] * len(buckets), pa.string()),
+                "__payload": pa.array(payloads, pa.binary()),
+            })
 
         return ds.map_batches(add, batch_format="pyarrow")
 
-    # capture each side's schema up front — after the union both sides'
-    # columns exist on every row (null-padded), so selecting by known
-    # names is the only correct way to split them back apart.  Callers
-    # with a derived (lazy) side pass the names explicitly so schema
-    # inference doesn't execute part of the upstream graph.
+    # capture each side's schema up front.  Callers with a derived
+    # (lazy) side pass the names explicitly so schema inference
+    # doesn't execute part of the upstream graph.
     if left_cols is None:
         left_cols = left.schema().names
     if right_cols is None:
@@ -262,15 +290,29 @@ def hash_join(
     rb = bucketed(right, right_key, "r")
     both = lb.union(rb)
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # reindex: a shuffle partition whose blocks all came from ONE
-        # side yields a group frame without the other side's columns.
-        # dtype restore: the union null-pads the other side's columns,
-        # which coerces int64 keys to float64 — the caller-supplied
-        # dtype maps undo that so merge keys (and downstream key
-        # hashing in a chained join) stay type-stable.
-        lg = g[g["__side"] == "l"].reindex(columns=left_cols)
-        rg = g[g["__side"] == "r"].reindex(columns=right_cols)
+    def _side_frame(g: pa.Table, side: str, cols: list[str]) -> pd.DataFrame:
+        sel = pc.equal(g["__side"], side)
+        tabs = [
+            pa.ipc.open_stream(p).read_all()
+            for p in g.filter(sel)["__payload"].to_pylist()
+        ]
+        tabs = [t for t in tabs if t.num_rows]
+        if not tabs:
+            return pd.DataFrame(columns=cols)
+        return (
+            pa.concat_tables(tabs, promote_options="default")
+            .to_pandas().reindex(columns=cols)
+        )
+
+    def join_bucket(g: pa.Table) -> pd.DataFrame:
+        lg = _side_frame(g, "l", left_cols)
+        rg = _side_frame(g, "r", right_cols)
+        if lg.empty or rg.empty:
+            # typed merge of an untyped empty frame raises; the join
+            # result is empty either way — emit it column-complete so
+            # downstream projections see a stable schema
+            out_cols = list(dict.fromkeys(left_cols + right_cols))
+            return pd.DataFrame(columns=out_cols)
         if left_dtypes:
             lg = lg.astype(left_dtypes)
         if right_dtypes:
@@ -283,7 +325,7 @@ def hash_join(
         return lg.merge(rg, left_on=left_key, right_on=right_key)
 
     return both.groupby("__bucket").map_groups(
-        join_bucket, batch_format="pandas"
+        join_bucket, batch_format="pyarrow"
     )
 
 
