@@ -1142,6 +1142,20 @@ def _q_comment_dup_families(sf_dir: str):
     return out.to_pandas().sort_values("norm_sha").reset_index(drop=True)
 
 
+def _q_code_near_dup(sf_dir: str):
+    """Comment-invariant near-dup file clusters (The-Stack-v2 file
+    dedup shape): strip-comments norm -> MinHash-LSH -> union-find.
+    n_bands=64 (r=2) pins the at-threshold band-miss probability to
+    ~1e-8 so exact-Jaccard SQL parity is distribution-independent."""
+    _quiet()
+    from clonebas_ray.ops.code_corpus import code_near_dup
+
+    out = code_near_dup(
+        _code_files(["repo", "path", "lang", "content"]), n_bands=64
+    )
+    return out.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+
+
 def _q_block_clusters(sf_dir: str):
     """Block-mode clone clusters (the reference's default path) on the
     synthetic corpus (pytest enforces pair-set exactness vs the block
@@ -1474,6 +1488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "import_census": _q_import_census,
         "strip_comments": _q_strip_comments,
         "comment_dup_families": _q_comment_dup_families,
+        "code_near_dup": _q_code_near_dup,
     }
 
 
@@ -3625,5 +3640,65 @@ SELECT norm_sha, CAST(count(*) AS BIGINT) AS n_files,
        min(sha) AS rep_sha
 FROM n GROUP BY norm_sha HAVING count(DISTINCT sha) > 1
 ORDER BY norm_sha
+""",
+        # comment-invariant near-dup clusters: the exact shingle-Jaccard
+        # + min-label connected-components oracle (same convention as
+        # minhash_clusters) over the strip_comments normal form, with
+        # doc_id = md5_number_lower(repo||'/'||path) masked to 63 bits
+        # (the Python side's signed-int64 rep-selection convention)
+        "code_near_dup": f"""
+WITH RECURSIVE s AS (
+  SELECT repo, path,
+    CASE lang
+      WHEN 'python' THEN regexp_replace(content, '#[^\\n]*', '', 'g')
+      ELSE regexp_replace(content,
+                          '/\\*(?s:.*?)\\*/|//[^\\n]*', '', 'g')
+    END AS stripped
+  FROM read_parquet('{_CODE_CORPUS}')
+), n AS (
+  SELECT repo, path,
+    CAST(md5_number_lower(repo || '/' || path)
+         % 9223372036854775808 AS BIGINT) AS doc_id,
+    trim(
+      regexp_replace(
+        regexp_replace(stripped, '[ \\t]+\\n', chr(10), 'g'),
+        '\\n\\n+', chr(10), 'g'),
+      ' ' || chr(9) || chr(10)) AS norm
+  FROM s
+), toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(norm, '\\s+'), x -> x <> '') AS t
+  FROM n
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+         WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(t) - 3),
+                i -> array_to_string(t[i:i+4], ' ')))
+    END AS s
+  FROM toks
+), e AS (SELECT doc_id, unnest(s) AS sng FROM sh),
+sz AS (SELECT doc_id, len(s) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM e a JOIN e b ON a.sng = b.sng AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+  WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  SELECT a AS id, a AS lbl FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.id = e.a
+)
+SELECT n.repo, n.path, c.id AS doc_id, c.cluster_id
+FROM (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id) c
+JOIN n ON n.doc_id = c.id
+ORDER BY n.repo, n.path
 """,
     }

@@ -208,7 +208,7 @@ def run_bench() -> dict:
             "kmeans", "doc_rank", "topic_mix",
             "code_quality_filter", "license_scan", "secret_scan",
             "repo_forks", "import_census", "strip_comments",
-            "comment_dup_families",
+            "comment_dup_families", "code_near_dup",
         ):
             t0 = time.perf_counter()
             q[name](SF_DIR)

@@ -586,6 +586,26 @@ def generate_code_corpus(
         rows.append((dst, f"vendored/{src.rsplit('/', 1)[1]}_f00.c",
                      commit(), "c", _LICENSE_HEADERS[alt] + raw_f00[src]))
 
+    # planted DRIFTED vendored copies: a NEW single-file repo ports
+    # repo A's f00.c with a couple of inserted statements — near-dup
+    # (high shingle Jaccard) but NOT identical after comment stripping
+    # (code_near_dup signal; invisible to fork detection, which keys on
+    # exact shas).  md5-keyed edits; rng only for commit shas, drawn
+    # after every placement decision above — order-inert.
+    for i in range(5):
+        src = base_names[(i * 5 + 3) % len(base_names)]
+        d = hashlib.md5(f"drift|{i}|{src}".encode()).digest()
+        lines = raw_f00[src].split("\n")
+        at = 2 + d[1] % max(1, len(lines) - 4)
+        lines[at:at] = [
+            f"int drift_guard_{i} = {d[2]};",
+            f"static int drift_pad_{i} = {d[3]} + {d[4]};",
+        ]
+        lines.append(f"int drift_tail_{i} = {d[5]};")
+        hdr = _LICENSE_HEADERS[license_names[d[6] % len(license_names)]]
+        rows.append((f"host/drift/port{i:03d}", "src/port.c", commit(),
+                     "c", hdr + "\n".join(lines)))
+
     rows.sort()  # deterministic order independent of dict iteration
     cols = list(zip(*rows))
     return pa.table(

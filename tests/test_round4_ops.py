@@ -815,3 +815,92 @@ def test_strip_comments_and_dup_families(ray_session):
     assert len(vend) == 6
     fam_shas = set(fam["norm_sha"])
     assert set(vend["norm_sha"]) == fam_shas
+
+
+def test_hash_join_63bit_int_keys_exact(ray_session):
+    """Regression: the union+groupby exchange used to null-pad mixed
+    schemas through pandas, coercing int64 to float64 — LOSSY above
+    2^53, so 63-bit md5 doc ids rounded and a chained second join
+    bucketed rounded keys against exact ones and dropped every match.
+    The IPC-payload exchange must round-trip ids bit-exactly."""
+    import ray.data
+
+    from clonebas_ray.ops.relational import hash_join
+
+    big = 1 << 62
+    ids = [big + 1234567890123, big + 987654321987, big + 555]
+    cand = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array(ids[:2], pa.int64()),
+        "doc_b": pa.array([ids[1], ids[2]], pa.int64()),
+    }))
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(["aaa", "bbb", "ccc"], pa.string()),
+    }))
+    out = hash_join(
+        cand, docs, "doc_a", "doc_id",
+        left_cols=["doc_a", "doc_b"], right_cols=["doc_id", "text"],
+        left_dtypes={"doc_a": "int64", "doc_b": "int64"},
+        right_dtypes={"doc_id": "int64"},
+    ).to_pandas().sort_values("doc_a").reset_index(drop=True)
+    assert out["doc_a"].tolist() == sorted(ids[:2])
+    assert out["doc_b"].tolist() == [ids[2], ids[1]]
+    assert out["text"].tolist() == ["bbb", "aaa"]
+    # chained join on the first join's output (the failure mode)
+    out2 = hash_join(
+        ray.data.from_pandas(out[["doc_a", "doc_b"]]), docs,
+        "doc_b", "doc_id",
+        left_cols=["doc_a", "doc_b"], right_cols=["doc_id", "text"],
+        left_dtypes={"doc_a": "int64", "doc_b": "int64"},
+        right_dtypes={"doc_id": "int64"},
+    ).to_pandas()
+    assert len(out2) == 2
+    assert sorted(out2["doc_b"].tolist()) == sorted([ids[1], ids[2]])
+
+
+def test_minhash_pairs_63bit_doc_ids(ray_session):
+    """MinHash pair enumeration with md5-magnitude doc ids: the near
+    pair must survive with bit-exact ids (it used to come back empty)."""
+    import ray.data
+
+    from clonebas_ray.ops.text_dedup import minhash_lsh_pairs
+
+    base = " ".join(f"tok{i} word{i * 7 % 13}" for i in range(200))
+    near = base + " extra tokens appended"
+    big = 1 << 62
+    ids = [big + 1234567890123, big + 987654321987, big + 555]
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array([base, near, "totally different"], pa.string()),
+    }))
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).to_pandas()
+    assert len(pairs) == 1
+    assert pairs.loc[0, "doc_a"] == min(ids[0], ids[1])
+    assert pairs.loc[0, "doc_b"] == max(ids[0], ids[1])
+
+
+def test_code_near_dup_drift_plants(ray_session):
+    """Each planted drifted vendored copy (inserted statements under a
+    different license header) clusters with its source file; exact
+    copies and comment-only copies land in the same clusters too."""
+    import ray.data
+
+    from clonebas_ray.ops.code_corpus import code_near_dup
+
+    ds = ray.data.read_parquet(
+        "/root/repo/golden/code_corpus.parquet",
+        columns=["repo", "path", "lang", "content"],
+    ).repartition(16)
+    out = code_near_dup(ds, n_bands=64).to_pandas()
+    assert out["doc_id"].is_unique
+    drift = out[out["repo"].str.startswith("host/drift/")]
+    assert len(drift) == 5
+    rest = out[~out["repo"].str.startswith("host/drift/")]
+    joined = drift.merge(rest, on="cluster_id")
+    # every drift repo shares a cluster with at least one real file
+    assert joined["repo_x"].nunique() == 5
+    # fork copies are byte-identical => the hot vendored file family
+    # (25 copies) forms one cluster
+    vend = out[out["path"] == "third_party/vendored.c"]
+    assert vend["cluster_id"].nunique() == 1
+    assert len(vend) == 25
