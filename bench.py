@@ -1192,6 +1192,78 @@ def run_fork_smoke() -> dict:
     }
 
 
+def run_codedup_smoke() -> dict:
+    """Comment-invariant near-dup file dedup (code_near_dup) over the
+    real 200k-file bench corpus (~11x content reuse): exercises the
+    strip-comments scan, the identical-set collapse (the dominant dup
+    mass is byte-identical), the banded LSH exchange, the IPC-payload
+    hash joins, and the streamed union-find, end to end."""
+    import logging
+    import resource
+
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clonebas_ray.ops.code_corpus import code_near_dup
+
+    # the shared bench corpus reuses (repo, path) across rows (45k
+    # distinct of 200k) — file identity here is the path, so the smoke
+    # corpus re-keys paths to a unique per-row name once, at prep time
+    corpus_path, corpus_mb = _ensure_bench_corpus()
+    path = os.path.join(BENCH_DIR, f"codedup_{BENCH_FILES}")
+    if not os.path.isdir(path):
+        os.makedirs(path + ".tmp", exist_ok=True)
+        i = 0
+        for sh, f in enumerate(sorted(os.listdir(corpus_path))):
+            t = pq.read_table(
+                os.path.join(corpus_path, f), columns=["repo", "content"]
+            )
+            names = pa.array(
+                [f"src/f{j:07d}.c" for j in range(i, i + t.num_rows)],
+                pa.string(),
+            )
+            i += t.num_rows
+            t = t.add_column(1, "path", names).append_column(
+                "lang", pa.array(["c"] * t.num_rows, pa.string())
+            )
+            pq.write_table(t, f"{path}.tmp/part-{sh:05d}.parquet",
+                           row_group_size=4096)
+        os.replace(path + ".tmp", path)
+
+    files = ray.data.read_parquet(
+        path, columns=["repo", "path", "lang", "content"]
+    )
+    t0 = time.perf_counter()
+    out = code_near_dup(files).to_pandas()
+    wall = time.perf_counter() - t0
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    ray.shutdown()
+    assert out["doc_id"].is_unique
+    return {
+        "metric": "codedup_200k_smoke_sec",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "n_files": BENCH_FILES,
+        "corpus_mb": round(corpus_mb, 1),
+        "files_per_sec": round(BENCH_FILES / wall, 1),
+        "near_dup_files": int(len(out)),
+        "n_clusters": int(out["cluster_id"].nunique()),
+        "num_cpus": NUM_CPUS,
+        "driver_rss_gb": round(rss_gb, 2),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -1215,5 +1287,7 @@ if __name__ == "__main__":
         print(json.dumps(run_cdc_smoke()))
     elif "--fork-smoke" in sys.argv:
         print(json.dumps(run_fork_smoke()))
+    elif "--codedup-smoke" in sys.argv:
+        print(json.dumps(run_codedup_smoke()))
     else:
         print(json.dumps(run_bench()))
