@@ -1156,6 +1156,21 @@ def _q_code_near_dup(sf_dir: str):
     return out.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
 
 
+def _q_code_dup_spans(sf_dir: str):
+    """Exact duplicated-substring spans over the code corpus (Lee et
+    al. 2022 window-hash scan; the north rule's suffix-array substring
+    modality on the code payload).  min_len=40 — code-sized window."""
+    _quiet()
+    from clonebas_ray.ops.code_corpus import code_dup_spans
+
+    out = code_dup_spans(_code_files(["repo", "path", "content"]))
+    return (
+        out.to_pandas()
+        .sort_values(["repo", "path", "span_start"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_block_clusters(sf_dir: str):
     """Block-mode clone clusters (the reference's default path) on the
     synthetic corpus (pytest enforces pair-set exactness vs the block
@@ -1489,6 +1504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_comments": _q_strip_comments,
         "comment_dup_families": _q_comment_dup_families,
         "code_near_dup": _q_code_near_dup,
+        "code_dup_spans": _q_code_dup_spans,
     }
 
 
@@ -3700,5 +3716,47 @@ SELECT n.repo, n.path, c.id AS doc_id, c.cluster_id
 FROM (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id) c
 JOIN n ON n.doc_id = c.id
 ORDER BY n.repo, n.path
+""",
+        # code_dup_spans: the dup_spans gaps-and-islands oracle over the
+        # code corpus (L=40, window strings join directly; count(*)>=2
+        # across the WHOLE corpus includes within-file repeats), with
+        # the pinned doc_id = md5_number_lower(repo||'/'||path) % 2^63
+        # and (repo, path) carried onto every span row
+        "code_dup_spans": f"""
+WITH t AS (
+  SELECT repo, path,
+    CAST(md5_number_lower(repo || '/' || path)
+         % 9223372036854775808 AS BIGINT) AS doc_id,
+    content AS text, length(content) AS n
+  FROM read_parquet('{_CODE_CORPUS}')
+), pos AS (
+  SELECT doc_id, repo, path, text,
+    unnest(range(1, greatest(n - 40 + 2, 1))) AS i
+  FROM t
+), w AS (
+  SELECT doc_id, repo, path, i,
+    substr(text, CAST(i AS INT), 40) AS win
+  FROM pos
+), dup AS (
+  SELECT win FROM w GROUP BY win HAVING count(*) >= 2
+), hits AS (
+  SELECT w.doc_id, w.repo, w.path, w.i FROM w JOIN dup USING (win)
+), isl AS (
+  SELECT doc_id, repo, path, i,
+    CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+           OR i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 40
+         THEN 1 ELSE 0 END AS brk
+  FROM hits
+), grp AS (
+  SELECT doc_id, repo, path, i,
+    sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS UNBOUNDED PRECEDING) AS s
+  FROM isl
+)
+SELECT doc_id, repo, path,
+       CAST(min(i) - 1 AS BIGINT) AS span_start,
+       CAST(max(i) - min(i) + 40 AS BIGINT) AS span_len
+FROM grp GROUP BY doc_id, repo, path, s
+ORDER BY repo, path, span_start
 """,
     }

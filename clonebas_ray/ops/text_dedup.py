@@ -1676,6 +1676,7 @@ def exact_dup_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     materialize_input: bool = False,
+    carry_cols: tuple[str, ...] = (),
 ) -> ray.data.Dataset:
     """Exact duplicated-substring spans >= ``min_len`` chars — the
     window-hash equivalent of suffix-array substring deduplication
@@ -1705,18 +1706,27 @@ def exact_dup_spans(
     the normal read→project input that means two streaming reads —
     strictly cheaper at corpus scale than materializing content into
     the object store; pass ``materialize_input=True`` only when the
-    upstream is nondeterministic or expensive to recompute."""
+    upstream is nondeterministic or expensive to recompute.
+
+    ``carry_cols`` names extra input columns copied verbatim onto each
+    emitted span row (e.g. ``("repo", "path")`` for a code corpus) —
+    carried through pass 2 per batch, never joined or shuffled; pass 1
+    still scans only ``(id_col, text_col)``."""
     ensure_worker_importable()
-    src = docs.select_columns([id_col, text_col])
+    pass1 = docs.select_columns([id_col, text_col])
+    src = (
+        docs.select_columns([id_col, *carry_cols, text_col])
+        if carry_cols else pass1
+    )
     if materialize_input:
         src = src.materialize()
-    dup_ref = _dup_window_broadcast(src, min_len, text_col)
+        pass1 = src.select_columns([id_col, text_col])
+    dup_ref = _dup_window_broadcast(pass1, min_len, text_col)
 
     def emit_spans(batch: pa.Table) -> pa.Table:
         d = ray.get(dup_ref)
-        out_id, out_s, out_l = [], [], []
-        ids = batch[id_col].to_pylist()
-        for did, t in zip(ids, batch[text_col].to_pylist()):
+        out_row, out_s, out_l = [], [], []
+        for ridx, t in enumerate(batch[text_col].to_pylist()):
             pos = _dup_positions(d, t, min_len)
             if not len(pos):
                 continue
@@ -1725,16 +1735,16 @@ def exact_dup_spans(
             starts = np.concatenate([[0], brk + 1])
             ends = np.concatenate([brk, [len(pos) - 1]])
             for s_i, e_i in zip(starts, ends):
-                out_id.append(did)
+                out_row.append(ridx)
                 out_s.append(int(pos[s_i]))
                 out_l.append(int(pos[e_i]) + min_len - int(pos[s_i]))
-        return pa.table(
-            {
-                id_col: pa.array(out_id, batch[id_col].type),
-                "span_start": pa.array(out_s, pa.int64()),
-                "span_len": pa.array(out_l, pa.int64()),
-            }
-        )
+        idx = pa.array(out_row, pa.int64())
+        cols = {id_col: batch[id_col].take(idx)}
+        for c in carry_cols:
+            cols[c] = batch[c].take(idx)
+        cols["span_start"] = pa.array(out_s, pa.int64())
+        cols["span_len"] = pa.array(out_l, pa.int64())
+        return pa.table(cols)
 
     return src.map_batches(
         emit_spans, batch_format="pyarrow", batch_size=None,

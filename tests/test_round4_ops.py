@@ -904,3 +904,61 @@ def test_code_near_dup_drift_plants(ray_session):
     vend = out[out["path"] == "third_party/vendored.c"]
     assert vend["cluster_id"].nunique() == 1
     assert len(vend) == 25
+
+
+def test_code_dup_spans_planted_and_carry_cols(ray_session):
+    """A 60-char stanza shared by two files and repeated twice inside a
+    third is reported as a maximal span per occurrence-site, with
+    (repo, path) carried verbatim onto every span row; a unique file
+    emits nothing."""
+    import ray.data
+
+    from clonebas_ray.functions.murmur3 import md5_low64
+    from clonebas_ray.ops.code_corpus import code_dup_spans
+
+    stanza = ("/* vendored helper: do not edit */ "
+              "int helper(int a, int b) { return a + b; }")[:60]
+    assert len(stanza) == 60
+    import hashlib
+
+    def filler(tag, n=200):
+        # hash-chained a-z stream: no internal 40-char repeats
+        out, blk = [], tag.encode()
+        while len(out) < n:
+            blk = hashlib.sha256(blk).digest()
+            out.extend(chr(97 + b % 26) for b in blk)
+        return "".join(out[:n])
+
+    uniq = {k: filler(k) for k in "abcd"}
+    rows = pd.DataFrame({
+        "repo": ["r1", "r1", "r2", "r3"],
+        "path": ["x.c", "y.c", "z.c", "w.c"],
+        "content": [
+            uniq["a"] + stanza + uniq["b"],        # one hit at 200
+            stanza + uniq["c"],                     # one hit at 0
+            uniq["d"][:50] + stanza + uniq["d"][50:120] + stanza,
+            "completely unique file body with no repeats at all"
+            + uniq["a"][::-1],
+        ],
+    })
+    ds = ray.data.from_pandas(rows).repartition(3)
+    out = (
+        code_dup_spans(ds, min_len=40)
+        .to_pandas()
+        .sort_values(["repo", "path", "span_start"])
+        .reset_index(drop=True)
+    )
+    assert list(out.columns) == [
+        "doc_id", "repo", "path", "span_start", "span_len"]
+    assert set(zip(out["repo"], out["path"])) == {
+        ("r1", "x.c"), ("r1", "y.c"), ("r2", "z.c")}
+    x = out[(out["repo"] == "r1") & (out["path"] == "x.c")]
+    assert x[["span_start", "span_len"]].values.tolist() == [[200, 60]]
+    y = out[(out["repo"] == "r1") & (out["path"] == "y.c")]
+    assert y[["span_start", "span_len"]].values.tolist() == [[0, 60]]
+    z = out[(out["repo"] == "r2") & (out["path"] == "z.c")]
+    assert z[["span_start", "span_len"]].values.tolist() == [
+        [50, 60], [180, 60]]
+    mask = (1 << 63) - 1
+    want = md5_low64(b"r1/x.c") & mask
+    assert int(x["doc_id"].iloc[0]) == want
