@@ -1171,6 +1171,22 @@ def _q_code_dup_spans(sf_dir: str):
     )
 
 
+def _q_code_clean(sf_dir: str):
+    """End-to-end Stack-style code-corpus cleaning (pipelines.codeclean):
+    quality/license/secret gates -> comment-invariant exact dedup ->
+    MinHash near-dup keep-one.  One composed DuckDB oracle verifies the
+    whole chain."""
+    _quiet()
+    from clonebas_ray.pipelines.codeclean import code_clean
+
+    out = code_clean(_code_files(["repo", "path", "lang", "content"]))
+    return (
+        out.to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_block_clusters(sf_dir: str):
     """Block-mode clone clusters (the reference's default path) on the
     synthetic corpus (pytest enforces pair-set exactness vs the block
@@ -1505,6 +1521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "comment_dup_families": _q_comment_dup_families,
         "code_near_dup": _q_code_near_dup,
         "code_dup_spans": _q_code_dup_spans,
+        "code_clean": _q_code_clean,
     }
 
 
@@ -3758,5 +3775,99 @@ SELECT doc_id, repo, path,
        CAST(max(i) - min(i) + 40 AS BIGINT) AS span_len
 FROM grp GROUP BY doc_id, repo, path, s
 ORDER BY repo, path, span_start
+""",
+        # code_clean: the whole staged pipeline composed in one SQL —
+        # stage 1 = the code_quality_filter keep rule AND license not
+        # dropped AND zero secret_scan hits; stage 2 = min doc_id per
+        # comment-stripped norm (norm strings group directly — the Ray
+        # side exchanges 64-bit norm hashes, collision-negligible
+        # twin); stage 3 = the code_near_dup recursive-CTE clusters
+        # over stage-2 survivors, keep iff unclustered or cluster rep
+        "code_clean": f"""
+WITH RECURSIVE t AS (
+  SELECT repo, path, lang, content,
+    CAST(md5_number_lower(repo || '/' || path)
+         % 9223372036854775808 AS BIGINT) AS doc_id,
+    length(content) AS L,
+    len(string_split(content, chr(10))) AS n_lines,
+    list_max(list_transform(string_split(content, chr(10)),
+                            x -> length(x))) AS max_line_len,
+    length(regexp_replace(content, '[^a-zA-Z0-9]', '', 'g')) AS alnum,
+    CASE
+      WHEN regexp_matches(content, 'SPDX-License-Identifier: Apache-2\\.0|Licensed under the Apache License, Version 2\\.0') THEN 'apache-2.0'
+      WHEN regexp_matches(content, 'SPDX-License-Identifier: GPL-3\\.0|GNU General Public License') THEN 'gpl-3.0'
+      WHEN regexp_matches(content, 'SPDX-License-Identifier: MIT|Permission is hereby granted, free of charge') THEN 'mit'
+      WHEN regexp_matches(content, 'SPDX-License-Identifier: BSD-3-Clause|Redistribution and use in source and binary forms') THEN 'bsd-3-clause'
+      ELSE 'unknown' END AS license
+  FROM read_parquet('{_CODE_CORPUS}')
+), g AS (
+  SELECT repo, path, lang, content, doc_id, license FROM t
+  WHERE max_line_len <= 1000
+    AND (L - n_lines + 1) / n_lines <= 100.0
+    AND (CASE WHEN L > 0 THEN alnum / L ELSE 0.0 END) >= 0.25
+    AND NOT regexp_matches(content,
+            '(?i)(auto-?generated|do not edit|generated by)')
+    AND license <> 'gpl-3.0'
+    AND len(regexp_extract_all(content, 'AKIA[0-9A-Z]{{16}}')) = 0
+    AND len(regexp_extract_all(content,
+        '-----BEGIN [A-Z ]*PRIVATE KEY-----')) = 0
+    AND len(regexp_extract_all(content,
+        '[a-z][a-z0-9+.-]*://[^/\\s:@]+:[^/\\s:@]+@')) = 0
+    AND len(regexp_extract_all(content,
+        '(?i)(api[_-]?key|secret|token)\\s*=\\s*[''"][a-z0-9_\\-]{{16,}}[''"]')) = 0
+), n AS (
+  SELECT repo, path, doc_id, license,
+    trim(
+      regexp_replace(
+        regexp_replace(
+          CASE lang
+            WHEN 'python' THEN regexp_replace(content, '#[^\\n]*', '', 'g')
+            ELSE regexp_replace(content,
+                                '/\\*(?s:.*?)\\*/|//[^\\n]*', '', 'g')
+          END, '[ \\t]+\\n', chr(10), 'g'),
+        '\\n\\n+', chr(10), 'g'),
+      ' ' || chr(9) || chr(10)) AS norm
+  FROM g
+), k2 AS (
+  SELECT repo, path, doc_id, license, norm FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY norm) AS norm_win FROM n
+  ) WHERE doc_id = norm_win
+), toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(norm, '\\s+'), x -> x <> '') AS t
+  FROM k2
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+         WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(t) - 3),
+                i -> array_to_string(t[i:i+4], ' ')))
+    END AS s
+  FROM toks
+), e AS (SELECT doc_id, unnest(s) AS sng FROM sh),
+sz AS (SELECT doc_id, len(s) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM e a JOIN e b ON a.sng = b.sng AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+  WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  SELECT a AS id, a AS lbl FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.id = e.a
+), c AS (
+  SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
+)
+SELECT k2.doc_id, k2.repo, k2.path, k2.license
+FROM k2 LEFT JOIN c ON k2.doc_id = c.id
+WHERE c.id IS NULL OR c.cluster_id = k2.doc_id
+ORDER BY k2.repo, k2.path
 """,
     }

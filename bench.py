@@ -209,6 +209,7 @@ def run_bench() -> dict:
             "code_quality_filter", "license_scan", "secret_scan",
             "repo_forks", "import_census", "strip_comments",
             "comment_dup_families", "code_near_dup",
+            "code_dup_spans", "code_clean",
         ):
             t0 = time.perf_counter()
             q[name](SF_DIR)
