@@ -1193,6 +1193,80 @@ def run_fork_smoke() -> dict:
     }
 
 
+def _ensure_codedup_corpus() -> tuple[float, str]:
+    """The 200k-file code-shaped corpus shared by the codedup and
+    codeclean smokes.  The shared bench corpus reuses (repo, path)
+    across rows (45k distinct of 200k) — file identity here is the
+    path, so this prep re-keys paths to a unique per-row name once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    corpus_path, corpus_mb = _ensure_bench_corpus()
+    path = os.path.join(BENCH_DIR, f"codedup_{BENCH_FILES}")
+    if not os.path.isdir(path):
+        os.makedirs(path + ".tmp", exist_ok=True)
+        i = 0
+        for sh, f in enumerate(sorted(os.listdir(corpus_path))):
+            t = pq.read_table(
+                os.path.join(corpus_path, f), columns=["repo", "content"]
+            )
+            names = pa.array(
+                [f"src/f{j:07d}.c" for j in range(i, i + t.num_rows)],
+                pa.string(),
+            )
+            i += t.num_rows
+            t = t.add_column(1, "path", names).append_column(
+                "lang", pa.array(["c"] * t.num_rows, pa.string())
+            )
+            pq.write_table(t, f"{path}.tmp/part-{sh:05d}.parquet",
+                           row_group_size=4096)
+        os.replace(path + ".tmp", path)
+    return corpus_mb, path
+
+
+def run_codeclean_smoke() -> dict:
+    """End-to-end code_clean over the 200k-file bench corpus: the
+    composite gate scan, the norm-hash exact-dedup exchange, and the
+    near-dup keep-one — the pipeline a real code pre-training prep
+    runs, at 1000x the oracle fixture's size."""
+    import logging
+    import resource
+
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from clonebas_ray.pipelines.codeclean import code_clean
+
+    corpus_mb, path = _ensure_codedup_corpus()
+    files = ray.data.read_parquet(
+        path, columns=["repo", "path", "lang", "content"]
+    )
+    t0 = time.perf_counter()
+    n_out = code_clean(files).count()
+    wall = time.perf_counter() - t0
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    ray.shutdown()
+    return {
+        "metric": "codeclean_200k_smoke_sec",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "n_files": BENCH_FILES,
+        "corpus_mb": round(corpus_mb, 1),
+        "files_per_sec": round(BENCH_FILES / wall, 1),
+        "survivors": int(n_out),
+        "num_cpus": NUM_CPUS,
+        "driver_rss_gb": round(rss_gb, 2),
+    }
+
+
 def run_codedup_smoke() -> dict:
     """Comment-invariant near-dup file dedup (code_near_dup) over the
     real 200k-file bench corpus (~11x content reuse): exercises the
@@ -1218,29 +1292,7 @@ def run_codedup_smoke() -> dict:
 
     from clonebas_ray.ops.code_corpus import code_near_dup
 
-    # the shared bench corpus reuses (repo, path) across rows (45k
-    # distinct of 200k) — file identity here is the path, so the smoke
-    # corpus re-keys paths to a unique per-row name once, at prep time
-    corpus_path, corpus_mb = _ensure_bench_corpus()
-    path = os.path.join(BENCH_DIR, f"codedup_{BENCH_FILES}")
-    if not os.path.isdir(path):
-        os.makedirs(path + ".tmp", exist_ok=True)
-        i = 0
-        for sh, f in enumerate(sorted(os.listdir(corpus_path))):
-            t = pq.read_table(
-                os.path.join(corpus_path, f), columns=["repo", "content"]
-            )
-            names = pa.array(
-                [f"src/f{j:07d}.c" for j in range(i, i + t.num_rows)],
-                pa.string(),
-            )
-            i += t.num_rows
-            t = t.add_column(1, "path", names).append_column(
-                "lang", pa.array(["c"] * t.num_rows, pa.string())
-            )
-            pq.write_table(t, f"{path}.tmp/part-{sh:05d}.parquet",
-                           row_group_size=4096)
-        os.replace(path + ".tmp", path)
+    corpus_mb, path = _ensure_codedup_corpus()
 
     files = ray.data.read_parquet(
         path, columns=["repo", "path", "lang", "content"]
@@ -1290,5 +1342,7 @@ if __name__ == "__main__":
         print(json.dumps(run_fork_smoke()))
     elif "--codedup-smoke" in sys.argv:
         print(json.dumps(run_codedup_smoke()))
+    elif "--codeclean-smoke" in sys.argv:
+        print(json.dumps(run_codeclean_smoke()))
     else:
         print(json.dumps(run_bench()))
