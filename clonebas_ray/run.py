@@ -28,6 +28,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--no-checkpoint", action="store_true",
                    help="skip per-shard checkpointing (one-shot runs)")
+    p.add_argument("--code-clean", action="store_true",
+                   help="run the Stack-style code-corpus cleaning "
+                        "pipeline (stage-checkpointed run_code_clean) "
+                        "instead of clone dedup")
+    p.add_argument("--clean-threshold", type=float, default=0.5,
+                   help="near-dup Jaccard threshold for --code-clean")
     p.add_argument("--parse-distinct", action="store_true",
                    help="parse each distinct (sha, lang) once and map "
                         "signatures back (needs --no-checkpoint; wins "
@@ -122,7 +128,9 @@ def main(argv: list[str] | None = None) -> int:
         only_diff_file=args.only_diff_file,
     )
     try:
-        if args.gen_seq:
+        if args.code_clean:
+            report = _run_code_clean_mode(args)
+        elif args.gen_seq:
             report = _run_gen_seq(args, config)
         elif args.genfile or args.node_count:
             report = _run_exports(args, config)
@@ -139,6 +147,24 @@ def main(argv: list[str] | None = None) -> int:
         ray.shutdown()
     print(json.dumps(report))
     return 0
+
+
+def _run_code_clean_mode(args) -> dict:
+    """--code-clean: stage-checkpointed code-corpus cleaning; resumes
+    finished stages from <run-dir> Parquet and prints the run report
+    (per-stage rows / wall / resumed lineage)."""
+    import json as _json
+    import os
+
+    from clonebas_ray.pipelines.codeclean import run_code_clean
+
+    run_code_clean(
+        args.input, args.run_dir,
+        resume=not args.no_resume,
+        threshold=args.clean_threshold,
+    )
+    with open(os.path.join(args.run_dir, "run_report.json")) as f:
+        return _json.load(f)
 
 
 def _run_exports(args, config) -> dict:
