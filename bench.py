@@ -1243,15 +1243,30 @@ def run_codeclean_smoke() -> dict:
     ray.data.DataContext.get_current().enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
-    from clonebas_ray.pipelines.codeclean import code_clean
+    import shutil
+
+    from clonebas_ray.pipelines.codeclean import run_code_clean
 
     corpus_mb, path = _ensure_codedup_corpus()
-    files = ray.data.read_parquet(
-        path, columns=["repo", "path", "lang", "content"]
-    )
+    run_dir = os.path.join(BENCH_DIR, "codeclean_run")
+    shutil.rmtree(run_dir, ignore_errors=True)
+
+    # fresh checkpointed run, then a resume pass over the same run_dir
+    # (stage walls + resumed flags land in run_report.json; the resume
+    # wall is the whole-pipeline skip cost — manifest checks + final
+    # count only)
     t0 = time.perf_counter()
-    n_out = code_clean(files).count()
+    n_out = run_code_clean(path, run_dir).count()
     wall = time.perf_counter() - t0
+    with open(os.path.join(run_dir, "run_report.json")) as f:
+        report = json.load(f)  # fresh-run stage walls (rewritten below)
+    t1 = time.perf_counter()
+    n_res = run_code_clean(path, run_dir).count()
+    wall_resume = time.perf_counter() - t1
+    with open(os.path.join(run_dir, "run_report.json")) as f:
+        resumed_report = json.load(f)
+    assert n_res == n_out
+    assert all(s["resumed"] for s in resumed_report["stages"].values())
     rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     ray.shutdown()
     return {
@@ -1262,6 +1277,10 @@ def run_codeclean_smoke() -> dict:
         "corpus_mb": round(corpus_mb, 1),
         "files_per_sec": round(BENCH_FILES / wall, 1),
         "survivors": int(n_out),
+        "resume_sec": round(wall_resume, 3),
+        "stage_walls": {
+            k: s["wall_s"] for k, s in report["stages"].items()
+        },
         "num_cpus": NUM_CPUS,
         "driver_rss_gb": round(rss_gb, 2),
     }
