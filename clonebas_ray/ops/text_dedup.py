@@ -100,6 +100,35 @@ def exact_dedup_docs(
     )
 
 
+#: max total candidate-doc text bytes shared as one plasma lookup in
+#: the MinHash verify; above it the verify falls back to bucketed
+#: text hash-joins (per-task memory stays bucket-bound).  Sized so a
+#: worker node comfortably mmaps the lookup once.
+_VERIFY_LOOKUP_BUDGET = 4 << 30
+
+
+@ray.remote
+def _tab_nbytes(t: pa.Table) -> int:
+    return t.nbytes
+
+
+@ray.remote
+def _concat_sorted_by_id(*tabs: pa.Table) -> pa.Table:
+    """One object-store lookup table (doc_id-sorted) from per-block
+    candidate-doc tables — built worker-side so the driver never
+    holds the text."""
+    import pyarrow.compute as _pc
+
+    live = [t for t in tabs if t.num_rows]
+    if not live:
+        return pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+        })
+    t = pa.concat_tables(live, promote_options="default")
+    return t.take(_pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
 def _mix64(x: np.ndarray) -> np.ndarray:
     """splitmix64 finalizer (bit mixer for partition/set keys)."""
     z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
@@ -510,21 +539,163 @@ def _minhash_pipeline(
             .map_groups(members_partition, batch_format="pyarrow")
         )
 
-    # attach both texts via bucketed hash joins against the doc table —
-    # no driver-side doc materialization, no broadcast (SURVEY §4).
-    # The same pair can surface from bands living in different
-    # partitions; the first join buckets by doc_a, which co-locates
-    # every copy of a pair, so a bucket-local drop_duplicates IS the
-    # exact global dedup — no dedicated dedup shuffle
     from clonebas_ray.ops.relational import hash_join
 
-    doc_text = docs.select_columns(["doc_id", "text"])
+    # semi-join pushdown: only CANDIDATE docs enter the text verify.
+    # Unfiltered, both joins re-bucket the ENTIRE corpus text twice —
+    # 46 s of the 58 s cluster stage on the 200k code smoke (13.2 +
+    # 32.5 s) for 100k pairs touching ~2% of docs.  The distinct-id
+    # collection is block-distinct and byte-bound (ids only, unique'd
+    # per block before the driver sees them), and the driver already
+    # holds the candidate node set in the union-find downstream.
+    candidates = candidates.materialize()
+
+    def _block_ids(b: pa.Table) -> pa.Table:
+        ids = np.unique(np.concatenate([
+            b["doc_a"].to_numpy(zero_copy_only=False),
+            b["doc_b"].to_numpy(zero_copy_only=False),
+        ])) if b.num_rows else np.empty(0, np.int64)
+        return pa.table({"id": pa.array(ids, pa.int64())})
+
+    id_parts = [
+        b["id"].to_numpy(zero_copy_only=False)
+        for b in candidates.map_batches(
+            _block_ids, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows
+    ]
+    cand_ids = (
+        np.unique(np.concatenate(id_parts))
+        if id_parts else np.empty(0, np.int64)
+    )
+    cand_ids_ref = ray.put(cand_ids)
+
+    def only_candidates(batch: pa.Table) -> pa.Table:
+        ids = ray.get(cand_ids_ref)
+        if not len(ids):
+            return batch.slice(0, 0)
+        v = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ids, v)
+        pos[pos == len(ids)] = len(ids) - 1
+        return batch.filter(pa.array(ids[pos] == v))
+
+    doc_text = docs.select_columns(["doc_id", "text"]).map_batches(
+        only_candidates, batch_format="pyarrow", batch_size=None
+    )
+    # global pair dedup FIRST (one id-only exchange): the same pair
+    # surfaces from bands living in different partitions — 100,550
+    # candidate rows were 10,884 distinct pairs on the 200k code
+    # smoke — so dedup before verify also cuts verify work ~9x.
+    def add_pair_part(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(
+            np.uint64)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False).astype(
+            np.uint64)
+        part = (
+            _mix64(a * np.uint64(3) + b) % np.uint64(P)
+        ).astype(np.int32)
+        return batch.append_column(
+            "pair_part", pa.array(part, pa.int32()))
+
+    def dedup_pairs(g: pa.Table) -> pa.Table:
+        A = g["doc_a"].to_numpy(zero_copy_only=False)
+        B = g["doc_b"].to_numpy(zero_copy_only=False)
+        if not len(A):
+            return _EMPTY_PAIRS
+        o = np.lexsort((B, A))
+        A, B = A[o], B[o]
+        keep = np.empty(len(A), dtype=bool)
+        keep[0] = True
+        np.logical_or(A[1:] != A[:-1], B[1:] != B[:-1], out=keep[1:])
+        return pa.table({
+            "doc_a": pa.array(A[keep], pa.int64()),
+            "doc_b": pa.array(B[keep], pa.int64()),
+        })
+
+    distinct_pairs = (
+        candidates.map_batches(
+            add_pair_part, batch_format="pyarrow", batch_size=None)
+        .groupby("pair_part")
+        .map_groups(dedup_pairs, batch_format="pyarrow")
+    )
+
+    k = shingle_k
+    thr = threshold
+
+    def _verify_table(
+        batch: pa.Table, ta_list: list, tb_list: list
+    ) -> pa.Table:
+        oa, ob, oj = [], [], []
+        # per-pair-batch shingle cache: a doc in many candidate pairs
+        # repeats within a batch — don't re-shingle it per pair
+        cache: dict[int, set] = {}
+
+        def sh(doc: int, text: str) -> set:
+            s = cache.get(doc)
+            if s is None:
+                s = shingle_set(text, k)
+                cache[doc] = s
+            return s
+
+        for x, y, ta, tb in zip(
+            batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist(),
+            ta_list, tb_list,
+        ):
+            j = jaccard(sh(x, ta), sh(y, tb))
+            if j >= thr:
+                oa.append(x)
+                ob.append(y)
+                # raw (un-rounded) int/int ratio — bit-identical to the
+                # DuckDB oracle's division
+                oj.append(j)
+        return pa.table(
+            {
+                "doc_a": pa.array(oa, pa.int64()),
+                "doc_b": pa.array(ob, pa.int64()),
+                "jaccard": pa.array(oj, pa.float64()),
+            }
+        )
+
+    # streaming verify against a plasma-shared candidate-text lookup:
+    # one object-store table of ONLY candidate docs' (doc_id, text),
+    # read zero-copy by every verify task (one mmap per node, never a
+    # per-task copy) — no text payload ever enters a shuffle.  The
+    # bucketed hash-join exchange this replaces cost 46 s of the 58 s
+    # cluster stage on the 200k code smoke (two sort shuffles of text
+    # payloads) for 10k verified pairs.  Guard: past
+    # _VERIFY_LOOKUP_BUDGET bytes of candidate text, fall back to the
+    # join exchange — per-task memory stays bucket-bound there, at
+    # the cost of re-bucketing text payloads.
+    doc_refs = doc_text.materialize().to_arrow_refs()
+    sizes = ray.get([_tab_nbytes.remote(r) for r in doc_refs])
+
+    if sum(sizes) <= _VERIFY_LOOKUP_BUDGET:
+        lookup_ref = _concat_sorted_by_id.remote(*doc_refs)
+
+        def verify_lookup(batch: pa.Table) -> pa.Table:
+            if not batch.num_rows:
+                return _verify_table(batch, [], [])
+            lut = ray.get(lookup_ref)
+            ids = lut["doc_id"].to_numpy(zero_copy_only=False)
+            a = batch["doc_a"].to_numpy(zero_copy_only=False)
+            b = batch["doc_b"].to_numpy(zero_copy_only=False)
+            ta = lut["text"].take(
+                pa.array(np.searchsorted(ids, a), pa.int64())
+            ).to_pylist()
+            tb = lut["text"].take(
+                pa.array(np.searchsorted(ids, b), pa.int64())
+            ).to_pylist()
+            return _verify_table(batch, ta, tb)
+
+        return distinct_pairs.map_batches(
+            verify_lookup, batch_format="pyarrow", batch_size=None
+        ), member_edges
+
     with_a = hash_join(
-        candidates, doc_text, "doc_a", "doc_id",
+        distinct_pairs, doc_text, "doc_a", "doc_id",
         left_cols=["doc_a", "doc_b"], right_cols=["doc_id", "text"],
         left_dtypes={"doc_a": "int64", "doc_b": "int64"},
         right_dtypes={"doc_id": "int64"},
-        left_prep=lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
     ).map_batches(
         lambda t: t.drop_columns(["doc_id"]).rename_columns(
             ["doc_a", "doc_b", "text_a"]
@@ -544,43 +715,14 @@ def _minhash_pipeline(
         batch_format="pyarrow",
     )
 
-    k = shingle_k
-    thr = threshold
-
-    def verify(batch: pa.Table) -> pa.Table:
-        oa, ob, oj = [], [], []
-        # per-batch shingle cache: the first join buckets by doc_a, so
-        # a doc in many candidate pairs repeats within a batch — don't
-        # re-shingle it per pair
-        cache: dict[int, set] = {}
-
-        def sh(doc: int, text: str) -> set:
-            s = cache.get(doc)
-            if s is None:
-                s = shingle_set(text, k)
-                cache[doc] = s
-            return s
-
-        for x, y, ta, tb in zip(
-            batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist(),
+    def verify_joined(batch: pa.Table) -> pa.Table:
+        return _verify_table(
+            batch,
             batch["text_a"].to_pylist(), batch["text_b"].to_pylist(),
-        ):
-            j = jaccard(sh(x, ta), sh(y, tb))
-            if j >= thr:
-                oa.append(x)
-                ob.append(y)
-                # raw (un-rounded) int/int ratio — bit-identical to the
-                # DuckDB oracle's division
-                oj.append(j)
-        return pa.table(
-            {
-                "doc_a": pa.array(oa, pa.int64()),
-                "doc_b": pa.array(ob, pa.int64()),
-                "jaccard": pa.array(oj, pa.float64()),
-            }
         )
 
-    return with_b.map_batches(verify, batch_format="pyarrow"), member_edges
+    return with_b.map_batches(
+        verify_joined, batch_format="pyarrow"), member_edges
 
 
 def _stream_int_union_find(
