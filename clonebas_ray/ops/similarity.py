@@ -528,23 +528,31 @@ def _collapse_identical_vectors(
         )
 
     def family_edges(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
-        for _, grp in g.groupby("vhash", sort=False):
-            ids = np.unique(grp["vid"].to_numpy())
-            if len(ids) < 2:
-                continue
-            out_a.append(np.full(len(ids) - 1, ids[0], dtype=np.int64))
-            out_b.append(ids[1:])
-        if not out_a:
+        # lexsort + run boundaries for the star edges — no pandas
+        # groupby object per (overwhelmingly singleton) hash family
+        vh = g["vhash"].to_numpy()
+        vid = g["vid"].to_numpy()
+        if not len(vh):
             return pd.DataFrame(
                 {"vec_a": pd.Series(dtype="int64"),
                  "vec_b": pd.Series(dtype="int64"),
                  "cosine": pd.Series(dtype="float64")}
             )
-        a = np.concatenate(out_a)
-        b = np.concatenate(out_b)
+        order = np.lexsort((vid, vh))
+        vh, vid = vh[order], vid[order]
+        first = np.empty(len(vh), dtype=bool)
+        first[0] = True
+        np.logical_or(vh[1:] != vh[:-1], vid[1:] != vid[:-1],
+                      out=first[1:])
+        vh, vid = vh[first], vid[first]  # distinct, vid asc per family
+        starts = np.flatnonzero(np.r_[True, vh[1:] != vh[:-1]])
+        counts = np.diff(np.r_[starts, len(vh)])
+        a = np.repeat(vid[starts], counts - 1)
+        member_mask = np.ones(len(vid), dtype=bool)
+        member_mask[starts] = False
+        b = vid[member_mask]
         return pd.DataFrame(
-            {"vec_a": a, "vec_b": b,
+            {"vec_a": a.astype(np.int64), "vec_b": b.astype(np.int64),
              "cosine": np.ones(len(a), dtype=np.float64)}
         )
 

@@ -928,13 +928,27 @@ def substring_dup_pairs(
 
     def pair_partition(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
-        for _, grp in g.groupby("h", sort=False):
-            ids = np.unique(grp["doc_id"].to_numpy())
-            if len(ids) < 2 or len(ids) > max_df:
-                continue
-            a, b = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[a])
-            out_b.append(ids[b])
+        # lexsort + run boundaries (buckets are overwhelmingly tiny —
+        # the per-bucket pandas groupby tax measured 20x on the
+        # minhash pairing twin of this stage)
+        h = g["h"].to_numpy()
+        di = g["doc_id"].to_numpy()
+        if len(h):
+            order = np.lexsort((di, h))
+            h, di = h[order], di[order]
+            first = np.empty(len(h), dtype=bool)
+            first[0] = True
+            np.logical_or(h[1:] != h[:-1], di[1:] != di[:-1],
+                          out=first[1:])
+            hh, dd = h[first], di[first]  # distinct, di asc per hash
+            starts = np.flatnonzero(np.r_[True, hh[1:] != hh[:-1]])
+            counts = np.diff(np.r_[starts, len(hh)])
+            ok = (counts >= 2) & (counts <= max_df)
+            for s, c in zip(starts[ok], counts[ok]):
+                ids = dd[s:s + c]
+                a, b = np.triu_indices(len(ids), k=1)
+                out_a.append(ids[a])
+                out_b.append(ids[b])
         if not out_a:
             return pd.DataFrame(
                 {"doc_a": pd.Series(dtype="int64"),
