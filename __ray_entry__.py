@@ -1079,6 +1079,17 @@ def _q_license_scan(sf_dir: str):
     return out.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
 
 
+def _q_repo_license(sf_dir: str):
+    """Repo-level license resolution (The Stack one-license-per-repo
+    shape): most common per-file detected license per repo, ties by
+    detector priority order, 'unknown' last."""
+    _quiet()
+    from clonebas_ray.ops.code_corpus import repo_license_resolve
+
+    out = repo_license_resolve(_code_files(["repo", "content"]))
+    return out.to_pandas().sort_values("repo").reset_index(drop=True)
+
+
 def _q_secret_scan(sf_dir: str):
     """truffleHog/gitleaks-style credential-leak census: per-file RE2
     match counts per detector family (AWS key ids, PEM private-key
@@ -1514,6 +1525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_metrics_corpus": _q_code_metrics_corpus,
         "code_quality_filter": _q_code_quality_filter,
         "license_scan": _q_license_scan,
+        "repo_license": _q_repo_license,
         "secret_scan": _q_secret_scan,
         "repo_forks": _q_repo_forks,
         "import_census": _q_import_census,
@@ -3565,6 +3577,37 @@ SELECT repo, path,
     WHEN regexp_matches(content, 'SPDX-License-Identifier: BSD-3-Clause|Redistribution and use in source and binary forms') THEN 'bsd-3-clause'
     ELSE 'unknown' END AS license
 FROM read_parquet('{_CODE_CORPUS}') ORDER BY repo, path
+""",
+        # repo_license: most common per-file detected license per repo,
+        # ties by detector priority (LICENSE_PATTERNS order), unknown
+        # last — The Stack's one-license-per-repo resolution shape
+        "repo_license": f"""
+WITH t AS (
+  SELECT repo,
+    CASE
+      WHEN regexp_matches(content, 'SPDX-License-Identifier: Apache-2\\.0|Licensed under the Apache License, Version 2\\.0') THEN 'apache-2.0'
+      WHEN regexp_matches(content, 'SPDX-License-Identifier: GPL-3\\.0|GNU General Public License') THEN 'gpl-3.0'
+      WHEN regexp_matches(content, 'SPDX-License-Identifier: MIT|Permission is hereby granted, free of charge') THEN 'mit'
+      WHEN regexp_matches(content, 'SPDX-License-Identifier: BSD-3-Clause|Redistribution and use in source and binary forms') THEN 'bsd-3-clause'
+      ELSE 'unknown' END AS license
+  FROM read_parquet('{_CODE_CORPUS}')
+), c AS (
+  SELECT repo, license, count(*) AS cnt FROM t GROUP BY 1, 2
+), r AS (
+  SELECT repo, license, ROW_NUMBER() OVER (
+    PARTITION BY repo ORDER BY cnt DESC,
+    CASE license WHEN 'apache-2.0' THEN 0 WHEN 'gpl-3.0' THEN 1
+                 WHEN 'mit' THEN 2 WHEN 'bsd-3-clause' THEN 3
+                 ELSE 4 END
+  ) AS rn FROM c
+), s AS (
+  SELECT repo, CAST(sum(cnt) AS BIGINT) AS n_files,
+    CAST(sum(CASE WHEN license <> 'unknown' THEN cnt ELSE 0 END)
+         AS BIGINT) AS n_matched
+  FROM c GROUP BY repo
+)
+SELECT r.repo, r.license, s.n_files, s.n_matched
+FROM r JOIN s ON r.repo = s.repo WHERE r.rn = 1 ORDER BY r.repo
 """,
         "secret_scan": f"""
 SELECT repo, path,

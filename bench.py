@@ -206,7 +206,8 @@ def run_bench() -> dict:
             "cdc_shared", "lm_score", "label_centroids",
             "cross_source_overlap", "seeded_shuffle", "upsample_mix",
             "kmeans", "doc_rank", "topic_mix",
-            "code_quality_filter", "license_scan", "secret_scan",
+            "code_quality_filter", "license_scan", "repo_license",
+            "secret_scan",
             "repo_forks", "import_census", "strip_comments",
             "comment_dup_families", "code_near_dup",
             "code_dup_spans", "code_clean",

@@ -1106,3 +1106,40 @@ def test_run_code_clean_checkpoint_resume(ray_session, tmp_path):
     pd.testing.assert_frame_equal(out4, base)
     rep4 = json.load(open(f"{run_dir}/run_report.json"))
     assert [s["resumed"] for s in rep4["stages"].values()] == [False] * 3
+
+
+def test_repo_license_resolve_majority_and_ties(ray_session):
+    """Repo license = most common per-file detection; ties break by
+    detector priority (apache > gpl > mit > bsd, unknown last); a repo
+    with no detected license resolves to unknown with n_matched=0."""
+    import ray.data
+
+    from clonebas_ray.ops.code_corpus import repo_license_resolve
+
+    mit = "/* SPDX-License-Identifier: MIT */\nint a;"
+    gpl = "/* SPDX-License-Identifier: GPL-3.0 */\nint b;"
+    apache = "/* SPDX-License-Identifier: Apache-2.0 */\nint c;"
+    plain = "int nothing_here;"
+    rows = pd.DataFrame({
+        "repo": ["r/maj", "r/maj", "r/maj",
+                 "r/tie", "r/tie",
+                 "r/none", "r/half", "r/half"],
+        "content": [mit, mit, gpl,        # majority mit
+                    mit, apache,          # tie -> apache (priority 0)
+                    plain,                # unknown
+                    plain, gpl],          # tie unknown/gpl -> gpl
+    })
+    out = (
+        repo_license_resolve(ray.data.from_pandas(rows).repartition(3))
+        .to_pandas().sort_values("repo").reset_index(drop=True)
+    )
+    got = {
+        r.repo: (r.license, r.n_files, r.n_matched)
+        for r in out.itertuples()
+    }
+    assert got == {
+        "r/maj": ("mit", 3, 3),
+        "r/tie": ("apache-2.0", 2, 2),
+        "r/none": ("unknown", 1, 0),
+        "r/half": ("gpl-3.0", 2, 1),
+    }
