@@ -338,7 +338,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     n_bands: int = 32,
     threshold: float = 0.8,
-    concurrency: int | tuple[int, int] = (1, 8),
+    concurrency: int | tuple[int, int] | None = None,
     max_pairs_per_task: int | None = None,
 ) -> ray.data.Dataset:
     """documents → verified near-dup pairs (doc_a, doc_b, jaccard).
@@ -394,16 +394,27 @@ def _minhash_pipeline(
 
     P = auto_partitions()  # pairing partitions (~4/core; amortizes tiny buckets)
 
-    keyed = docs.select_columns(["doc_id", "text"]).map_batches(
-        MinHasher,
-        fn_constructor_kwargs={
-            "num_perm": num_perm, "shingle_k": shingle_k, "n_bands": n_bands,
-            "emit_set_key": collapse,
-        },
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        max_restarts=0,  # pool replaces failed actors (see fingerprint_stage)
-    )
+    # MinHasher as a task-pool callable INSTANCE by default: the
+    # per-actor token memo doesn't pay for the (1, 8) pool's autoscale
+    # ramp + 8-actor cap (8.7 s -> 2.4 s on the 200k code smoke, the
+    # round-4 fork-smoke lesson).  An explicit ``concurrency`` keeps
+    # the actor-pool form for memory-constrained tuning.
+    mh_kwargs = {
+        "num_perm": num_perm, "shingle_k": shingle_k,
+        "n_bands": n_bands, "emit_set_key": collapse,
+    }
+    src = docs.select_columns(["doc_id", "text"])
+    if concurrency is None:
+        keyed = src.map_batches(
+            MinHasher(**mh_kwargs), batch_format="pyarrow")
+    else:
+        keyed = src.map_batches(
+            MinHasher,
+            fn_constructor_kwargs=mh_kwargs,
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            max_restarts=0,  # pool replaces failed actors
+        )
 
     def add_part(batch: pa.Table) -> pa.Table:
         k = batch["band_key"].to_numpy().astype(np.uint64)
@@ -778,7 +789,7 @@ def minhash_dedup_clusters(
     shingle_k: int = 5,
     n_bands: int = 32,
     threshold: float = 0.8,
-    concurrency: int | tuple[int, int] = (1, 8),
+    concurrency: int | tuple[int, int] | None = None,
     max_pairs_per_task: int | None = None,
 ) -> pa.Table:
     """Full MinHash-LSH dedup: (doc_id, cluster_id) assignments with
@@ -886,7 +897,7 @@ def substring_dup_pairs(
     k: int = 30,
     w: int = 8,
     max_df: int = 64,
-    concurrency: int | tuple[int, int] = (1, 8),
+    concurrency: int | tuple[int, int] | None = None,
     hash_mode: str = "md5",
 ) -> pa.Table:
     """Substring-duplicate pairs: documents sharing >= 1 winnowed
@@ -909,13 +920,23 @@ def substring_dup_pairs(
 
     P = auto_partitions()
 
-    fps = docs.select_columns(["doc_id", "text"]).map_batches(
-        WinnowFingerprints,
-        fn_constructor_kwargs={"k": k, "w": w, "hash_mode": hash_mode},
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        max_restarts=0,
-    )
+    src = docs.select_columns(["doc_id", "text"])
+    if concurrency is None:
+        # task-pool callable instance (no amortizable state; the
+        # (1, 8) actor pool paid ~3x in ramp — round-4 A/B)
+        fps = src.map_batches(
+            WinnowFingerprints(k=k, w=w, hash_mode=hash_mode),
+            batch_format="pyarrow",
+        )
+    else:
+        fps = src.map_batches(
+            WinnowFingerprints,
+            fn_constructor_kwargs={
+                "k": k, "w": w, "hash_mode": hash_mode},
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            max_restarts=0,
+        )
 
     def add_part(batch: pa.Table) -> pa.Table:
         hv = batch["h"].to_numpy().astype(np.uint64)

@@ -188,16 +188,24 @@ def _band_rows(docs: ray.data.Dataset, p: dict, id_col: str,
 
     banded = docs.select_columns([id_col, text_col]).map_batches(
         rename, batch_format="pyarrow"
-    ).map_batches(
-        MinHasher,
-        fn_constructor_kwargs={
-            "num_perm": p["num_perm"], "shingle_k": p["shingle_k"],
-            "n_bands": p["n_bands"],
-        },
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        max_restarts=0,
     )
+    mh_kwargs = {
+        "num_perm": p["num_perm"], "shingle_k": p["shingle_k"],
+        "n_bands": p["n_bands"],
+    }
+    if concurrency is None:
+        # task-pool callable instance (the (1, 8) actor pool paid ~3x
+        # in autoscale ramp at 200k files — round-4 A/B)
+        banded = banded.map_batches(
+            MinHasher(**mh_kwargs), batch_format="pyarrow")
+    else:
+        banded = banded.map_batches(
+            MinHasher,
+            fn_constructor_kwargs=mh_kwargs,
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            max_restarts=0,
+        )
 
     def add_shard(b: pa.Table) -> pa.Table:
         k = b["band_key"].to_numpy().astype(np.uint64)
@@ -245,7 +253,7 @@ def build_sig_store(
     num_perm: int = 128,
     shingle_k: int = 5,
     n_bands: int = 32,
-    concurrency: int | tuple[int, int] = (1, 8),
+    concurrency: int | tuple[int, int] | None = None,
 ) -> None:
     """Seed a store with every doc in ``ds``: one shuffle of band keys
     into the band shards, one shuffle of shingle blobs into the blob
@@ -293,7 +301,7 @@ def incremental_neardup(
     id_col: str = "doc_id",
     text_col: str = "text",
     update: bool = False,
-    concurrency: int | tuple[int, int] = (1, 8),
+    concurrency: int | tuple[int, int] | None = None,
     max_bucket: int = 128,
 ) -> ray.data.Dataset:
     """Flag each new doc with an accepted near-duplicate: returns one
