@@ -1143,3 +1143,41 @@ def test_repo_license_resolve_majority_and_ties(ray_session):
         "r/none": ("unknown", 1, 0),
         "r/half": ("gpl-3.0", 2, 1),
     }
+
+
+def test_minhash_verify_join_fallback_identical(ray_session, monkeypatch):
+    """Forcing the candidate-text lookup over budget must route verify
+    through the bucketed hash-join fallback with identical pairs and
+    clusters (the 100-TB branch where candidate text outgrows a node)."""
+    import ray.data
+
+    from clonebas_ray.ops import text_dedup as td
+
+    docs = pd.DataFrame({
+        "doc_id": pd.array(range(40), dtype="int64"),
+        "text": (
+            ["alpha beta gamma delta epsilon zeta eta theta"] * 6
+            + ["alpha beta gamma delta epsilon zeta eta iota"] * 5
+            + [f"unique words only here row {i} " * 3 for i in range(29)]
+        ),
+    })
+    ds = ray.data.from_pandas(docs).repartition(4)
+
+    def pairs_frame():
+        return (
+            td.minhash_lsh_pairs(ds, threshold=0.5)
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+
+    base = pairs_frame()
+    assert len(base) >= 55  # the two families pair quadratically
+    monkeypatch.setattr(td, "_VERIFY_LOOKUP_BUDGET", 0)
+    fallback = pairs_frame()
+    pd.testing.assert_frame_equal(fallback, base)
+
+    base_cl = td.minhash_dedup_clusters(ds, threshold=0.5)
+    monkeypatch.undo()
+    lookup_cl = td.minhash_dedup_clusters(ds, threshold=0.5)
+    assert base_cl.equals(lookup_cl)
