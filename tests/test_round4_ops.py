@@ -1181,3 +1181,59 @@ def test_minhash_verify_join_fallback_identical(ray_session, monkeypatch):
     monkeypatch.undo()
     lookup_cl = td.minhash_dedup_clusters(ds, threshold=0.5)
     assert base_cl.equals(lookup_cl)
+
+
+def test_run_pretrain_clean_checkpoint_resume(ray_session, tmp_path):
+    """run_pretrain_clean: matches the single-session pretrain_clean;
+    a rerun resumes every stage; a min_len change re-runs only the
+    span cut (chained lineage keys)."""
+    import json
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from clonebas_ray.pipelines.textclean import (
+        pretrain_clean,
+        run_pretrain_clean,
+    )
+
+    span = "unique shared run of characters long enough to cut"
+    good_a = ("the cat sat on the mat and it was a good day for the "
+              "cat to sit on a mat in the sun " + span)
+    good_b = ("the dog ran over the hill and it was a fine day for "
+              "the dog to run on a hill in the rain " + span)
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([good_a, good_a, good_b, "kurz"], pa.string()),
+    })
+    inp = tmp_path / "docs"
+    inp.mkdir()
+    pq.write_table(tbl, inp / "part-0.parquet")
+    run_dir = str(tmp_path / "run")
+    fkw = dict(min_quality=0.15, min_tokens=3, max_dup10=0.9)
+
+    def frame(ds):
+        return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    base = frame(pretrain_clean(
+        ray.data.from_arrow(tbl), min_len=20, filter_kwargs=fkw))
+    out1 = frame(run_pretrain_clean(
+        str(inp), run_dir, min_len=20, filter_kwargs=fkw))
+    pd.testing.assert_frame_equal(out1, base)
+    rep1 = json.load(open(f"{run_dir}/run_report.json"))
+    assert [s["resumed"] for s in rep1["stages"].values()] == [False] * 3
+
+    out2 = frame(run_pretrain_clean(
+        str(inp), run_dir, min_len=20, filter_kwargs=fkw))
+    pd.testing.assert_frame_equal(out2, base)
+    rep2 = json.load(open(f"{run_dir}/run_report.json"))
+    assert [s["resumed"] for s in rep2["stages"].values()] == [True] * 3
+
+    # min_len change: filter + exact dedup resume, span cut re-runs
+    out3 = frame(run_pretrain_clean(
+        str(inp), run_dir, min_len=200, filter_kwargs=fkw))
+    rep3 = json.load(open(f"{run_dir}/run_report.json"))
+    assert rep3["stages"]["filtered"]["resumed"] is True
+    assert rep3["stages"]["exact_survivors"]["resumed"] is True
+    assert rep3["stages"]["clean"]["resumed"] is False
+    assert (out3["n_cut"] == 0).all()  # 200-char spans don't exist
