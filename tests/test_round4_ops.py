@@ -1237,3 +1237,66 @@ def test_run_pretrain_clean_checkpoint_resume(ray_session, tmp_path):
     assert rep3["stages"]["exact_survivors"]["resumed"] is True
     assert rep3["stages"]["clean"]["resumed"] is False
     assert (out3["n_cut"] == 0).all()  # 200-char spans don't exist
+
+
+def test_lexsort_pairing_equals_naive_reference():
+    """Property test: the vectorized lexsort/run-boundary pairing (the
+    shape used by minhash candidates, winnowing, band edges and family
+    stars) equals a naive per-bucket reference on random inputs —
+    including duplicate rows, singleton buckets, and cross-bucket id
+    reuse."""
+    from hypothesis import given, settings, strategies as st
+
+    @st.composite
+    def rows(draw):
+        n = draw(st.integers(0, 120))
+        bks = draw(st.lists(
+            st.integers(0, 12), min_size=n, max_size=n))
+        sks = draw(st.lists(
+            st.integers(0, 6), min_size=n, max_size=n))
+        ids = draw(st.lists(
+            st.integers(-5, 40), min_size=n, max_size=n))
+        return bks, sks, ids
+
+    def naive(bks, sks, ids):
+        by_bucket: dict[int, dict[int, int]] = {}
+        for bk, sk, d in zip(bks, sks, ids):
+            fam = by_bucket.setdefault(bk, {})
+            fam[sk] = min(fam.get(sk, d), d)
+        pairs = set()
+        for fam in by_bucket.values():
+            reps = sorted(set(fam.values()))
+            for i in range(len(reps)):
+                for j in range(i + 1, len(reps)):
+                    pairs.add((reps[i], reps[j]))
+        return sorted(pairs)
+
+    def vectorized(bks, sks, ids):
+        bk = np.asarray(bks, dtype=np.uint64)
+        sk = np.asarray(sks, dtype=np.uint64)
+        di = np.asarray(ids, dtype=np.int64)
+        if not len(bk):
+            return []
+        order = np.lexsort((di, sk, bk))
+        bk, sk, di = bk[order], sk[order], di[order]
+        first = np.empty(len(bk), dtype=bool)
+        first[0] = True
+        np.logical_or(bk[1:] != bk[:-1], sk[1:] != sk[:-1],
+                      out=first[1:])
+        rb, rd = bk[first], di[first]
+        starts = np.flatnonzero(np.r_[True, rb[1:] != rb[:-1]])
+        counts = np.diff(np.r_[starts, len(rb)])
+        out = set()
+        for s, c in zip(starts[counts >= 2], counts[counts >= 2]):
+            vals = np.unique(rd[s:s + c])
+            a, b = np.triu_indices(len(vals), k=1)
+            out.update(zip(vals[a].tolist(), vals[b].tolist()))
+        return sorted(out)
+
+    @settings(max_examples=200, deadline=None)
+    @given(rows())
+    def check(data):
+        bks, sks, ids = data
+        assert vectorized(bks, sks, ids) == naive(bks, sks, ids)
+
+    check()
