@@ -1079,6 +1079,61 @@ def _q_license_scan(sf_dir: str):
     return out.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
 
 
+def _q_incremental_code_dedup(sf_dir: str):
+    """Cross-snapshot COMMENT-INVARIANT code dedup: the incremental
+    hash-store trio's exact tier composed over strip_comments norms —
+    files whose normalized body already shipped in an accepted
+    snapshot (or earlier in this one) drop, even when only the
+    license header / comments changed.  Fixture split mirrors
+    incremental_dedup: doc_id % 3 == 0 plays the accepted corpus."""
+    _quiet()
+    import tempfile
+
+    import pyarrow as pa
+
+    from clonebas_ray.functions.murmur3 import md5_low64
+    from clonebas_ray.ops.code_corpus import _StripComments
+    from clonebas_ray.state.hashstore import (
+        build_hash_store, incremental_dedup,
+    )
+
+    mask = (1 << 63) - 1
+
+    def norm_docs(b: pa.Table) -> pa.Table:
+        ids = pa.array(
+            [md5_low64(f"{r}/{p}".encode()) & mask
+             for r, p in zip(b["repo"].to_pylist(),
+                             b["path"].to_pylist())],
+            pa.int64(),
+        )
+        return pa.table({"doc_id": ids, "text": b["norm"]})
+
+    docs = _code_files(["repo", "path", "lang", "content"]).map_batches(
+        _StripComments("content", "lang", keep_norm=True),
+        batch_format="pyarrow", batch_size=None,
+    ).map_batches(norm_docs, batch_format="pyarrow", batch_size=None)
+
+    def part(m):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array((ids % 3 == 0) == m))
+        return f
+
+    with tempfile.TemporaryDirectory() as td:
+        store = f"{td}/store"
+        build_hash_store(
+            docs.map_batches(part(True), batch_format="pyarrow",
+                             batch_size=None),
+            store, n_shards=16,
+        )
+        out = incremental_dedup(
+            docs.map_batches(part(False), batch_format="pyarrow",
+                             batch_size=None),
+            store,
+        )
+        return out.to_pandas()
+
+
 def _q_repo_license(sf_dir: str):
     """Repo-level license resolution (The Stack one-license-per-repo
     shape): most common per-file detected license per repo, ties by
@@ -1526,6 +1581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_quality_filter": _q_code_quality_filter,
         "license_scan": _q_license_scan,
         "repo_license": _q_repo_license,
+        "incremental_code_dedup": _q_incremental_code_dedup,
         "secret_scan": _q_secret_scan,
         "repo_forks": _q_repo_forks,
         "import_census": _q_import_census,
@@ -3577,6 +3633,38 @@ SELECT repo, path,
     WHEN regexp_matches(content, 'SPDX-License-Identifier: BSD-3-Clause|Redistribution and use in source and binary forms') THEN 'bsd-3-clause'
     ELSE 'unknown' END AS license
 FROM read_parquet('{_CODE_CORPUS}') ORDER BY repo, path
+""",
+        # incremental_code_dedup: the exact incremental tier composed
+        # over comment-stripped norms — accepted snapshot = doc_id%3==0
+        "incremental_code_dedup": f"""
+WITH n AS (
+  SELECT CAST(md5_number_lower(repo || '/' || path)
+              % 9223372036854775808 AS BIGINT) AS doc_id,
+    trim(
+      regexp_replace(
+        regexp_replace(
+          CASE lang
+            WHEN 'python' THEN regexp_replace(content, '#[^\\n]*', '', 'g')
+            ELSE regexp_replace(content,
+                                '/\\*(?s:.*?)\\*/|//[^\\n]*', '', 'g')
+          END, '[ \\t]+\\n', chr(10), 'g'),
+        '\\n\\n+', chr(10), 'g'),
+      ' ' || chr(9) || chr(10)) AS norm
+  FROM read_parquet('{_CODE_CORPUS}')
+), seen AS (
+  SELECT DISTINCT CAST(md5_number_lower(norm) % 9223372036854775808
+                       AS BIGINT) AS h
+  FROM n WHERE doc_id % 3 = 0
+), nd AS (
+  SELECT doc_id, CAST(md5_number_lower(norm) % 9223372036854775808
+                      AS BIGINT) AS h
+  FROM n WHERE doc_id % 3 <> 0
+)
+SELECT doc_id, h FROM (
+  SELECT doc_id, h,
+    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+  FROM nd WHERE h NOT IN (SELECT h FROM seen)
+) WHERE rn = 1
 """,
         # repo_license: most common per-file detected license per repo,
         # ties by detector priority (LICENSE_PATTERNS order), unknown

@@ -34,6 +34,13 @@ def main(argv: list[str] | None = None) -> int:
                         "instead of clone dedup")
     p.add_argument("--clean-threshold", type=float, default=0.5,
                    help="near-dup Jaccard threshold for --code-clean")
+    p.add_argument("--pretrain-clean", action="store_true",
+                   help="run the text pre-training cleaning pipeline "
+                        "(stage-checkpointed run_pretrain_clean) over "
+                        "a (doc_id, text) parquet input")
+    p.add_argument("--clean-min-len", type=int, default=25,
+                   help="duplicated-span cut length for "
+                        "--pretrain-clean")
     p.add_argument("--parse-distinct", action="store_true",
                    help="parse each distinct (sha, lang) once and map "
                         "signatures back (needs --no-checkpoint; wins "
@@ -130,6 +137,8 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.code_clean:
             report = _run_code_clean_mode(args)
+        elif args.pretrain_clean:
+            report = _run_pretrain_clean_mode(args)
         elif args.gen_seq:
             report = _run_gen_seq(args, config)
         elif args.genfile or args.node_count:
@@ -162,6 +171,23 @@ def _run_code_clean_mode(args) -> dict:
         args.input, args.run_dir,
         resume=not args.no_resume,
         threshold=args.clean_threshold,
+    )
+    with open(os.path.join(args.run_dir, "run_report.json")) as f:
+        return _json.load(f)
+
+
+def _run_pretrain_clean_mode(args) -> dict:
+    """--pretrain-clean: stage-checkpointed text cleaning; resumes
+    finished stages from <run-dir> Parquet and prints the run report."""
+    import json as _json
+    import os
+
+    from clonebas_ray.pipelines.textclean import run_pretrain_clean
+
+    run_pretrain_clean(
+        args.input, args.run_dir,
+        resume=not args.no_resume,
+        min_len=args.clean_min_len,
     )
     with open(os.path.join(args.run_dir, "run_report.json")) as f:
         return _json.load(f)
