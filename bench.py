@@ -247,7 +247,14 @@ def run_scaling() -> dict:
     beyond ~16 concurrent parser actors at ~0.6 relative efficiency —
     an artifact a real multi-node cluster does not have; the 8-vs-32
     pair is also reported by BASELINE.md for transparency).
+
+    ``GRAFT_SCALING_MODE=codeclean`` measures the checkpointed
+    ``run_code_clean`` pipeline instead of the clone flagship (same
+    fresh-process N vs 4N protocol; the pipeline is task-pool
+    throughout, so utilization fraction is equal at both levels by
+    construction).
     """
+    mode = os.environ.get("GRAFT_SCALING_MODE", "flagship")
 
     def run(ncpu: int) -> dict:
         env = dict(
@@ -266,9 +273,11 @@ def run_scaling() -> dict:
             # levels measure identical per-file work
             GRAFT_DISABLE_SHA_MEMO="1",
         )
+        args = [sys.executable, os.path.join(REPO, "bench.py")]
+        if mode == "codeclean":
+            args.append("--codeclean-smoke")
         out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
-            env=env, capture_output=True, text=True, check=True,
+            args, env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
@@ -303,10 +312,11 @@ def run_scaling() -> dict:
         f"host_mem_gbps_mc8_{hi}": [
             r.get("host_mem_gbps_mc8") for r in runs_hi
         ],
-        "bench_files": r_lo["bench_files"],
+        "bench_files": r_lo.get("bench_files", r_lo.get("n_files")),
         "num_cpus": [lo, hi],
         "pool_fraction": 0.5,
         "reps": reps,
+        "scaling_mode": mode,
     }
 
 
@@ -1285,6 +1295,8 @@ def run_codeclean_smoke() -> dict:
         },
         "num_cpus": NUM_CPUS,
         "driver_rss_gb": round(rss_gb, 2),
+        "host_mem_gbps": _host_mem_gbps(),
+        "host_mem_gbps_mc8": _host_mem_gbps_mc(),
     }
 
 
