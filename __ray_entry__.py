@@ -98,6 +98,15 @@ def _q_exact_dedup(sf_dir: str):
     return exact_dedup_docs(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
 
 
+def _q_dedup_report(sf_dir: str):
+    _quiet()
+    from clonebas_ray.ops.text_dedup import dedup_report
+
+    return dedup_report(
+        _docs(sf_dir, ["doc_id", "text", "source", "n_chars"])
+    ).to_pandas()
+
+
 def _q_token_counts(sf_dir: str):
     _quiet()
     from clonebas_ray.ops.text_analysis import token_counts
@@ -1522,6 +1531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text / census ops (SQL-oracled)
         "word_census": _q_word_census,
         "exact_dedup": _q_exact_dedup,
+        "dedup_report": _q_dedup_report,
         "token_counts": _q_token_counts,
         "knn_cosine": _q_knn,
         # dedup family / similarity / analysis (rows-only checks)
@@ -1749,6 +1759,22 @@ GROUP BY word
 SELECT md5(text) AS content_hash, min(doc_id) AS rep_id,
   count(*) AS n_dups
 FROM documents GROUP BY md5(text)
+""",
+        "dedup_report": """
+WITH h AS (
+  SELECT doc_id, source, n_chars, md5(text) AS ch FROM documents
+), k AS (
+  SELECT ch, min(doc_id) AS keeper FROM h GROUP BY ch
+)
+SELECT h.source AS source,
+  count(*) AS n_docs,
+  count(DISTINCT h.ch) AS n_contents,
+  CAST(sum(CASE WHEN h.doc_id <> k.keeper THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_dup_docs,
+  CAST(sum(CASE WHEN h.doc_id <> k.keeper THEN h.n_chars ELSE 0 END)
+    AS BIGINT) AS dup_chars
+FROM h JOIN k ON h.ch = k.ch
+GROUP BY h.source
 """,
         "token_counts": """
 SELECT doc_id,

@@ -191,6 +191,7 @@ def run_bench() -> dict:
         q = entrymod.queries()
         for name in (
             "tpch_q1", "events_hourly", "word_census", "exact_dedup",
+            "dedup_report",
             "knn_cosine", "minhash_pairs", "simhash_text_clusters",
             "substring_dups", "embed_near_dup", "code_metrics",
             "pii_scan", "dup_ngrams", "events_asof_orders",

@@ -100,6 +100,116 @@ def exact_dedup_docs(
     )
 
 
+def dedup_report(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    chars_col: str = "n_chars",
+) -> ray.data.Dataset:
+    """Per-source exact-duplicate mass report: for each source, how
+    many docs it contributes, how many distinct contents appear in it,
+    and how many of its docs (and chars) are duplicates of a GLOBAL
+    keeper (min ``id_col`` per content hash, across all sources).  The
+    standard post-dedup accounting table (what fraction of each crawl
+    / dump survives exact dedup — cf. RefinedWeb Table 2's removal
+    rates).
+
+    Exchange is byte-bound like `exact_dedup_docs`: one partial row
+    per distinct ``(content_hash, source)`` per block — ``(hash, src,
+    n, chars, argmin id, argmin chars)`` — bucketed by hash so each
+    bucket resolves its keepers locally; text never shuffles.  The
+    final groupby(source) output is O(#sources) rows.
+
+    Returns ``(source, n_docs, n_contents, n_dup_docs, dup_chars)``
+    where ``n_dup_docs`` counts rows whose id is not the global keeper
+    of their content and ``dup_chars`` sums their ``chars_col``.
+    """
+    ensure_worker_importable()
+    from clonebas_ray.ops.relational import auto_partitions
+
+    P = auto_partitions()
+    hashed = add_content_hash(
+        ds.select_columns([id_col, text_col, source_col, chars_col]),
+        text_col,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(
+            ["content_hash", id_col, source_col, chars_col]
+        ).to_pandas()
+        # argmin rows first: after sorting by id, first() per group is
+        # the block-local keeper candidate (and its char count)
+        df = df.sort_values(id_col, kind="stable")
+        g = (
+            df.groupby(["content_hash", source_col], sort=False)
+            .agg(
+                n=(id_col, "size"),
+                chars=(chars_col, "sum"),
+                min_id=(id_col, "first"),
+                min_chars=(chars_col, "first"),
+            )
+            .reset_index()
+        )
+        kh = pd.util.hash_pandas_object(
+            g["content_hash"], index=False
+        ).to_numpy()
+        g["__bucket"] = (kh % np.uint64(P)).astype(np.int32)
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # global per-(hash, source) rows for this bucket
+        g = g.sort_values("min_id", kind="stable")
+        hs = (
+            g.groupby(["content_hash", source_col], sort=False)
+            .agg(
+                n=("n", "sum"),
+                chars=("chars", "sum"),
+                min_id=("min_id", "first"),
+                min_chars=("min_chars", "first"),
+            )
+            .reset_index()
+        )
+        # the keeper row of each hash is the (hash, source) row holding
+        # the globally smallest id — hs is min_id-sorted, so first()
+        hs = hs.sort_values("min_id", kind="stable")
+        keep = hs.groupby("content_hash", sort=False).head(1)
+        is_keep = hs.index.isin(keep.index)
+        out = pd.DataFrame(
+            {
+                source_col: hs[source_col],
+                "n_docs": hs["n"].astype("int64"),
+                "n_contents": np.int64(1),
+                "n_dup_docs": (hs["n"] - is_keep).astype("int64"),
+                "dup_chars": (
+                    hs["chars"] - np.where(is_keep, hs["min_chars"], 0)
+                ).astype("int64"),
+            }
+        )
+        return out
+
+    def src_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                source_col: [g[source_col].iloc[0]],
+                "n_docs": [int(g["n_docs"].sum())],
+                "n_contents": [int(g["n_contents"].sum())],
+                "n_dup_docs": [int(g["n_dup_docs"].sum())],
+                "dup_chars": [int(g["dup_chars"].sum())],
+            }
+        )
+
+    return (
+        hashed.map_batches(partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
+        .groupby(source_col)
+        .map_groups(src_sum, batch_format="pandas")
+    )
+
+
 #: max total candidate-doc text bytes shared as one plasma lookup in
 #: the MinHash verify; above it the verify falls back to bucketed
 #: text hash-joins (per-task memory stays bucket-bound).  Sized so a

@@ -1300,3 +1300,30 @@ def test_lexsort_pairing_equals_naive_reference():
         assert vectorized(bks, sks, ids) == naive(bks, sks, ids)
 
     check()
+
+
+def test_dedup_report_hand_computed(ray_session):
+    """Per-source dup mass: keeper is the GLOBAL min doc_id per
+    content; a source holding only non-keeper copies charges every
+    copy (and its chars) to dup mass."""
+    import ray.data
+
+    from clonebas_ray.ops.text_dedup import dedup_report
+
+    # content "a": ids 0 (src x, keeper), 3 (x), 5 (y)
+    # content "bb": id 1 (y, keeper — unique)
+    # content "ccc": ids 2 (y, keeper), 4 (y)
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(["a", "bb", "ccc", "a", "ccc", "a"]),
+        "source": pa.array(["x", "y", "y", "x", "y", "y"]),
+        "n_chars": pa.array([1, 2, 3, 1, 3, 1], pa.int64()),
+    })).repartition(3)
+    rep = (
+        dedup_report(docs).to_pandas()
+        .sort_values("source").reset_index(drop=True)
+    )
+    assert list(rep.source) == ["x", "y"]
+    x, y = rep.iloc[0], rep.iloc[1]
+    assert (x.n_docs, x.n_contents, x.n_dup_docs, x.dup_chars) == (2, 1, 1, 1)
+    assert (y.n_docs, y.n_contents, y.n_dup_docs, y.dup_chars) == (4, 3, 2, 4)
