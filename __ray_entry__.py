@@ -1231,6 +1231,22 @@ def _q_code_near_dup(sf_dir: str):
     return out.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
 
 
+def _q_token_clones(sf_dir: str):
+    """EXACT token-bag overlap clone pairs (SourcererCC, ICSE 2016)
+    over the code corpus at 7/10 — prefix-filtered candidate join +
+    exact bag verify; recall AND precision 1.0 vs the full O(n^2)
+    SQL token self-join by construction."""
+    _quiet()
+    from clonebas_ray.ops.code_corpus import token_bag_clones
+
+    out = token_bag_clones(_code_files(["repo", "path", "content"]))
+    return (
+        out.to_pandas()
+        .sort_values(["key_a", "key_b"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_code_dup_spans(sf_dir: str):
     """Exact duplicated-substring spans over the code corpus (Lee et
     al. 2022 window-hash scan; the north rule's suffix-array substring
@@ -1598,6 +1614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_comments": _q_strip_comments,
         "comment_dup_families": _q_comment_dup_families,
         "code_near_dup": _q_code_near_dup,
+        "token_clones": _q_token_clones,
         "code_dup_spans": _q_code_dup_spans,
         "code_clean": _q_code_clean,
     }
@@ -3890,6 +3907,36 @@ SELECT n.repo, n.path, c.id AS doc_id, c.cluster_id
 FROM (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id) c
 JOIN n ON n.doc_id = c.id
 ORDER BY n.repo, n.path
+""",
+        # token_clones: full O(n^2) exact token-bag overlap self-join —
+        # the ground truth the prefix-filtered pipeline must equal
+        # EXACTLY (same RE2 split; threshold gate and sim are pure
+        # integer arithmetic / int-int division both sides)
+        "token_clones": f"""
+WITH tok AS (
+  SELECT key, t AS token, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT repo || '/' || path AS key,
+      unnest(list_filter(
+        regexp_split_to_array(content, '[^A-Za-z0-9_]+'),
+        x -> x <> '')) AS t
+    FROM read_parquet('{_CODE_CORPUS}')
+  ) GROUP BY key, t
+), lens AS (
+  SELECT key, CAST(sum(cnt) AS BIGINT) AS len FROM tok GROUP BY key
+), ov AS (
+  SELECT a.key AS key_a, b.key AS key_b,
+    CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS overlap
+  FROM tok a JOIN tok b ON a.token = b.token AND a.key < b.key
+  GROUP BY 1, 2
+)
+SELECT o.key_a, o.key_b, o.overlap,
+  la.len AS len_a, lb.len AS len_b,
+  o.overlap / greatest(la.len, lb.len) AS sim
+FROM ov o
+JOIN lens la ON la.key = o.key_a
+JOIN lens lb ON lb.key = o.key_b
+WHERE 10 * o.overlap >= 7 * greatest(la.len, lb.len)
+ORDER BY key_a, key_b
 """,
         # code_dup_spans: the dup_spans gaps-and-islands oracle over the
         # code corpus (L=40, window strings join directly; count(*)>=2

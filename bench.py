@@ -210,7 +210,7 @@ def run_bench() -> dict:
             "code_quality_filter", "license_scan", "repo_license",
             "secret_scan",
             "repo_forks", "import_census", "strip_comments",
-            "comment_dup_families", "code_near_dup",
+            "comment_dup_families", "code_near_dup", "token_clones",
             "incremental_code_dedup",
             "code_dup_spans", "code_clean",
         ):

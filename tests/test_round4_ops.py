@@ -1327,3 +1327,116 @@ def test_dedup_report_hand_computed(ray_session):
     x, y = rep.iloc[0], rep.iloc[1]
     assert (x.n_docs, x.n_contents, x.n_dup_docs, x.dup_chars) == (2, 1, 1, 1)
     assert (y.n_docs, y.n_contents, y.n_dup_docs, y.dup_chars) == (4, 3, 2, 4)
+
+
+def _brute_token_clones(files, num=7, den=10):
+    """O(n^2) reference: exact bag overlap over the RE2 split."""
+    import re
+
+    bags, lens = {}, {}
+    for key, content in files:
+        toks = [t for t in re.split(r"[^A-Za-z0-9_]+", content) if t]
+        bag = {}
+        for t in toks:
+            bag[t] = bag.get(t, 0) + 1
+        bags[key], lens[key] = bag, len(toks)
+    keys = sorted(bags)
+    out = []
+    for i, a in enumerate(keys):
+        for b in keys[i + 1:]:
+            ov = sum(
+                min(c, bags[b].get(t, 0)) for t, c in bags[a].items())
+            mx = max(lens[a], lens[b])
+            if den * ov >= num * mx and mx > 0:
+                out.append((a, b, ov, lens[a], lens[b], ov / mx))
+    return sorted(out)
+
+
+def test_token_bag_clones_brute_force(ray_session):
+    """Prefix-filtered pipeline == brute-force bag join on an
+    adversarial corpus: threshold-edge pairs (den*ov == num*max
+    exactly), multiplicity-sensitive overlap (same token SET,
+    different counts), a near-miss one unit below threshold, hot
+    boilerplate tokens shared corpus-wide, and empty/punctuation-only
+    files."""
+    import ray.data
+
+    from clonebas_ray.ops.code_corpus import token_bag_clones
+
+    files = [
+        # exact duplicate family (sim 1.0)
+        ("r0/a.c", "int x = 1; int y = 2; return x + y;"),
+        ("r0/b.c", "int x = 1; int y = 2; return x + y;"),
+        # threshold edge: len 10 vs 10, overlap exactly 7
+        ("r1/edge1.c", "t0 t1 t2 t3 t4 t5 t6 p7 p8 p9"),
+        ("r1/edge2.c", "t0 t1 t2 t3 t4 t5 t6 q7 q8 q9"),
+        # near miss: overlap 6 of max 10 -> 60 < 70 excluded
+        ("r1/miss.c", "t0 t1 t2 t3 t4 t5 m6 m7 m8 m9"),
+        # multiset sensitivity: same token SET {a,b}, counts differ
+        ("r2/m1.c", "aa aa aa bb"),
+        ("r2/m2.c", "aa bb bb bb"),
+        # hot token carried by everyone (prefix-filter stressor)
+        ("r3/hot1.c", "common common filler1 filler2 filler3"),
+        ("r3/hot2.c", "common common filler4 filler5 filler6"),
+        # length-filter prune: tiny subset of a long file
+        ("r4/small.c", "int main"),
+        ("r4/large.c", "int main " + " ".join(f"v{i}" for i in range(50))),
+        # degenerate contents
+        ("r5/empty.c", ""),
+        ("r5/punct.c", ";;; --- +++"),
+        ("r5/one.c", "solo"),
+        ("r5/one2.c", "solo"),
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "repo": pa.array([k.split("/")[0] for k, _ in files]),
+        "path": pa.array([k.split("/", 1)[1] for k, _ in files]),
+        "content": pa.array([c for _, c in files]),
+    })).repartition(4)
+
+    got = (
+        token_bag_clones(ds).to_pandas()
+        .sort_values(["key_a", "key_b"]).reset_index(drop=True)
+    )
+    exp = _brute_token_clones(files)
+    assert [tuple(r) for r in got.itertuples(index=False)] == exp
+    # the hand-planted structure actually holds
+    pairs = set(zip(got["key_a"], got["key_b"]))
+    assert ("r0/a.c", "r0/b.c") in pairs          # exact dup
+    assert ("r1/edge1.c", "r1/edge2.c") in pairs  # 70 >= 70 edge
+    assert ("r5/one.c", "r5/one2.c") in pairs     # single-token dup
+    assert not any("miss" in a or "miss" in b for a, b in pairs)
+    assert not any("r4" in a for a, _ in pairs)   # length filter
+    # multiset overlap: min counts -> ov=2, max len 4 -> 5 < 7 excluded
+    assert ("r2/m1.c", "r2/m2.c") not in pairs
+
+
+def test_token_bag_clones_randomized(ray_session):
+    """Randomized corpus (seeded): pipeline == brute force, including
+    boilerplate-heavy skew and duplicate families."""
+    import ray.data
+
+    from clonebas_ray.ops.code_corpus import token_bag_clones
+
+    rng = np.random.default_rng(20260820)
+    vocab = [f"tok{i}" for i in range(40)]
+    files = []
+    for i in range(60):
+        n = int(rng.integers(1, 30))
+        toks = rng.choice(vocab[: int(rng.integers(5, 40))], size=n)
+        files.append((f"r{i % 7}/f{i}.c", " ".join(toks)))
+    # planted duplicate family
+    files += [(f"dup/f{j}.c", files[0][1]) for j in range(3)]
+    ds = ray.data.from_arrow(pa.table({
+        "repo": pa.array([k.split("/")[0] for k, _ in files]),
+        "path": pa.array([k.split("/", 1)[1] for k, _ in files]),
+        "content": pa.array([c for _, c in files]),
+    })).repartition(5)
+
+    got = (
+        token_bag_clones(ds).to_pandas()
+        .sort_values(["key_a", "key_b"]).reset_index(drop=True)
+    )
+    exp = _brute_token_clones(files)
+    assert len(got) == len(exp)
+    assert [tuple(r)[:5] for r in got.itertuples(index=False)] == [
+        e[:5] for e in exp]
