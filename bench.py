@@ -1351,6 +1351,62 @@ def run_codedup_smoke() -> dict:
     }
 
 
+def run_tokenbag_smoke() -> dict:
+    """Exact SourcererCC token-bag clone join over the 200k-file bench
+    corpus at 9/10: identical-bag collapse (200k files -> 41k distinct
+    bags), prefix-filtered candidates, blob-packed pair-dedup
+    exchange, vectorized bag verify, family expansion.  The corpus is
+    ADVERSARIAL for an exact join (synthetic variants share their
+    rarest tokens at compatible lengths: ~1.7e8 raw / 7.0e7 distinct
+    candidates verify to ~8e5 true pairs; at 7/10 the TRUE answer
+    itself is ~1e9 pairs, which no exact pair-list can avoid — the
+    MinHash `code_near_dup` path is the approximate alternative)."""
+    import logging
+    import resource
+
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from clonebas_ray.ops.code_corpus import token_bag_clones
+
+    corpus_mb, path = _ensure_codedup_corpus()
+    files = ray.data.read_parquet(
+        path, columns=["repo", "path", "content"])
+    stats: dict = {}
+    t0 = time.perf_counter()
+    out = token_bag_clones(
+        files, threshold=(9, 10), max_pairs_per_task=200_000_000,
+        stats=stats,
+    )
+    n_pairs = out.count()
+    wall = time.perf_counter() - t0
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    ray.shutdown()
+    return {
+        "metric": "tokenbag_200k_smoke_sec",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "n_files": BENCH_FILES,
+        "corpus_mb": round(corpus_mb, 1),
+        "files_per_sec": round(BENCH_FILES / wall, 1),
+        "threshold": "9/10",
+        "clone_pairs": int(n_pairs),
+        "stage_stats": stats,
+        "num_cpus": NUM_CPUS,
+        "driver_rss_gb": round(rss_gb, 2),
+        "host_mem_gbps": _host_mem_gbps(),
+        "host_mem_gbps_mc8": _host_mem_gbps_mc(),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -1376,6 +1432,8 @@ if __name__ == "__main__":
         print(json.dumps(run_fork_smoke()))
     elif "--codedup-smoke" in sys.argv:
         print(json.dumps(run_codedup_smoke()))
+    elif "--tokenbag-smoke" in sys.argv:
+        print(json.dumps(run_tokenbag_smoke()))
     elif "--codeclean-smoke" in sys.argv:
         print(json.dumps(run_codeclean_smoke()))
     else:
