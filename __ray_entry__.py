@@ -1247,6 +1247,19 @@ def _q_token_clones(sf_dir: str):
     )
 
 
+def _q_token_clone_clusters(sf_dir: str):
+    """Connected components over the exact SourcererCC join — the
+    corpus-scale entry (cluster volume linear in near-dup docs where
+    the pair list is quadratic in every dup family)."""
+    _quiet()
+    from clonebas_ray.ops.code_corpus import token_bag_clusters
+
+    out = token_bag_clusters(_code_files(["repo", "path", "content"]))
+    return (
+        out.to_pandas().sort_values("key").reset_index(drop=True)
+    )
+
+
 def _q_code_dup_spans(sf_dir: str):
     """Exact duplicated-substring spans over the code corpus (Lee et
     al. 2022 window-hash scan; the north rule's suffix-array substring
@@ -1615,6 +1628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "comment_dup_families": _q_comment_dup_families,
         "code_near_dup": _q_code_near_dup,
         "token_clones": _q_token_clones,
+        "token_clone_clusters": _q_token_clone_clusters,
         "code_dup_spans": _q_code_dup_spans,
         "code_clean": _q_code_clean,
     }
@@ -3937,6 +3951,51 @@ JOIN lens la ON la.key = o.key_a
 JOIN lens lb ON lb.key = o.key_b
 WHERE 10 * o.overlap >= 7 * greatest(la.len, lb.len)
 ORDER BY key_a, key_b
+""",
+        # token_clone_clusters: min-label recursive-CTE closure over the
+        # exact token-bag join; doc ids = md5_number_lower(key) % 2^63
+        # (the pipeline's md5_low64 convention), cluster = min member id
+        "token_clone_clusters": f"""
+WITH RECURSIVE tok AS (
+  SELECT key, t AS token, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT repo || '/' || path AS key,
+      unnest(list_filter(
+        regexp_split_to_array(content, '[^A-Za-z0-9_]+'),
+        x -> x <> '')) AS t
+    FROM read_parquet('{_CODE_CORPUS}')
+  ) GROUP BY key, t
+), lens AS (
+  SELECT key, CAST(sum(cnt) AS BIGINT) AS len FROM tok GROUP BY key
+), ov AS (
+  SELECT a.key AS key_a, b.key AS key_b,
+    CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS overlap
+  FROM tok a JOIN tok b ON a.token = b.token AND a.key < b.key
+  GROUP BY 1, 2
+), q AS (
+  SELECT o.key_a, o.key_b FROM ov o
+  JOIN lens la ON la.key = o.key_a
+  JOIN lens lb ON lb.key = o.key_b
+  WHERE 10 * o.overlap >= 7 * greatest(la.len, lb.len)
+), ids AS (
+  SELECT key, CAST(md5_number_lower(key) % 9223372036854775808
+                   AS BIGINT) AS id
+  FROM lens
+), edges AS (
+  SELECT ia.id AS a, ib.id AS b FROM q
+  JOIN ids ia ON ia.key = q.key_a JOIN ids ib ON ib.key = q.key_b
+  UNION ALL
+  SELECT ib.id, ia.id FROM q
+  JOIN ids ia ON ia.key = q.key_a JOIN ids ib ON ib.key = q.key_b
+), reach AS (
+  SELECT a AS id, a AS lbl FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.id = e.a
+), cl AS (
+  SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
+)
+SELECT i.key, cl.id AS doc_id, cl.cluster_id
+FROM cl JOIN ids i ON i.id = cl.id
+ORDER BY i.key
 """,
         # code_dup_spans: the dup_spans gaps-and-islands oracle over the
         # code corpus (L=40, window strings join directly; count(*)>=2

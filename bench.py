@@ -211,7 +211,7 @@ def run_bench() -> dict:
             "secret_scan",
             "repo_forks", "import_census", "strip_comments",
             "comment_dup_families", "code_near_dup", "token_clones",
-            "incremental_code_dedup",
+            "token_clone_clusters", "incremental_code_dedup",
             "code_dup_spans", "code_clean",
         ):
             t0 = time.perf_counter()

@@ -1440,3 +1440,50 @@ def test_token_bag_clones_randomized(ray_session):
     assert len(got) == len(exp)
     assert [tuple(r)[:5] for r in got.itertuples(index=False)] == [
         e[:5] for e in exp]
+
+
+def test_token_bag_clusters_matches_brute_cc(ray_session):
+    """Cluster entry == union-find over the brute-force pair list,
+    with canonical min-member-id labels, on the randomized corpus."""
+    import ray.data
+
+    from clonebas_ray.functions.murmur3 import md5_low64
+    from clonebas_ray.ops.code_corpus import token_bag_clusters
+
+    rng = np.random.default_rng(20260820)
+    vocab = [f"tok{i}" for i in range(40)]
+    files = []
+    for i in range(60):
+        n = int(rng.integers(1, 30))
+        toks = rng.choice(vocab[: int(rng.integers(5, 40))], size=n)
+        files.append((f"r{i % 7}/f{i}.c", " ".join(toks)))
+    files += [(f"dup/f{j}.c", files[0][1]) for j in range(3)]
+    ds = ray.data.from_arrow(pa.table({
+        "repo": pa.array([k.split("/")[0] for k, _ in files]),
+        "path": pa.array([k.split("/", 1)[1] for k, _ in files]),
+        "content": pa.array([c for _, c in files]),
+    })).repartition(5)
+
+    got = token_bag_clusters(ds).to_pandas()
+
+    # brute-force reference: UF over the exact pair list
+    ids = {k: md5_low64(k.encode()) % (1 << 63) for k, _ in files}
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    for a, b, *_ in _brute_token_clones(files):
+        ia, ib = ids[a], ids[b]
+        parent.setdefault(ia, ia)
+        parent.setdefault(ib, ib)
+        ra, rb = find(ia), find(ib)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    exp = sorted(
+        (k, ids[k], find(ids[k])) for k, _ in files if ids[k] in parent)
+    assert sorted(
+        map(tuple, got[["key", "doc_id", "cluster_id"]].itertuples(
+            index=False))) == exp
