@@ -1260,6 +1260,17 @@ def _q_token_clone_clusters(sf_dir: str):
     )
 
 
+def _q_repo_fork_dedup(sf_dir: str):
+    """Keep-one-repo-per-fork-cluster decision table (The Stack's
+    repo-granularity dedup action): CC over fork pairs, winner = most
+    files (tie: smallest name)."""
+    _quiet()
+    from clonebas_ray.ops.code_corpus import repo_fork_dedup
+
+    out = repo_fork_dedup(_code_files(["repo", "content"]))
+    return out.to_pandas().sort_values("repo").reset_index(drop=True)
+
+
 def _q_code_dup_spans(sf_dir: str):
     """Exact duplicated-substring spans over the code corpus (Lee et
     al. 2022 window-hash scan; the north rule's suffix-array substring
@@ -1629,6 +1640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_near_dup": _q_code_near_dup,
         "token_clones": _q_token_clones,
         "token_clone_clusters": _q_token_clone_clusters,
+        "repo_fork_dedup": _q_repo_fork_dedup,
         "code_dup_spans": _q_code_dup_spans,
         "code_clean": _q_code_clean,
     }
@@ -3951,6 +3963,54 @@ JOIN lens la ON la.key = o.key_a
 JOIN lens lb ON lb.key = o.key_b
 WHERE 10 * o.overlap >= 7 * greatest(la.len, lb.len)
 ORDER BY key_a, key_b
+""",
+        # repo_fork_dedup: CC over the repo_forks pair graph (same CTEs
+        # incl. the max_df cap), winner = most RAW files then smallest
+        # name; unclustered repos are their own cluster and kept
+        "repo_fork_dedup": f"""
+WITH RECURSIVE f AS (
+  SELECT DISTINCT repo, md5(content) AS sha
+  FROM read_parquet('{_CODE_CORPUS}')
+), sizes AS (
+  SELECT repo, count(*) AS n FROM f GROUP BY repo
+), ok AS (
+  SELECT sha FROM f GROUP BY sha HAVING count(*) BETWEEN 2 AND 20
+), shared AS (
+  SELECT a.repo AS repo_a, b.repo AS repo_b,
+         CAST(count(*) AS BIGINT) AS shared_files
+  FROM f a JOIN f b ON a.sha = b.sha AND a.repo < b.repo
+  WHERE a.sha IN (SELECT sha FROM ok) GROUP BY 1, 2
+), q AS (
+  SELECT s.repo_a, s.repo_b FROM shared s
+  JOIN sizes sa ON sa.repo = s.repo_a
+  JOIN sizes sb ON sb.repo = s.repo_b
+  WHERE s.shared_files / (sa.n + sb.n - s.shared_files) >= 0.5
+), nf AS (
+  SELECT repo, CAST(count(*) AS BIGINT) AS n_files
+  FROM read_parquet('{_CODE_CORPUS}') GROUP BY repo
+), edges AS (
+  SELECT repo_a AS a, repo_b AS b FROM q
+  UNION ALL SELECT repo_b, repo_a FROM q
+), reach AS (
+  SELECT a AS id, a AS lbl FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.id = e.a
+), cl AS (
+  SELECT id AS repo, min(lbl) AS cluster FROM reach GROUP BY id
+), fl AS (
+  SELECT nf.repo, nf.n_files,
+         coalesce(cl.cluster, nf.repo) AS cluster
+  FROM nf LEFT JOIN cl ON cl.repo = nf.repo
+), win AS (
+  SELECT cluster, repo AS winner FROM (
+    SELECT cluster, repo, row_number() OVER (
+      PARTITION BY cluster ORDER BY n_files DESC, repo) AS rn
+    FROM fl) WHERE rn = 1
+)
+SELECT fl.repo, fl.n_files, fl.cluster,
+       CAST(fl.repo = w.winner AS BIGINT) AS keep
+FROM fl JOIN win w ON w.cluster = fl.cluster
+ORDER BY fl.repo
 """,
         # token_clone_clusters: min-label recursive-CTE closure over the
         # exact token-bag join; doc ids = md5_number_lower(key) % 2^63

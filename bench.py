@@ -209,7 +209,8 @@ def run_bench() -> dict:
             "kmeans", "doc_rank", "topic_mix",
             "code_quality_filter", "license_scan", "repo_license",
             "secret_scan",
-            "repo_forks", "import_census", "strip_comments",
+            "repo_forks", "repo_fork_dedup", "import_census",
+            "strip_comments",
             "comment_dup_families", "code_near_dup", "token_clones",
             "token_clone_clusters", "incremental_code_dedup",
             "code_dup_spans", "code_clean",

@@ -1487,3 +1487,52 @@ def test_token_bag_clusters_matches_brute_cc(ray_session):
     assert sorted(
         map(tuple, got[["key", "doc_id", "cluster_id"]].itertuples(
             index=False))) == exp
+
+
+def test_repo_fork_dedup_winner_rules(ray_session):
+    """Keep-one-per-fork-cluster: chained forks (A-B, B-C) land in ONE
+    cluster labeled by the smallest member; the winner has the most
+    files with lexicographic tie-break; unclustered repos keep."""
+    import ray.data
+
+    from clonebas_ray.ops.code_corpus import repo_fork_dedup
+
+    def repo(name, files):
+        return [(name, f"f{i}.c", c) for i, c in enumerate(files)]
+
+    base = [f"content {i} unique body line" for i in range(10)]
+    rows = []
+    # chain: zz_root (10 files) <-> mid (12 files: 9 shared + 3 new)
+    #        mid <-> aa_leaf (12 files: 9 shared with mid + 3 new)
+    rows += repo("zz_root", base)
+    mid_files = base[:9] + [f"mid extra {i}" for i in range(3)]
+    rows += repo("mid", mid_files)
+    rows += repo("aa_leaf", mid_files[:9] + [f"leaf extra {i}"
+                                             for i in range(3)])
+    # tie pair: two 5-file forks sharing everything -> smaller name wins
+    tie = [f"tie content {i}" for i in range(5)]
+    rows += repo("tie_b", tie)
+    rows += repo("tie_a", tie)
+    # loner
+    rows += repo("solo", [f"solo {i}" for i in range(4)])
+    ds = ray.data.from_arrow(pa.table({
+        "repo": pa.array([r for r, _, _ in rows]),
+        "path": pa.array([p for _, p, _ in rows]),
+        "content": pa.array([c for _, _, c in rows]),
+    })).repartition(4)
+
+    out = repo_fork_dedup(ds).to_pandas().set_index("repo")
+    # one chained cluster labeled by its smallest member
+    assert (out.loc[["zz_root", "mid", "aa_leaf"], "cluster"]
+            == "aa_leaf").all()
+    # winner = most files: mid and aa_leaf both have 12; tie -> aa_leaf
+    assert out.loc["aa_leaf", "keep"] == 1
+    assert out.loc["mid", "keep"] == 0
+    assert out.loc["zz_root", "keep"] == 0
+    # tie cluster: equal sizes -> lexicographically smaller name wins
+    assert out.loc["tie_a", "keep"] == 1 and out.loc["tie_b", "keep"] == 0
+    assert (out.loc[["tie_a", "tie_b"], "cluster"] == "tie_a").all()
+    # loner: own cluster, kept
+    assert out.loc["solo", "cluster"] == "solo"
+    assert out.loc["solo", "keep"] == 1
+    assert out.loc["solo", "n_files"] == 4
