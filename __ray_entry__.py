@@ -1271,6 +1271,20 @@ def _q_repo_fork_dedup(sf_dir: str):
     return out.to_pandas().sort_values("repo").reset_index(drop=True)
 
 
+def _q_code_decontaminate(sf_dir: str):
+    """Code-benchmark leakage scan over the comment-stripped normal
+    form (8-token grams; bench split = md5(key) % 5 == 0)."""
+    _quiet()
+    from clonebas_ray.ops.code_corpus import code_decontaminate
+
+    out = code_decontaminate(
+        _code_files(["repo", "path", "lang", "content"]))
+    return (
+        out.select_columns(["key", "n_grams", "n_hits"])
+        .to_pandas().sort_values("key").reset_index(drop=True)
+    )
+
+
 def _q_code_dup_spans(sf_dir: str):
     """Exact duplicated-substring spans over the code corpus (Lee et
     al. 2022 window-hash scan; the north rule's suffix-array substring
@@ -1641,6 +1655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_clones": _q_token_clones,
         "token_clone_clusters": _q_token_clone_clusters,
         "repo_fork_dedup": _q_repo_fork_dedup,
+        "code_decontaminate": _q_code_decontaminate,
         "code_dup_spans": _q_code_dup_spans,
         "code_clean": _q_code_clean,
     }
@@ -3963,6 +3978,47 @@ JOIN lens la ON la.key = o.key_a
 JOIN lens lb ON lb.key = o.key_b
 WHERE 10 * o.overlap >= 7 * greatest(la.len, lb.len)
 ORDER BY key_a, key_b
+""",
+        # code_decontaminate: the decontaminate gram recipe over the
+        # incremental_code_dedup oracle's comment-stripped norm; bench
+        # split = md5_number_lower(key) % 5 = 0 (unsigned both sides)
+        "code_decontaminate": f"""
+WITH nrm AS (
+  SELECT repo || '/' || path AS key,
+    trim(
+      regexp_replace(
+        regexp_replace(
+          CASE lang
+            WHEN 'python' THEN regexp_replace(content, '#[^\\n]*', '', 'g')
+            ELSE regexp_replace(content,
+                                '/\\*(?s:.*?)\\*/|//[^\\n]*', '', 'g')
+          END, '[ \\t]+\\n', chr(10), 'g'),
+        '\\n\\n+', chr(10), 'g'),
+      ' ' || chr(9) || chr(10)) AS norm
+  FROM read_parquet('{_CODE_CORPUS}')
+), t AS (
+  SELECT key,
+    list_filter(string_split_regex(norm, '\\s+'), x -> x <> '') AS toks
+  FROM nrm
+), g AS (
+  SELECT key, unnest(list_transform(
+      range(1, greatest(len(toks) - 7, 0) + 1),
+      i -> array_to_string(list_slice(toks, i, i + 7), ' '))) AS gram
+  FROM t
+), bench AS (
+  SELECT DISTINCT gram FROM g WHERE md5_number_lower(key) % 5 = 0
+), h AS (
+  SELECT g.key, CAST(count(*) AS BIGINT) AS n_grams,
+    CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_hits
+  FROM g LEFT JOIN bench b USING (gram)
+  GROUP BY g.key
+)
+SELECT t.key,
+  coalesce(h.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+  coalesce(h.n_hits, CAST(0 AS BIGINT)) AS n_hits
+FROM t LEFT JOIN h USING (key)
+ORDER BY t.key
 """,
         # repo_fork_dedup: CC over the repo_forks pair graph (same CTEs
         # incl. the max_df cap), winner = most RAW files then smallest

@@ -1536,3 +1536,43 @@ def test_repo_fork_dedup_winner_rules(ray_session):
     assert out.loc["solo", "cluster"] == "solo"
     assert out.loc["solo", "keep"] == 1
     assert out.loc["solo", "n_files"] == 4
+
+
+def test_code_decontaminate_comment_invariant(ray_session):
+    """A leaked benchmark solution is flagged even when comments are
+    added/changed (the scan runs over the comment-stripped norm); a
+    clean file shares no gram; the bench split rule is the md5 % 5
+    convention."""
+    import ray.data
+
+    from clonebas_ray.functions.murmur3 import md5_low64
+    from clonebas_ray.ops.code_corpus import code_decontaminate
+
+    body = "\n".join(f"stmt_{i} = do_work({i});" for i in range(12))
+    rows = [
+        ("b/bench.c", "c", body),                       # benchmark file
+        ("t/leak.c", "c",
+         "// totally new header\n" + body + "\n// trailing note"),
+        ("t/clean.c", "c",
+         "\n".join(f"other_{i} = calc({i});" for i in range(12))),
+    ]
+    # explicit split: exactly the bench file (path-hash pinned)
+    def bench_pred(ids):
+        import numpy as np
+        want = {md5_low64(b"b/bench.c") % (1 << 64)}
+        u = ids.astype(np.uint64)
+        return np.isin(u, np.array(sorted(want), dtype=np.uint64))
+
+    ds = ray.data.from_arrow(pa.table({
+        "repo": pa.array([r.split("/")[0] for r, _, _ in rows]),
+        "path": pa.array([r.split("/", 1)[1] for r, _, _ in rows]),
+        "lang": pa.array([l for _, l, _ in rows]),
+        "content": pa.array([c for _, _, c in rows]),
+    })).repartition(2)
+    out = code_decontaminate(ds, bench_pred=bench_pred, n=4) \
+        .to_pandas().set_index("key")
+    assert out.loc["b/bench.c", "contaminated"]          # trivially
+    assert out.loc["t/leak.c", "contaminated"]           # comment-proof
+    assert out.loc["t/leak.c", "n_hits"] == out.loc["t/leak.c", "n_grams"]
+    assert not out.loc["t/clean.c", "contaminated"]
+    assert out.loc["t/clean.c", "n_hits"] == 0
