@@ -1271,6 +1271,16 @@ def _q_repo_fork_dedup(sf_dir: str):
     return out.to_pandas().sort_values("repo").reset_index(drop=True)
 
 
+def _q_bpe_pairs(sf_dir: str):
+    """First BPE merge-round census over documents: corpus-weighted
+    adjacent char-pair counts, deterministic top-50."""
+    _quiet()
+    from clonebas_ray.ops.text_analysis import bpe_pair_census
+
+    out = bpe_pair_census(_docs(sf_dir, ["text"]), top_k=50)
+    return out.to_pandas()
+
+
 def _q_code_decontaminate(sf_dir: str):
     """Code-benchmark leakage scan over the comment-stripped normal
     form (8-token grams; bench split = md5(key) % 5 == 0)."""
@@ -1655,6 +1665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_clones": _q_token_clones,
         "token_clone_clusters": _q_token_clone_clusters,
         "repo_fork_dedup": _q_repo_fork_dedup,
+        "bpe_pairs": _q_bpe_pairs,
         "code_decontaminate": _q_code_decontaminate,
         "code_dup_spans": _q_code_dup_spans,
         "code_clean": _q_code_clean,
@@ -3978,6 +3989,26 @@ JOIN lens la ON la.key = o.key_a
 JOIN lens lb ON lb.key = o.key_b
 WHERE 10 * o.overlap >= 7 * greatest(la.len, lb.len)
 ORDER BY key_a, key_b
+""",
+        # bpe_pairs: corpus-weighted adjacent char-pair census (the
+        # first BPE merge round); top-50 by (n DESC, left, right) is a
+        # deterministic cut both sides
+        "bpe_pairs": r"""
+WITH w AS (
+  SELECT unnest(list_filter(
+      string_split_regex(text, '\s+'), x -> x <> '')) AS word
+  FROM documents
+), wc AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY word
+), p AS (
+  SELECT substring(word, i, 1) AS left_sym,
+         substring(word, i + 1, 1) AS right_sym, c
+  FROM wc, unnest(range(1, length(word))) AS r(i)
+)
+SELECT left_sym, right_sym, CAST(sum(c) AS BIGINT) AS n
+FROM p GROUP BY 1, 2
+ORDER BY n DESC, left_sym, right_sym
+LIMIT 50
 """,
         # code_decontaminate: the decontaminate gram recipe over the
         # incremental_code_dedup oracle's comment-stripped norm; bench

@@ -1036,3 +1036,175 @@ def dsir_importance(
 
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow")
+
+
+# --- distributed BPE (Sennrich et al. 2016) -----------------------------
+
+def word_census(
+    ds: "ray.data.Dataset", text_col: str = "text"
+) -> "ray.data.Dataset":
+    """Distributed word census ``(word, c)``: whitespace pre-tokenized
+    (the classic BPE pre-tokenization), per-block partial counts ->
+    one vocabulary-sized groupby.  The corpus is read ONCE; every BPE
+    merge round afterwards runs over this vocab, never the corpus."""
+    ensure_worker_importable()
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        la = pc.split_pattern_regex(
+            batch[text_col].combine_chunks().cast(pa.string()),
+            pattern=r"\s+")
+        flat = la.flatten()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)
+        return pa.table({
+            "word": vc.field("values"),
+            "c": vc.field("counts").cast(pa.int64()),
+        })
+
+    return (
+        ds.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("word").aggregate(Sum("c", alias_name="c"))
+    )
+
+
+def _pair_census_block(words, counts, symseqs=None):
+    """Adjacent-symbol pair counts for a block of (word, count) rows.
+    ``symseqs`` (list of symbol tuples) overrides the initial
+    one-char-per-symbol split after merges have been applied."""
+    acc: dict[tuple[str, str], int] = {}
+    for i, w in enumerate(words):
+        syms = symseqs[i] if symseqs is not None else tuple(w)
+        c = int(counts[i])
+        for a, b in zip(syms, syms[1:]):
+            acc[(a, b)] = acc.get((a, b), 0) + c
+    if not acc:
+        return pa.table({
+            "left_sym": pa.array([], pa.string()),
+            "right_sym": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        })
+    ks = list(acc)
+    return pa.table({
+        "left_sym": pa.array([k[0] for k in ks], pa.string()),
+        "right_sym": pa.array([k[1] for k in ks], pa.string()),
+        "n": pa.array([acc[k] for k in ks], pa.int64()),
+    })
+
+
+def bpe_pair_census(
+    ds: "ray.data.Dataset", text_col: str = "text", top_k: int = 50
+) -> "pa.Table":
+    """The first BPE merge-round census: corpus-weighted adjacent
+    CHARACTER-pair counts over the word census, the primitive a
+    distributed tokenizer trainer iterates (Sennrich et al. 2016;
+    GPT-2's byte-level variant).  Per-block partials over the vocab ->
+    one pair-vocabulary groupby; deterministic top-``top_k`` by
+    ``(n DESC, left, right)`` — fully SQL-verifiable."""
+    ensure_worker_importable()
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return _pair_census_block(
+            batch["word"].to_pylist(),
+            batch["c"].to_numpy(zero_copy_only=False))
+
+    pairs = (
+        word_census(ds, text_col)
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["left_sym", "right_sym"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # pair-vocabulary-sized
+    )
+    pairs = pairs.sort_values(
+        ["n", "left_sym", "right_sym"], ascending=[False, True, True]
+    ).head(top_k).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        pairs[["left_sym", "right_sym", "n"]], preserve_index=False)
+
+
+def bpe_train(
+    ds: "ray.data.Dataset",
+    n_merges: int,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Distributed BPE training: ``n_merges`` merge rules learned by
+    iterating pair census -> argmax -> merge over the WORD VOCAB (the
+    corpus is read exactly once, by :func:`word_census`; each round is
+    a vocab-sized map + a pair-vocabulary groupby + one broadcast).
+    Tie-break: max count, then lexicographically smallest (left,
+    right) — deterministic, matching the sequential reference in the
+    tests.  Returns the ordered merge list."""
+    ensure_worker_importable()
+    from ray.data.aggregate import Sum
+
+    def to_seqs(batch: pa.Table) -> pa.Table:
+        words = batch["word"].to_pylist()
+        offsets = np.zeros(len(words) + 1, dtype=np.int64)
+        np.cumsum([len(w) for w in words], out=offsets[1:])
+        chars = [ch for w in words for ch in w]
+        return pa.table({
+            "c": batch["c"],
+            "syms": pa.LargeListArray.from_arrays(
+                pa.array(offsets), pa.array(chars, pa.string())),
+        })
+
+    # symbol sequences carried FORWARD: each round applies only the
+    # newest rule (one vocab-sized pass per merge, never the history)
+    vocab = word_census(ds, text_col).map_batches(
+        to_seqs, batch_format="pyarrow", batch_size=None).materialize()
+    merges: list[tuple[str, str]] = []
+
+    def census(batch: pa.Table) -> pa.Table:
+        seqs = batch["syms"].to_pylist()
+        return _pair_census_block(
+            [None] * len(seqs),
+            batch["c"].to_numpy(zero_copy_only=False),
+            symseqs=seqs)
+
+    def apply_rule(syms: list, a: str, b: str) -> list:
+        out = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    for _ in range(n_merges):
+        pairs = (
+            vocab.map_batches(census, batch_format="pyarrow",
+                              batch_size=None)
+            .groupby(["left_sym", "right_sym"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas()
+        )
+        if pairs.empty:
+            break
+        pairs = pairs.sort_values(
+            ["n", "left_sym", "right_sym"],
+            ascending=[False, True, True])
+        top = pairs.iloc[0]
+        a, b = str(top["left_sym"]), str(top["right_sym"])
+        merges.append((a, b))
+
+        def merge_block(batch: pa.Table, a=a, b=b) -> pa.Table:
+            seqs = [apply_rule(s, a, b)
+                    for s in batch["syms"].to_pylist()]
+            offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
+            np.cumsum([len(s) for s in seqs], out=offsets[1:])
+            flat = [x for s in seqs for x in s]
+            return pa.table({
+                "c": batch["c"],
+                "syms": pa.LargeListArray.from_arrays(
+                    pa.array(offsets), pa.array(flat, pa.string())),
+            })
+
+        vocab = vocab.map_batches(
+            merge_block, batch_format="pyarrow", batch_size=None
+        ).materialize()
+    return merges

@@ -1576,3 +1576,108 @@ def test_code_decontaminate_comment_invariant(ray_session):
     assert out.loc["t/leak.c", "n_hits"] == out.loc["t/leak.c", "n_grams"]
     assert not out.loc["t/clean.c", "contaminated"]
     assert out.loc["t/clean.c", "n_hits"] == 0
+
+
+def test_token_bag_ops_degenerate_corpora(ray_session):
+    """Empty-token and single-file corpora: no pairs, no clusters, no
+    crashes anywhere in the prefix/dedup/verify/expand chain."""
+    import ray.data
+
+    from clonebas_ray.ops.code_corpus import (
+        token_bag_clones,
+        token_bag_clusters,
+    )
+
+    # every file tokenless -> no bags with len>0, no output rows
+    punct = ray.data.from_arrow(pa.table({
+        "repo": pa.array(["r", "r", "s"]),
+        "path": pa.array(["a.c", "b.c", "c.c"]),
+        "content": pa.array([";;;", "", "+++ ---"]),
+    })).repartition(2)
+    assert token_bag_clones(punct).count() == 0
+    assert token_bag_clusters(punct).count() == 0
+
+    # single non-empty file -> nothing to pair
+    solo = ray.data.from_arrow(pa.table({
+        "repo": pa.array(["r"]),
+        "path": pa.array(["a.c"]),
+        "content": pa.array(["int main() { return 0; }"]),
+    }))
+    assert token_bag_clones(solo).count() == 0
+    assert token_bag_clusters(solo).count() == 0
+
+    # two empty-token files are NOT a pair (no shared token — matches
+    # the SQL join semantics), but two identical nonempty ones are
+    mixed = ray.data.from_arrow(pa.table({
+        "repo": pa.array(["r", "r", "s", "s"]),
+        "path": pa.array(["e1.c", "e2.c", "d1.c", "d2.c"]),
+        "content": pa.array([";;;", "---", "x = 1", "x = 1"]),
+    })).repartition(3)
+    pairs = token_bag_clones(mixed).to_pandas()
+    assert list(zip(pairs["key_a"], pairs["key_b"])) == [
+        ("s/d1.c", "s/d2.c")]
+    assert pairs["sim"].tolist() == [1.0]
+
+
+def test_bpe_train_matches_sequential_reference(ray_session):
+    """Distributed BPE == the sequential Sennrich reference loop on a
+    corpus with known merge structure, incl. the (count, pair)
+    tie-break and overlapping-pair left-to-right merge semantics."""
+    import collections
+
+    import ray.data
+
+    from clonebas_ray.ops.text_analysis import bpe_pair_census, bpe_train
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest newest newest",
+        "newest widest widest widest",
+        "aaa aaa aaa",   # overlapping pair: 'aa' merges left-to-right
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(3)
+
+    def ref_bpe(texts, k):
+        wc = collections.Counter(
+            w for t in texts for w in t.split() if w)
+        seqs = {w: list(w) for w in wc}
+        merges = []
+        for _ in range(k):
+            pc_ = collections.Counter()
+            for w, c in wc.items():
+                s = seqs[w]
+                for a, b in zip(s, s[1:]):
+                    pc_[(a, b)] += c
+            if not pc_:
+                break
+            best = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append(best)
+            a, b = best
+            for w in wc:
+                s, out, i = seqs[w], [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                seqs[w] = out
+        return merges
+
+    for k in (1, 5, 12):
+        assert bpe_train(ds, k) == ref_bpe(texts, k)
+
+    # census head == reference pair counts, deterministic order
+    census = bpe_pair_census(ds, top_k=10).to_pandas()
+    pc_ = collections.Counter()
+    wc = collections.Counter(w for t in texts for w in t.split() if w)
+    for w, c in wc.items():
+        for a, b in zip(w, w[1:]):
+            pc_[(a, b)] += c
+    exp = sorted(pc_.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [((r.left_sym, r.right_sym), r.n)
+            for r in census.itertuples(index=False)] == exp
