@@ -1281,6 +1281,17 @@ def _q_bpe_pairs(sf_dir: str):
     return out.to_pandas()
 
 
+def _q_bm25_search(sf_dir: str):
+    """BM25 top-10 for the fixed query 'hash join window' over
+    documents — targeted-data-selection retrieval."""
+    _quiet()
+    from clonebas_ray.ops.text_analysis import bm25_topk
+
+    out = bm25_topk(
+        _docs(sf_dir, ["doc_id", "text"]), "hash join window")
+    return out.to_pandas()
+
+
 def _q_code_decontaminate(sf_dir: str):
     """Code-benchmark leakage scan over the comment-stripped normal
     form (8-token grams; bench split = md5(key) % 5 == 0)."""
@@ -1666,6 +1677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_clone_clusters": _q_token_clone_clusters,
         "repo_fork_dedup": _q_repo_fork_dedup,
         "bpe_pairs": _q_bpe_pairs,
+        "bm25_search": _q_bm25_search,
         "code_decontaminate": _q_code_decontaminate,
         "code_dup_spans": _q_code_dup_spans,
         "code_clean": _q_code_clean,
@@ -3989,6 +4001,44 @@ JOIN lens la ON la.key = o.key_a
 JOIN lens lb ON lb.key = o.key_b
 WHERE 10 * o.overlap >= 7 * greatest(la.len, lb.len)
 ORDER BY key_a, key_b
+""",
+        # bm25_search: BM25 (Lucene +1 idf), float ops in the pinned
+        # order; per-doc score = list_reduce left fold over matched
+        # terms ORDER BY term == the pipeline's np.add.reduceat
+        "bm25_search": r"""
+WITH q(term) AS (VALUES ('hash'), ('join'), ('window')),
+t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS nd,
+         CAST(sum(len(toks)) AS BIGINT) AS tot
+  FROM t
+), tf AS (
+  SELECT doc_id, u AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS u FROM t)
+  WHERE u IN (SELECT term FROM q)
+  GROUP BY doc_id, u
+), dfq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), dl AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t
+), sc AS (
+  SELECT tf.doc_id, tf.term,
+    ln((nd - df + 0.5) / (df + 0.5) + 1.0)
+      * (tf * (1.2 + 1.0))
+      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (tot / nd))) AS s
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), stats
+), agg AS (
+  SELECT doc_id,
+    list_reduce(list_prepend(0.0, list(s ORDER BY term)),
+                (a, x) -> a + x) AS score
+  FROM sc GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+            AS BIGINT) AS rank, doc_id, score
+FROM agg ORDER BY score DESC, doc_id LIMIT 10
 """,
         # bpe_pairs: corpus-weighted adjacent char-pair census (the
         # first BPE merge round); top-50 by (n DESC, left, right) is a

@@ -213,7 +213,7 @@ def run_bench() -> dict:
             "strip_comments",
             "comment_dup_families", "code_near_dup", "token_clones",
             "token_clone_clusters", "incremental_code_dedup",
-            "code_decontaminate", "bpe_pairs",
+            "code_decontaminate", "bpe_pairs", "bm25_search",
             "code_dup_spans", "code_clean",
         ):
             t0 = time.perf_counter()

@@ -1040,7 +1040,7 @@ def dsir_importance(
 
 # --- distributed BPE (Sennrich et al. 2016) -----------------------------
 
-def word_census(
+def bpe_word_census(
     ds: "ray.data.Dataset", text_col: str = "text"
 ) -> "ray.data.Dataset":
     """Distributed word census ``(word, c)``: whitespace pre-tokenized
@@ -1111,7 +1111,7 @@ def bpe_pair_census(
             batch["c"].to_numpy(zero_copy_only=False))
 
     pairs = (
-        word_census(ds, text_col)
+        bpe_word_census(ds, text_col)
         .map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby(["left_sym", "right_sym"])
         .aggregate(Sum("n", alias_name="n"))
@@ -1152,7 +1152,7 @@ def bpe_train(
 
     # symbol sequences carried FORWARD: each round applies only the
     # newest rule (one vocab-sized pass per merge, never the history)
-    vocab = word_census(ds, text_col).map_batches(
+    vocab = bpe_word_census(ds, text_col).map_batches(
         to_seqs, batch_format="pyarrow", batch_size=None).materialize()
     merges: list[tuple[str, str]] = []
 
@@ -1208,3 +1208,167 @@ def bpe_train(
             merge_block, batch_format="pyarrow", batch_size=None
         ).materialize()
     return merges
+
+
+def bm25_topk(
+    ds: "ray.data.Dataset",
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> "pa.Table":
+    """BM25 top-``top_k`` retrieval (Robertson/Spärck Jones; the
+    Lucene ``+1`` idf variant) — the IR primitive of targeted data
+    selection (query a curated exemplar against the raw corpus, keep
+    the best matches).
+
+    Pinned SQL-recomputable conventions: whitespace tokens;
+    ``idf = ln((N - df + 0.5)/(df + 0.5) + 1.0)``;
+    per-term ``s = idf * (tf*(k1+1.0)) / (tf + k1*(1.0 - b +
+    b*dl/avgdl))`` in exactly that float op order with
+    ``avgdl = total_tokens / N`` (int/int); per-doc score = left fold
+    over matched terms in ASCENDING term order (``np.add.reduceat``
+    == the oracle's ``list_reduce`` over ``list(s ORDER BY term)``);
+    rank by (score DESC, doc_id).
+
+    Two streaming passes, no shuffle: (1) per-block (N, total_tokens,
+    per-query-term df) partials — byte-bound, query terms are few;
+    (2) broadcast idf/avgdl, per-block scoring + local top-k, driver
+    merge of O(blocks * top_k) rows."""
+    ensure_worker_importable()
+    import math
+
+    import ray
+
+    q_terms = np.array(sorted(set(query.split())), dtype=object)
+    if not len(q_terms):
+        raise ValueError("empty query")
+    q_ref = ray.put(q_terms)
+
+    def _tok(batch: pa.Table):
+        la = pc.split_pattern_regex(
+            batch[text_col].combine_chunks().cast(pa.string()),
+            pattern=r"\s+")
+        lengths = pc.list_value_length(la).to_numpy().astype(np.int64)
+        flat = la.flatten()
+        ok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        fidx = np.repeat(np.arange(len(lengths)), lengths)[ok]
+        toks = flat.filter(pa.array(ok)).to_numpy(zero_copy_only=False)
+        dl = np.bincount(fidx, minlength=len(lengths)).astype(np.int64)
+        return toks, fidx, dl
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        qt = ray.get(q_ref)
+        toks, fidx, dl = _tok(batch)
+        pos = np.searchsorted(qt, toks)
+        pos_c = np.minimum(pos, len(qt) - 1)
+        hit = qt[pos_c] == toks
+        # df partial: docs containing each term at least once
+        key = pos_c[hit] * (len(dl) + 1) + fidx[hit]
+        df = np.bincount(
+            np.unique(key) // (len(dl) + 1), minlength=len(qt))
+        return pa.table({
+            "term_i": pa.array(np.arange(len(qt) + 1), pa.int64()),
+            "v": pa.array(
+                np.r_[df.astype(np.int64), len(dl)], pa.int64()),
+            "tot": pa.array(
+                np.r_[np.zeros(len(qt), np.int64), dl.sum()],
+                pa.int64()),
+        })
+
+    df = np.zeros(len(q_terms), dtype=np.int64)
+    n_docs = 0
+    total = 0
+    for blk in ds.select_columns([text_col]).map_batches(
+        stats_partial, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        ti = blk["term_i"].to_numpy(zero_copy_only=False)
+        v = blk["v"].to_numpy(zero_copy_only=False)
+        tt = blk["tot"].to_numpy(zero_copy_only=False)
+        for i, val, to in zip(ti, v, tt):
+            if i < len(q_terms):
+                df[i] += val
+            else:
+                n_docs += val
+                total += to
+    if n_docs == 0:
+        return pa.table({
+            "rank": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        })
+    avgdl = total / n_docs
+    idf = np.array([
+        math.log((n_docs - d + 0.5) / (d + 0.5) + 1.0) for d in df
+    ])
+    bc_ref = ray.put((q_terms, idf, avgdl))
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        qt, idf_, avg = ray.get(bc_ref)
+        toks, fidx, dl = _tok(batch)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(qt, toks)
+        pos_c = np.minimum(pos, len(qt) - 1)
+        hit = qt[pos_c] == toks
+        fi, ti = fidx[hit], pos_c[hit]
+        if not len(fi):
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            })
+        order = np.lexsort((ti, fi))
+        fi, ti = fi[order], ti[order]
+        first = np.empty(len(fi), dtype=bool)
+        first[0] = True
+        np.logical_or(fi[1:] != fi[:-1], ti[1:] != ti[:-1],
+                      out=first[1:])
+        starts = np.flatnonzero(first)
+        tf = np.diff(np.r_[starts, len(fi)]).astype(np.int64)
+        ufi, uti = fi[starts], ti[starts]
+        dlr = dl[ufi].astype(np.float64)
+        s = idf_[uti] * (tf * (k1 + 1.0)) / (
+            tf + k1 * (1.0 - b + b * dlr / avg))
+        dstart = np.flatnonzero(np.r_[True, ufi[1:] != ufi[:-1]])
+        dend = np.r_[dstart[1:], len(ufi)]
+        # rows are (doc, term-ascending): explicit per-doc left fold —
+        # np.add.reduceat is NOT left-associated (measured one-ulp
+        # drift vs the oracle's list_reduce); segments are query-sized
+        # so the scalar loop is O(matched docs * |query|)
+        sl = s.tolist()
+        score = np.empty(len(dstart), dtype=np.float64)
+        for i, (st, en) in enumerate(zip(dstart, dend)):
+            acc = 0.0
+            for j in range(st, en):
+                acc = acc + sl[j]
+            score[i] = acc
+        doc = ids[ufi[dstart]]
+        k_loc = min(top_k, len(doc))
+        sel = np.lexsort((doc, -score))[:k_loc]
+        return pa.table({
+            id_col: pa.array(doc[sel], pa.int64()),
+            "score": pa.array(score[sel], pa.float64()),
+        })
+
+    parts = [
+        b for b in ds.select_columns([id_col, text_col]).map_batches(
+            score_partial, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows
+    ]
+    if not parts:
+        return pa.table({
+            "rank": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        })
+    allp = pa.concat_tables(parts)
+    doc = allp[id_col].to_numpy(zero_copy_only=False)
+    score = allp["score"].to_numpy(zero_copy_only=False)
+    sel = np.lexsort((doc, -score))[:top_k]
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(sel) + 1), pa.int64()),
+        id_col: pa.array(doc[sel], pa.int64()),
+        "score": pa.array(score[sel], pa.float64()),
+    })

@@ -1681,3 +1681,56 @@ def test_bpe_train_matches_sequential_reference(ray_session):
     exp = sorted(pc_.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert [((r.left_sym, r.right_sym), r.n)
             for r in census.itertuples(index=False)] == exp
+
+
+def test_bm25_topk_reference_scores(ray_session):
+    """BM25 scores equal the sequential reference formula bit-for-bit
+    (same float op order, term-ascending fold), with deterministic
+    (score DESC, doc_id) ranking and absent-term robustness."""
+    import math
+
+    import ray.data
+
+    from clonebas_ray.ops.text_analysis import bm25_topk
+
+    texts = [
+        "hash join hash join window scan",
+        "window window window",
+        "sort merge only",
+        "hash",
+        "",
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(3)
+    out = bm25_topk(ds, "hash window join", top_k=3).to_pandas()
+
+    k1, b = 1.2, 0.75
+    toks = [t.split() for t in texts]
+    nd = len(texts)
+    tot = sum(len(t) for t in toks)
+    avg = tot / nd
+    qs = sorted({"hash", "window", "join"})
+    df = {q: sum(q in t for t in toks) for q in qs}
+    scores = {}
+    for i, t in enumerate(toks):
+        s = 0.0
+        for q in qs:  # ascending-term left fold
+            tf = t.count(q)
+            if not tf:
+                continue
+            idf = math.log((nd - df[q] + 0.5) / (df[q] + 0.5) + 1.0)
+            s = s + idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * len(t) / avg))
+        if s > 0:
+            scores[i] = s
+    exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert list(out["doc_id"]) == [d for d, _ in exp]
+    assert list(out["score"]) == [s for _, s in exp]  # bit-exact
+    assert list(out["rank"]) == [1, 2, 3]
+
+    # query with no corpus hits -> empty result, stable schema
+    none = bm25_topk(ds, "zzz qqq", top_k=3).to_pandas()
+    assert len(none) == 0
+    assert list(none.columns) == ["rank", "doc_id", "score"]
