@@ -1337,6 +1337,22 @@ def _q_code_clean(sf_dir: str):
     )
 
 
+def _q_edit_clones(sf_dir: str):
+    """Exact character-level Levenshtein clone pairs (type-3 measure)
+    across repos sharing a path: lossless length prefilter + chunk-
+    vectorized DP verify; recall AND precision 1.0 vs DuckDB's
+    levenshtein by construction."""
+    _quiet()
+    from clonebas_ray.ops.code_corpus import edit_clones
+
+    out = edit_clones(_code_files(["repo", "path", "content"]))
+    return (
+        out.to_pandas()
+        .sort_values(["path", "repo_a", "repo_b"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_block_clusters(sf_dir: str):
     """Block-mode clone clusters (the reference's default path) on the
     synthetic corpus (pytest enforces pair-set exactness vs the block
@@ -1681,6 +1697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_decontaminate": _q_code_decontaminate,
         "code_dup_spans": _q_code_dup_spans,
         "code_clean": _q_code_clean,
+        "edit_clones": _q_edit_clones,
     }
 
 
@@ -4329,5 +4346,27 @@ SELECT k2.doc_id, k2.repo, k2.path, k2.license
 FROM k2 LEFT JOIN c ON k2.doc_id = c.id
 WHERE c.id IS NULL OR c.cluster_id = k2.doc_id
 ORDER BY k2.repo, k2.path
+""",
+        # edit_clones: the full same-path cross-repo Levenshtein join —
+        # the ground truth the length-filtered + banded-DP pipeline
+        # must equal EXACTLY (threshold gate is pure integer
+        # arithmetic; sim is the identical double div both sides)
+        "edit_clones": f"""
+WITH cand AS (
+  SELECT a.path AS path, a.repo AS repo_a, b.repo AS repo_b,
+    CAST(levenshtein(a.content, b.content) AS BIGINT) AS dist,
+    greatest(length(a.content), length(b.content)) AS maxlen
+  FROM read_parquet('{_CODE_CORPUS}') a
+  JOIN read_parquet('{_CODE_CORPUS}') b
+    ON a.path = b.path AND a.repo < b.repo
+   AND length(a.content) <= 1536 AND length(b.content) <= 1536
+   AND 10 * abs(length(a.content) - length(b.content))
+       <= greatest(length(a.content), length(b.content))
+)
+SELECT path, repo_a, repo_b, dist,
+  1.0 - CAST(dist AS DOUBLE) / maxlen AS sim
+FROM cand
+WHERE 10 * dist <= maxlen
+ORDER BY path, repo_a, repo_b
 """,
     }

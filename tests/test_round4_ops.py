@@ -1734,3 +1734,85 @@ def test_bm25_topk_reference_scores(ray_session):
     none = bm25_topk(ds, "zzz qqq", top_k=3).to_pandas()
     assert len(none) == 0
     assert list(none.columns) == ["rank", "doc_id", "score"]
+
+
+def _lev_ref(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_lev_chunk_exact():
+    import random
+
+    import numpy as np
+
+    from clonebas_ray.ops.code_corpus import _lev_chunk
+
+    rng = random.Random(7)
+    pairs = []
+    for _ in range(60):
+        n = rng.randint(0, 40)
+        a = "".join(rng.choice("abcdé") for _ in range(n))
+        b = list(a)
+        for _ in range(rng.randint(0, 8)):
+            op = rng.randint(0, 2)
+            pos = rng.randint(0, max(len(b) - 1, 0))
+            if op == 0 and b:
+                del b[pos]
+            elif op == 1:
+                b.insert(pos, rng.choice("abcdé"))
+            elif b:
+                b[pos] = rng.choice("abcdé")
+        pairs.append((a, "".join(b)))
+    pairs += [("", ""), ("", "abc"), ("xyz", "")]
+    cp = lambda s: np.frombuffer(s.encode("utf-32-le"), np.uint32)
+    kmax = np.full(len(pairs), 10 ** 6, np.int64)
+    got = _lev_chunk([cp(a) for a, _ in pairs],
+                     [cp(b) for _, b in pairs], kmax)
+    exp = [_lev_ref(a, b) for a, b in pairs]
+    assert list(got) == exp
+    # abandon bound: distances above kmax may overflow but never
+    # report <= kmax when the truth is above it, and exact below it
+    k2 = np.full(len(pairs), 3, np.int64)
+    got2 = _lev_chunk([cp(a) for a, _ in pairs],
+                      [cp(b) for _, b in pairs], k2)
+    for g, e in zip(got2, exp):
+        assert (g <= 3) == (e <= 3)
+        if e <= 3:
+            assert g == e
+
+
+def test_edit_clones(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from clonebas_ray.ops.code_corpus import edit_clones
+
+    base = "int main() { return compute(alpha, beta) + 42; }\n" * 8
+    rows = [
+        ("r/a", "src/m.c", base),
+        ("r/b", "src/m.c", base.replace("42", "43", 1)),      # dist 1
+        ("r/c", "src/m.c", "completely different " * 20),
+        ("r/d", "other.c", base),                             # other path
+        ("r/e", "src/m.c", base + "x" * 1600),                # > max_chars
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "repo": pa.array([r for r, _, _ in rows]),
+        "path": pa.array([p for _, p, _ in rows]),
+        "commit": pa.array(["c"] * len(rows)),
+        "lang": pa.array(["c"] * len(rows)),
+        "content": pa.array([c for _, _, c in rows]),
+    })).repartition(2)
+    out = edit_clones(ds).to_pandas().sort_values(
+        ["path", "repo_a", "repo_b"]).reset_index(drop=True)
+    assert list(out["repo_a"]) == ["r/a"]
+    assert list(out["repo_b"]) == ["r/b"]
+    assert list(out["dist"]) == [1]
+    mx = max(len(base), len(rows[1][2]))
+    assert out["sim"][0] == 1.0 - 1.0 / mx
