@@ -1353,6 +1353,65 @@ def _q_edit_clones(sf_dir: str):
     )
 
 
+def _q_link_rank(sf_dir: str):
+    """Fixed-point PageRank (4 power iterations, damping 85/100) over
+    the bipartite click/view graph derived from events — the
+    host-centrality quality signal of CCNet/RefinedWeb-style crawls.
+    Integer micro-unit arithmetic makes every contribution sum
+    order-independent, so the unrolled-CTE oracle matches bit-exactly."""
+    _quiet()
+    import ray.data
+
+    from clonebas_ray.ops.graph import pagerank_events
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "user_id", "props"],
+    )
+    return pagerank_events(events).to_pandas()
+
+
+def _link_rank_oracle(n_iter: int = 4) -> str:
+    """Unrolled K-iteration PageRank CTE chain (see _q_link_rank)."""
+    sql = """
+WITH ek AS (
+  SELECT event_type, user_id,
+    TRY_CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1), '')
+             AS BIGINT) AS k
+  FROM events WHERE event_type IN ('click', 'view')
+), e AS (
+  SELECT DISTINCT user_id AS src, 1000000000 + k AS dst
+  FROM ek WHERE event_type = 'click' AND k IS NOT NULL
+  UNION
+  SELECT DISTINCT 1000000000 + k, user_id
+  FROM ek WHERE event_type = 'view' AND k IS NOT NULL
+), deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT node, CAST(1000000000000 // n AS BIGINT) AS r
+       FROM nodes, nn)"""
+    for i in range(1, n_iter + 1):
+        sql += f""",
+s{i} AS (
+  SELECT e.dst AS node, CAST(sum(r{i - 1}.r // deg.d) AS BIGINT) AS s
+  FROM e JOIN r{i - 1} ON r{i - 1}.node = e.src
+  JOIN deg ON deg.src = e.src GROUP BY e.dst
+),
+r{i} AS (
+  SELECT nodes.node,
+    CAST((150000000000 // nn.n)
+         + 85 * COALESCE(s{i}.s, 0) // 100 AS BIGINT) AS r
+  FROM nodes CROSS JOIN nn LEFT JOIN s{i} ON s{i}.node = nodes.node
+)"""
+    sql += f"""
+SELECT node AS node_id,
+  CASE WHEN node >= 1000000000 THEN 'item' ELSE 'user' END AS kind,
+  r AS rank, CAST(r AS DOUBLE) / 1000000000000 AS score
+FROM r{n_iter} ORDER BY node
+"""
+    return sql
+
+
 def _q_block_clusters(sf_dir: str):
     """Block-mode clone clusters (the reference's default path) on the
     synthetic corpus (pytest enforces pair-set exactness vs the block
@@ -1698,6 +1757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_dup_spans": _q_code_dup_spans,
         "code_clean": _q_code_clean,
         "edit_clones": _q_edit_clones,
+        "link_rank": _q_link_rank,
     }
 
 
@@ -4369,4 +4429,8 @@ FROM cand
 WHERE 10 * dist <= maxlen
 ORDER BY path, repo_a, repo_b
 """,
+        # link_rank: 4 unrolled power-iteration CTEs; all-integer
+        # micro-unit arithmetic both sides => order-independent sums,
+        # bit-exact hash parity with no fold-order convention
+        "link_rank": _link_rank_oracle(4),
     }

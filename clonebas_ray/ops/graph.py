@@ -1,0 +1,140 @@
+"""Graph analytics over event streams — distributed power iteration.
+
+Web-crawl pipelines weight documents by host/link centrality (the
+Common-Crawl host-PageRank signal used by CCNet/RefinedWeb-style
+quality filters).  The fixture has no link column, so the graph is
+DERIVED deterministically from the events table: a bipartite
+user<->item graph where clicks point ``user -> item`` and views point
+``item -> user`` (the item key is the integer ``k`` field of the JSON
+``props`` payload, extracted with the pinned RE2 convention of
+``relational.props_field_stats``).
+
+Arithmetic is FIXED-POINT (int64 micro-units, ``scale=10^12``): every
+per-node contribution sum is a sum of integers and therefore
+order-independent, so the Ray exchange and the DuckDB oracle agree
+bit-for-bit with no fold-order pinning (a float PageRank would need
+the ``list_reduce(... ORDER BY src)`` fold-order convention — see
+CLAUDE.md on ``np.add.reduceat``).  Rank update per iteration::
+
+    r'(v) = ((den-num)*scale//den)//N  +  num * S(v) // den
+    S(v)  = sum over in-edges (u,v) of  r(u) // out_deg(u)
+
+(dangling-node mass leaks — the simple textbook variant, documented;
+``num/den`` default 85/100.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from clonebas_ray.bootstrap import ensure_worker_importable
+
+ITEM_BASE = 1_000_000_000  # disjoints item ids from user ids
+
+
+def _edge_partial(batch: pa.Table) -> pa.Table:
+    """Per-block distinct (src, dst) pairs from click/view events."""
+    ex = pc.extract_regex(batch["props"], '"k": (?P<v>\\d+)')
+    k = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+    et = batch["event_type"].to_pandas()
+    df = pd.DataFrame({
+        "et": et,
+        "u": batch["user_id"].to_pandas(),
+        "k": k.to_pandas(),
+    }).dropna(subset=["k"])
+    item = df["k"].astype("int64") + ITEM_BASE
+    clicks = df["et"] == "click"
+    views = df["et"] == "view"
+    src = pd.concat([df["u"][clicks], item[views]])
+    dst = pd.concat([item[clicks], df["u"][views]])
+    out = pd.DataFrame({"src": src.astype("int64"),
+                        "dst": dst.astype("int64")}).drop_duplicates()
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def pagerank_events(
+    events: ray.data.Dataset,
+    n_iter: int = 4,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10 ** 12,
+) -> pa.Table:
+    """Fixed-point PageRank over the derived bipartite click/view
+    graph.  Returns one row per node: ``(node_id, kind, rank,
+    score)`` with ``rank`` the exact int64 micro-unit value and
+    ``score = rank / scale`` (one double division, oracle-identical).
+
+    Scale shape: the event stream is scanned ONCE into a distinct
+    edge set (per-block ``drop_duplicates`` partials, then one
+    key-local groupby — the exchange carries unique edges, not
+    events), and each iteration is ONE streaming pass over the
+    materialized edges with per-block contribution partials followed
+    by a node-sized groupby merge.  The rank/degree vectors broadcast
+    via ``ray.put`` (node-count-bounded, like every broadcast lookup
+    here — 10^8 nodes ~ 1.6 GB; an edge-partitioned rank join is the
+    fallback past that).  Nothing event-sized ever reaches the
+    driver."""
+    ensure_worker_importable()
+    from ray.data.aggregate import Count, Sum
+
+    base_ids = events.select_columns(
+        ["event_type", "user_id", "props"]
+    ).filter(
+        expr="event_type == 'click' or event_type == 'view'"
+    ).map_batches(
+        _edge_partial, batch_format="pyarrow", batch_size=None
+    )
+    edges = (
+        base_ids.groupby(["src", "dst"]).aggregate(Count())
+        .select_columns(["src", "dst"])
+        .materialize()  # consumed once per iteration + degree pass
+    )
+
+    deg_tab = edges.groupby("src").aggregate(Count()).to_pandas()
+    deg_ids = deg_tab["src"].to_numpy(np.int64)
+    deg_vals = deg_tab["count()"].to_numpy(np.int64)
+    order = np.argsort(deg_ids)
+    deg_ids, deg_vals = deg_ids[order], deg_vals[order]
+
+    dsts = edges.groupby("dst").aggregate(Count()).to_pandas()[
+        "dst"].to_numpy(np.int64)
+    node_ids = np.union1d(deg_ids, dsts)
+    n_nodes = len(node_ids)
+    base = ((damping_den - damping_num) * scale
+            // damping_den) // n_nodes
+    rank = np.full(n_nodes, scale // n_nodes, dtype=np.int64)
+
+    for _ in range(n_iter):
+        contrib_ref = ray.put(
+            rank[np.searchsorted(node_ids, deg_ids)] // deg_vals)
+        ids_ref = ray.put(deg_ids)
+
+        def block_partial(batch: pa.Table) -> pa.Table:
+            ids = ray.get(ids_ref)
+            per_src = ray.get(contrib_ref)
+            src = batch["src"].to_numpy(zero_copy_only=False)
+            dst = batch["dst"].to_numpy(zero_copy_only=False)
+            c = per_src[np.searchsorted(ids, src)]
+            df = pd.DataFrame({"dst": dst, "c": c}).groupby(
+                "dst", sort=False)["c"].sum().reset_index()
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        sums = edges.map_batches(
+            block_partial, batch_format="pyarrow", batch_size=None
+        ).groupby("dst").aggregate(Sum("c", alias_name="s")).to_pandas()
+        s = np.zeros(n_nodes, dtype=np.int64)
+        pos = np.searchsorted(node_ids, sums["dst"].to_numpy(np.int64))
+        s[pos] = sums["s"].to_numpy(np.int64)
+        rank = base + damping_num * s // damping_den
+
+    kind = np.where(node_ids >= ITEM_BASE, "item", "user")
+    return pa.table({
+        "node_id": pa.array(node_ids, pa.int64()),
+        "kind": pa.array(kind, pa.string()),
+        "rank": pa.array(rank, pa.int64()),
+        "score": pa.array(rank.astype(np.float64) / float(scale)),
+    })

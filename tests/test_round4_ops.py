@@ -1816,3 +1816,47 @@ def test_edit_clones(ray_session):
     assert list(out["dist"]) == [1]
     mx = max(len(base), len(rows[1][2]))
     assert out["sim"][0] == 1.0 - 1.0 / mx
+
+
+def test_pagerank_events(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from clonebas_ray.ops.graph import ITEM_BASE, pagerank_events
+
+    # users 1,2,3; items k=0,1.  Clicks u->item, views item->u.
+    rows = [
+        ("click", 1, 0), ("click", 1, 0),   # dup edge collapses
+        ("click", 1, 1), ("click", 2, 0),
+        ("view", 1, 0), ("view", 3, 1),
+        ("purchase", 2, 0),                  # ignored type
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "event_type": pa.array([r[0] for r in rows]),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "props": pa.array(['{"k": %d}' % r[2] for r in rows]),
+    })).repartition(3)
+    out = pagerank_events(ds, n_iter=3).to_pandas().sort_values(
+        "node_id").reset_index(drop=True)
+
+    # naive integer reference
+    edges = {(1, ITEM_BASE), (1, ITEM_BASE + 1), (2, ITEM_BASE),
+             (ITEM_BASE, 1), (ITEM_BASE + 1, 3)}
+    nodes = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    scale, n = 10 ** 12, len(nodes)
+    r = [scale // n] * n
+    for _ in range(3):
+        s = [0] * n
+        for a, b in edges:
+            s[idx[b]] += r[idx[a]] // deg[a]
+        r = [(15 * scale // 100) // n + 85 * sv // 100 for sv in s]
+    assert list(out["node_id"]) == nodes
+    assert list(out["rank"]) == r
+    assert list(out["kind"]) == [
+        "user" if v < ITEM_BASE else "item" for v in nodes]
+    assert list(out["score"]) == [rv / scale for rv in r]
