@@ -214,7 +214,7 @@ def run_bench() -> dict:
             "comment_dup_families", "code_near_dup", "token_clones",
             "token_clone_clusters", "incremental_code_dedup",
             "code_decontaminate", "bpe_pairs", "bm25_search",
-            "code_dup_spans", "code_clean",
+            "code_dup_spans", "code_clean", "edit_clones", "link_rank",
         ):
             t0 = time.perf_counter()
             q[name](SF_DIR)
@@ -1409,6 +1409,171 @@ def run_tokenbag_smoke() -> dict:
     }
 
 
+def _ensure_editlev_corpus(n_files: int) -> str:
+    """Fork-drift corpus for the edit_clones smoke: ``n_files/500``
+    path groups x 100 repos each.  Per group, repos 0/1/2 carry a
+    shared ~1 KB base with <= maxlen/20 planted character edits
+    (2 guaranteed clone pairs at the 0.9 bar; pair (1,2) may also
+    clear it), every other repo gets an independent random text with
+    length in [0.5, 1.5]x base — the length window admits ~10%% of
+    each group as candidates, the bag-distance prefilter kills most
+    of those, and the DP early-abandon mops up, which is the scale
+    question."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(BENCH_DIR, f"editlev_corpus_{n_files}")
+    if os.path.isdir(path):
+        return path
+    os.makedirs(path)
+    per_group = 100
+    n_groups = n_files // per_group
+    alpha = np.frombuffer(
+        b"abcdefghijklmnopqrstuvwxyz(){};=+-<>0123456789_ \n", np.uint8)
+    groups_per_shard = max(1, n_groups // 32)
+    g0 = 0
+    shard = 0
+    while g0 < n_groups:
+        g1 = min(g0 + groups_per_shard, n_groups)
+        paths, repos, texts = [], [], []
+        for g in range(g0, g1):
+            rng = np.random.Generator(np.random.PCG64(1234 + g))
+            base_len = int(rng.integers(900, 1100))
+            base = alpha[rng.integers(0, len(alpha), base_len)]
+            for r in range(per_group):
+                paths.append(f"src/g{g:05d}.c")
+                repos.append(f"org/r{r:03d}")
+                if r < 3:
+                    t = base.copy()
+                    n_ed = int(rng.integers(1, base_len // 20))
+                    pos = rng.integers(0, base_len, n_ed)
+                    t[pos] = alpha[rng.integers(0, len(alpha), n_ed)]
+                    texts.append(t.tobytes().decode())
+                else:
+                    ln = int(base_len * (0.5 + 1.0 * rng.random()))
+                    texts.append(alpha[
+                        rng.integers(0, len(alpha), ln)
+                    ].tobytes().decode())
+        pq.write_table(pa.table({
+            "repo": pa.array(repos), "path": pa.array(paths),
+            "commit": pa.array(["c0"] * len(repos)),
+            "lang": pa.array(["c"] * len(repos)),
+            "content": pa.array(texts),
+        }), os.path.join(path, f"part-{shard:04d}.parquet"))
+        g0, shard = g1, shard + 1
+    return path
+
+
+def run_editlev_smoke() -> dict:
+    """edit_clones over a 100k-file fork-drift corpus: length-window
+    candidates funnel through the bag prefilter + chunk-vectorized DP
+    (the planted 2-pair families must all survive)."""
+    import logging
+    import resource
+
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from clonebas_ray.ops.code_corpus import edit_clones
+
+    n_files = int(os.environ.get("GRAFT_EDITLEV_FILES", "100000"))
+    path = _ensure_editlev_corpus(n_files)
+    ds = ray.data.read_parquet(path)
+    t0 = time.perf_counter()
+    out = edit_clones(ds, pair_partitions=64).to_pandas()
+    wall = time.perf_counter() - t0
+    planted = out[
+        out["repo_a"].isin(("org/r000", "org/r001"))
+        & out["repo_b"].isin(("org/r001", "org/r002"))
+    ]
+    n_groups = n_files // 100
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    ray.shutdown()
+    return {
+        "metric": "editlev_100k_smoke_sec",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "n_files": n_files,
+        "files_per_sec": round(n_files / wall, 1),
+        "n_pairs": int(len(out)),
+        "planted_groups_found": int(planted["path"].nunique()),
+        "planted_groups_expected": n_groups,
+        "num_cpus": NUM_CPUS,
+        "driver_rss_gb": round(rss_gb, 2),
+        "host_mem_gbps": _host_mem_gbps(),
+        "host_mem_gbps_mc8": _host_mem_gbps_mc(),
+    }
+
+
+def run_graph_smoke() -> dict:
+    """pagerank_events over 10M synthetic click/view events (500k
+    users x 20k items): measures the distinct-edge collapse + 4
+    power-iteration edge passes; driver holds only node vectors."""
+    import logging
+    import resource
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from clonebas_ray.ops.graph import pagerank_events
+
+    n_events = int(os.environ.get("GRAFT_GRAPH_EVENTS", "10000000"))
+
+    def gen(batch) -> pa.Table:
+        ids = batch["id"].to_numpy()
+        rng = np.random.Generator(np.random.PCG64(int(ids[0])))
+        users = rng.integers(0, 500_000, len(ids))
+        items = rng.integers(0, 20_000, len(ids))
+        et = np.where(ids % 2 == 0, "click", "view")
+        props = np.char.add(
+            np.char.add('{"k": ', items.astype("U8")), "}")
+        return pa.table({
+            "event_type": pa.array(et),
+            "user_id": pa.array(users, pa.int64()),
+            "props": pa.array(props),
+        })
+
+    events = ray.data.range(n_events, override_num_blocks=64).map_batches(
+        gen, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    t0 = time.perf_counter()
+    out = pagerank_events(events, n_iter=4)
+    wall = time.perf_counter() - t0
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    ray.shutdown()
+    return {
+        "metric": "graph_10m_smoke_sec",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "n_events": n_events,
+        "events_per_sec": round(n_events / wall, 1),
+        "n_nodes": int(out.num_rows),
+        "num_cpus": NUM_CPUS,
+        "driver_rss_gb": round(rss_gb, 2),
+        "host_mem_gbps": _host_mem_gbps(),
+        "host_mem_gbps_mc8": _host_mem_gbps_mc(),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -1438,5 +1603,9 @@ if __name__ == "__main__":
         print(json.dumps(run_tokenbag_smoke()))
     elif "--codeclean-smoke" in sys.argv:
         print(json.dumps(run_codeclean_smoke()))
+    elif "--editlev-smoke" in sys.argv:
+        print(json.dumps(run_editlev_smoke()))
+    elif "--graph-smoke" in sys.argv:
+        print(json.dumps(run_graph_smoke()))
     else:
         print(json.dumps(run_bench()))

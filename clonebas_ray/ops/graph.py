@@ -13,14 +13,32 @@ Arithmetic is FIXED-POINT (int64 micro-units, ``scale=10^12``): every
 per-node contribution sum is a sum of integers and therefore
 order-independent, so the Ray exchange and the DuckDB oracle agree
 bit-for-bit with no fold-order pinning (a float PageRank would need
-the ``list_reduce(... ORDER BY src)`` fold-order convention — see
-CLAUDE.md on ``np.add.reduceat``).  Rank update per iteration::
+the ``list_reduce(... ORDER BY src)`` fold-order convention — and
+``np.add.reduceat`` would be OFF LIMITS; on int64 it is exact).
+Rank update per iteration::
 
     r'(v) = ((den-num)*scale//den)//N  +  num * S(v) // den
     S(v)  = sum over in-edges (u,v) of  r(u) // out_deg(u)
 
 (dangling-node mass leaks — the simple textbook variant, documented;
 ``num/den`` default 85/100.)
+
+Scale shape (the parts that move at 10M+ events — measured 156 s ->
+~30 s on the 10M-event smoke vs the row-typed groupby form):
+
+- distinct-edge collapse: per-block ``drop_duplicates`` partials are
+  BLOB-PACKED per (block, partition) — one binary row per pair, the
+  byte-bound exchange pinned in CLAUDE.md — and each partition task
+  unions its blobs with one structured ``np.unique``;
+- the deduped edge blocks then live in plasma ONCE
+  (``to_arrow_refs``) and every pass over them is raw Ray tasks on
+  those refs — per-block edge INDEXES (src positions, dst run
+  boundaries) are built once and reused by all ``n_iter`` iterations,
+  each of which is just a gather + integer ``reduceat`` + a two-level
+  dense-vector reduce (node-sized, never edge-sized);
+- the driver holds only node vectors (rank, degree), the broadcast
+  bound every lookup in this repo shares (10^8 nodes ~ 1.6 GB; an
+  edge-partitioned rank join is the fallback past that).
 """
 
 from __future__ import annotations
@@ -29,15 +47,21 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data
 
 from clonebas_ray.bootstrap import ensure_worker_importable
 
 ITEM_BASE = 1_000_000_000  # disjoints item ids from user ids
 
+_MIX = np.uint64(0x9E3779B97F4A7C15)
 
-def _edge_partial(batch: pa.Table) -> pa.Table:
-    """Per-block distinct (src, dst) pairs from click/view events."""
+
+def _edge_pack(batch: pa.Table, n_parts: int) -> pa.Table:
+    """Per-block distinct (src, dst) pairs from click/view events,
+    blob-packed per partition: rows are ``(part, blob)`` where blob is
+    the int64-interleaved pair bytes — the exchange carries bytes, not
+    per-edge rows."""
     ex = pc.extract_regex(batch["props"], '"k": (?P<v>\\d+)')
     k = pc.cast(pc.struct_field(ex, "v"), pa.int64())
     et = batch["event_type"].to_pandas()
@@ -49,11 +73,109 @@ def _edge_partial(batch: pa.Table) -> pa.Table:
     item = df["k"].astype("int64") + ITEM_BASE
     clicks = df["et"] == "click"
     views = df["et"] == "view"
-    src = pd.concat([df["u"][clicks], item[views]])
-    dst = pd.concat([item[clicks], df["u"][views]])
-    out = pd.DataFrame({"src": src.astype("int64"),
-                        "dst": dst.astype("int64")}).drop_duplicates()
-    return pa.Table.from_pandas(out, preserve_index=False)
+    src = pd.concat([df["u"][clicks], item[views]]).to_numpy(np.int64)
+    dst = pd.concat([item[clicks], df["u"][views]]).to_numpy(np.int64)
+    pairs = np.unique(
+        np.column_stack([src, dst]).view([("a", "<i8"), ("b", "<i8")])
+    )
+    part = (
+        (pairs["a"].astype(np.uint64) * _MIX
+         + pairs["b"].astype(np.uint64)) >> np.uint64(33)
+    ) % np.uint64(n_parts)
+    parts, blobs = [], []
+    order = np.argsort(part, kind="stable")
+    bounds = np.flatnonzero(np.diff(part[order])) + 1
+    for chunk, pv in zip(
+        np.split(order, bounds),
+        part[order][np.concatenate(([0], bounds))] if len(order)
+        else [],
+    ):
+        parts.append(int(pv))
+        blobs.append(pairs[chunk].tobytes())
+    return pa.table({
+        "part": pa.array(parts, pa.int64()),
+        "blob": pa.array(blobs, pa.binary()),
+    })
+
+
+def _edge_merge(batch: pa.Table) -> pa.Table:
+    """Union one partition's blobs into its distinct edge rows."""
+    raw = b"".join(batch["blob"].to_pylist())
+    pairs = np.unique(
+        np.frombuffer(raw, np.int64).reshape(-1, 2)
+        .view([("a", "<i8"), ("b", "<i8")]).ravel()
+    )
+    return pa.table({
+        "src": pa.array(pairs["a"], pa.int64()),
+        "dst": pa.array(pairs["b"], pa.int64()),
+    })
+
+
+@ray.remote
+def _block_nodes(tab: pa.Table) -> np.ndarray:
+    # empty shuffle partitions surface with the PRE-groupby schema
+    # (the tfidf empty-block lesson) — treat them as no edges
+    if tab.num_rows == 0 or "src" not in tab.column_names:
+        return np.array([], np.int64)
+    return np.union1d(
+        tab["src"].to_numpy(zero_copy_only=False),
+        tab["dst"].to_numpy(zero_copy_only=False),
+    )
+
+
+@ray.remote
+def _block_prep(tab: pa.Table, node_ids: np.ndarray, n_nodes: int):
+    """One-time per-block index build: src positions sorted by dst
+    run, dst run ids + boundaries, and this block's dense out-degree
+    partial."""
+    if tab.num_rows == 0 or "src" not in tab.column_names:
+        empty = np.array([], np.int64)
+        return empty, empty, empty, np.zeros(n_nodes, np.int64)
+    src = tab["src"].to_numpy(zero_copy_only=False)
+    dst = tab["dst"].to_numpy(zero_copy_only=False)
+    si = np.searchsorted(node_ids, src).astype(np.int64)
+    di = np.searchsorted(node_ids, dst).astype(np.int64)
+    order = np.argsort(di, kind="stable")
+    di_sorted = di[order]
+    runs = np.flatnonzero(np.concatenate(
+        ([True], di_sorted[1:] != di_sorted[:-1])))
+    deg = np.bincount(si, minlength=n_nodes).astype(np.int64)
+    return si[order], di_sorted[runs], runs, deg
+
+
+@ray.remote
+def _block_contrib(prep, rdd: np.ndarray, n_nodes: int) -> np.ndarray:
+    """One iteration's dense contribution partial for one block:
+    gather rank//deg per edge, integer reduceat per dst run (exact —
+    int64 sums are order-independent), scatter into a node vector."""
+    si, dst_ids, starts, _ = prep
+    out = np.zeros(n_nodes, np.int64)
+    if len(si):
+        out[dst_ids] = np.add.reduceat(rdd[si], starts)
+    return out
+
+
+@ray.remote
+def _dense_sum(*vecs: np.ndarray) -> np.ndarray:
+    acc = vecs[0].copy()
+    for v in vecs[1:]:
+        acc += v
+    return acc
+
+
+def _reduce_dense(refs: list, group: int = 8) -> np.ndarray:
+    """Two-level dense-vector reduce: node-sized partials sum in
+    remote groups, the driver adds only ``len(refs)/group`` vectors."""
+    if len(refs) > group:
+        refs = [
+            _dense_sum.remote(*refs[i : i + group])
+            for i in range(0, len(refs), group)
+        ]
+    parts = ray.get(refs)
+    acc = parts[0].copy()
+    for v in parts[1:]:
+        acc += v
+    return acc
 
 
 def pagerank_events(
@@ -62,73 +184,47 @@ def pagerank_events(
     damping_num: int = 85,
     damping_den: int = 100,
     scale: int = 10 ** 12,
+    n_parts: int = 64,
 ) -> pa.Table:
     """Fixed-point PageRank over the derived bipartite click/view
     graph.  Returns one row per node: ``(node_id, kind, rank,
     score)`` with ``rank`` the exact int64 micro-unit value and
     ``score = rank / scale`` (one double division, oracle-identical).
-
-    Scale shape: the event stream is scanned ONCE into a distinct
-    edge set (per-block ``drop_duplicates`` partials, then one
-    key-local groupby — the exchange carries unique edges, not
-    events), and each iteration is ONE streaming pass over the
-    materialized edges with per-block contribution partials followed
-    by a node-sized groupby merge.  The rank/degree vectors broadcast
-    via ``ray.put`` (node-count-bounded, like every broadcast lookup
-    here — 10^8 nodes ~ 1.6 GB; an edge-partitioned rank join is the
-    fallback past that).  Nothing event-sized ever reaches the
-    driver."""
+    See the module docstring for the exchange/scale design."""
     ensure_worker_importable()
-    from ray.data.aggregate import Count, Sum
 
-    base_ids = events.select_columns(
-        ["event_type", "user_id", "props"]
-    ).filter(
-        expr="event_type == 'click' or event_type == 'view'"
-    ).map_batches(
-        _edge_partial, batch_format="pyarrow", batch_size=None
-    )
     edges = (
-        base_ids.groupby(["src", "dst"]).aggregate(Count())
-        .select_columns(["src", "dst"])
-        .materialize()  # consumed once per iteration + degree pass
+        events.select_columns(["event_type", "user_id", "props"])
+        .filter(expr="event_type == 'click' or event_type == 'view'")
+        .map_batches(
+            lambda b: _edge_pack(b, n_parts),
+            batch_format="pyarrow", batch_size=None,
+        )
+        .groupby("part")
+        .map_groups(_edge_merge, batch_format="pyarrow")
+        .materialize()
     )
+    refs = edges.to_arrow_refs()
 
-    deg_tab = edges.groupby("src").aggregate(Count()).to_pandas()
-    deg_ids = deg_tab["src"].to_numpy(np.int64)
-    deg_vals = deg_tab["count()"].to_numpy(np.int64)
-    order = np.argsort(deg_ids)
-    deg_ids, deg_vals = deg_ids[order], deg_vals[order]
-
-    dsts = edges.groupby("dst").aggregate(Count()).to_pandas()[
-        "dst"].to_numpy(np.int64)
-    node_ids = np.union1d(deg_ids, dsts)
+    node_ids = np.array([], np.int64)
+    for arr in ray.get([_block_nodes.remote(r) for r in refs]):
+        node_ids = np.union1d(node_ids, arr)
     n_nodes = len(node_ids)
+    ids_ref = ray.put(node_ids)
+
+    preps = [_block_prep.remote(r, ids_ref, n_nodes) for r in refs]
+    deg = _reduce_dense([_deg_of.remote(p) for p in preps])
+
     base = ((damping_den - damping_num) * scale
             // damping_den) // n_nodes
     rank = np.full(n_nodes, scale // n_nodes, dtype=np.int64)
+    safe_deg = np.maximum(deg, 1)  # dangling rows never gathered
 
     for _ in range(n_iter):
-        contrib_ref = ray.put(
-            rank[np.searchsorted(node_ids, deg_ids)] // deg_vals)
-        ids_ref = ray.put(deg_ids)
-
-        def block_partial(batch: pa.Table) -> pa.Table:
-            ids = ray.get(ids_ref)
-            per_src = ray.get(contrib_ref)
-            src = batch["src"].to_numpy(zero_copy_only=False)
-            dst = batch["dst"].to_numpy(zero_copy_only=False)
-            c = per_src[np.searchsorted(ids, src)]
-            df = pd.DataFrame({"dst": dst, "c": c}).groupby(
-                "dst", sort=False)["c"].sum().reset_index()
-            return pa.Table.from_pandas(df, preserve_index=False)
-
-        sums = edges.map_batches(
-            block_partial, batch_format="pyarrow", batch_size=None
-        ).groupby("dst").aggregate(Sum("c", alias_name="s")).to_pandas()
-        s = np.zeros(n_nodes, dtype=np.int64)
-        pos = np.searchsorted(node_ids, sums["dst"].to_numpy(np.int64))
-        s[pos] = sums["s"].to_numpy(np.int64)
+        rdd_ref = ray.put(rank // safe_deg)
+        s = _reduce_dense([
+            _block_contrib.remote(p, rdd_ref, n_nodes) for p in preps
+        ])
         rank = base + damping_num * s // damping_den
 
     kind = np.where(node_ids >= ITEM_BASE, "item", "user")
@@ -138,3 +234,8 @@ def pagerank_events(
         "rank": pa.array(rank, pa.int64()),
         "score": pa.array(rank.astype(np.float64) / float(scale)),
     })
+
+
+@ray.remote
+def _deg_of(prep) -> np.ndarray:
+    return prep[3]
