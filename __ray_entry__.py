@@ -1346,9 +1346,11 @@ def _q_edit_clones(sf_dir: str):
     from clonebas_ray.ops.code_corpus import edit_clones
 
     out = edit_clones(_code_files(["repo", "path", "content"]))
+    cols = ["path", "repo_a", "repo_b", "dist", "sim"]
     return (
         out.to_pandas()
-        .sort_values(["path", "repo_a", "repo_b"])
+        .reindex(columns=cols)  # 0-row to_pandas drops columns
+        .sort_values(cols[:3])
         .reset_index(drop=True)
     )
 

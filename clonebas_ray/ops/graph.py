@@ -210,6 +210,13 @@ def pagerank_events(
     for arr in ray.get([_block_nodes.remote(r) for r in refs]):
         node_ids = np.union1d(node_ids, arr)
     n_nodes = len(node_ids)
+    if n_nodes == 0:
+        return pa.table({
+            "node_id": pa.array([], pa.int64()),
+            "kind": pa.array([], pa.string()),
+            "rank": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        })
     ids_ref = ray.put(node_ids)
 
     preps = [_block_prep.remote(r, ids_ref, n_nodes) for r in refs]

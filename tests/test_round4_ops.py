@@ -1860,3 +1860,39 @@ def test_pagerank_events(ray_session):
     assert list(out["kind"]) == [
         "user" if v < ITEM_BASE else "item" for v in nodes]
     assert list(out["score"]) == [rv / scale for rv in r]
+
+
+def test_pagerank_no_edges(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from clonebas_ray.ops.graph import pagerank_events
+
+    ds = ray.data.from_arrow(pa.table({
+        "event_type": pa.array(["purchase", "error"]),
+        "user_id": pa.array([1, 2], pa.int64()),
+        "props": pa.array(["{}", '{"j": 4}']),
+    }))
+    out = pagerank_events(ds, n_iter=2).to_pandas()
+    assert len(out) == 0
+    assert list(out.columns) == ["node_id", "kind", "rank", "score"]
+
+
+def test_edit_clones_all_filtered(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from clonebas_ray.ops.code_corpus import edit_clones
+
+    ds = ray.data.from_arrow(pa.table({
+        "repo": pa.array(["a", "b"]), "path": pa.array(["p", "p"]),
+        "content": pa.array(["x" * 2000, "y" * 2000]),  # > max_chars
+    }))
+    out = edit_clones(ds)
+    # the all-filtered path must not crash (groupby over an empty
+    # dataset); ray drops empty blocks wholesale so the schema is
+    # consumer-restored by reindex, as the query wrapper does
+    assert out.count() == 0
+    df = out.to_pandas().reindex(
+        columns=["path", "repo_a", "repo_b", "dist", "sim"])
+    assert len(df) == 0 and list(df.columns)[0] == "path"
