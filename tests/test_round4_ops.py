@@ -1896,3 +1896,51 @@ def test_edit_clones_all_filtered(ray_session):
     df = out.to_pandas().reindex(
         columns=["path", "repo_a", "repo_b", "dist", "sim"])
     assert len(df) == 0 and list(df.columns)[0] == "path"
+
+
+def test_lev_chunk_banded_property():
+    """Band exactness: tight kmax (including k=e-1, k=e, k=e+1 edges)
+    must report exact distances at or under the bound and never claim
+    <= k when the truth is above it; mixed-k chunks exercise the
+    compaction + band-shrink path."""
+    import random
+
+    import numpy as np
+
+    from clonebas_ray.ops.code_corpus import _lev_chunk
+
+    rng = random.Random(99)
+    cp = lambda s: np.frombuffer(s.encode("utf-32-le"), np.uint32)
+    for _ in range(60):
+        n = rng.randint(1, 120)
+        a = "".join(rng.choice("abc") for _ in range(n))
+        b = list(a)
+        for _ in range(rng.randint(0, 20)):
+            op = rng.randint(0, 2)
+            pos = rng.randint(0, max(len(b) - 1, 0))
+            if op == 0 and b:
+                del b[pos]
+            elif op == 1:
+                b.insert(pos, rng.choice("abc"))
+            elif b:
+                b[pos] = rng.choice("abc")
+        b = "".join(b)
+        e = _lev_ref(a, b)
+        for k in (0, 2, 5, e, max(e - 1, 0), e + 1, 200):
+            g = _lev_chunk([cp(a)], [cp(b)],
+                           np.array([k], np.int64))[0]
+            if e <= k:
+                assert g == e, (a, b, k, e, g)
+            else:
+                assert g > k, (a, b, k, e, g)
+    pairs = []
+    for _ in range(200):
+        a = "".join(rng.choice("ab") for _ in range(rng.randint(0, 100)))
+        b = "".join(rng.choice("ab") for _ in range(rng.randint(0, 100)))
+        pairs.append((a, b))
+    ks = np.array([rng.randint(0, 30) for _ in pairs], np.int64)
+    got = _lev_chunk([cp(a) for a, _ in pairs],
+                     [cp(b) for _, b in pairs], ks)
+    for (a, b), k, g in zip(pairs, ks, got):
+        e = _lev_ref(a, b)
+        assert (g == e) if e <= k else (g > k)
