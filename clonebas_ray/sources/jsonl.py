@@ -1,0 +1,77 @@
+"""JSONL corpus adapter — the Dolma/C4-style interchange format every
+pretraining corpus ships in: one JSON object per line with at least a
+text field.  Maps to/from the canonical ``documents`` table shape
+``(doc_id, text, lang, source, n_chars)`` the text-tier ops consume.
+
+Reading uses ``ray.data.read_json`` (one task per file — shard large
+corpora into directories of files, the same rule as parquet) and a
+stateless ``map_batches`` shape step; missing optional fields default
+(``lang``/``source`` empty, ``doc_id`` assigned from the pinned
+``md5_number_lower(text)`` convention when absent so ids are
+deterministic and SQL-recomputable).  Writing is
+``ray.data.Dataset.write_json`` — one shard per block, resumable at
+the directory grain like every sink here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from clonebas_ray.bootstrap import ensure_worker_importable
+
+_CANON = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def read_docs_jsonl(
+    paths: str | list[str],
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Read a JSONL corpus into the canonical documents shape."""
+    ensure_worker_importable()
+    from clonebas_ray.functions.murmur3 import md5_low64
+
+    raw = ray.data.read_json(paths)
+    mask = (1 << 63) - 1
+
+    def shape(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        names = set(batch.column_names)
+        text = batch[text_col].cast(pa.string())
+        # read_json UNIONS fields across rows, so a field present in
+        # only some rows arrives as a column with nulls — defaults
+        # apply per ROW, not per column
+        given = (batch["doc_id"].cast(pa.int64()) if "doc_id" in names
+                 else pa.nulls(n, pa.int64()))
+        if given.null_count:
+            texts = text.to_pylist()
+            need = np.asarray(pc.is_null(given).to_pandas(), bool)
+            computed = np.array(
+                given.fill_null(0).to_pandas(), np.int64)  # writable
+            for i in np.flatnonzero(need):
+                computed[i] = md5_low64(texts[i].encode()) & mask
+            doc_id = pa.array(computed, pa.int64())
+        else:
+            doc_id = given
+        lang = (batch["lang"].cast(pa.string()).fill_null("")
+                if "lang" in names else pa.array([""] * n, pa.string()))
+        source = (batch["source"].cast(pa.string()).fill_null("")
+                  if "source" in names
+                  else pa.array([""] * n, pa.string()))
+        return pa.table({
+            "doc_id": doc_id,
+            "text": text,
+            "lang": lang,
+            "source": source,
+            "n_chars": pc.utf8_length(text).cast(pa.int64()),
+        })
+
+    return raw.map_batches(shape, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def write_docs_jsonl(ds: ray.data.Dataset, out_dir: str) -> None:
+    """Write the canonical documents table as sharded JSONL."""
+    ds.write_json(out_dir)

@@ -42,3 +42,47 @@ def test_read_source_tree_empty(ray_session, tmp_path):
     assert set(ds.schema().names) == {
         "repo", "path", "commit", "lang", "content",
     }
+
+
+def test_jsonl_roundtrip(ray_session, tmp_path):
+    import json
+
+    import ray.data
+
+    from clonebas_ray.functions.murmur3 import md5_low64
+    from clonebas_ray.sources.jsonl import (
+        read_docs_jsonl, write_docs_jsonl,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        {"text": "hello world", "lang": "en", "source": "web"},
+        {"text": "bonjour", "doc_id": 42},
+        {"text": "héllo"},
+    ]
+    with open(src / "part0.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    ds = read_docs_jsonl(str(src))
+    df = ds.to_pandas().sort_values("text").reset_index(drop=True)
+    assert list(df.columns) == [
+        "doc_id", "text", "lang", "source", "n_chars"]
+    assert len(df) == 3
+    by_text = df.set_index("text")
+    assert by_text.loc["hello world", "lang"] == "en"
+    assert by_text.loc["hello world", "n_chars"] == 11
+    assert by_text.loc["bonjour", "doc_id"] == 42
+    assert by_text.loc["héllo", "n_chars"] == 5  # codepoints, not bytes
+    mask = (1 << 63) - 1
+    assert by_text.loc["héllo", "doc_id"] == (
+        md5_low64("héllo".encode()) & mask)
+
+    out = tmp_path / "out"
+    write_docs_jsonl(ds, str(out))
+    back = read_docs_jsonl(str(out)).to_pandas().sort_values(
+        "text").reset_index(drop=True)
+    assert back.equals(
+        read_docs_jsonl(str(src)).to_pandas().sort_values(
+            "text").reset_index(drop=True))
