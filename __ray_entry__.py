@@ -4421,7 +4421,8 @@ WITH cand AS (
   FROM read_parquet('{_CODE_CORPUS}') a
   JOIN read_parquet('{_CODE_CORPUS}') b
     ON a.path = b.path AND a.repo < b.repo
-   AND length(a.content) <= 1536 AND length(b.content) <= 1536
+   AND length(a.content) BETWEEN 1 AND 1536
+   AND length(b.content) BETWEEN 1 AND 1536
    AND 10 * abs(length(a.content) - length(b.content))
        <= greatest(length(a.content), length(b.content))
 )

@@ -44,7 +44,6 @@ Scale shape (the parts that move at 10M+ events — measured 156 s ->
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -64,17 +63,20 @@ def _edge_pack(batch: pa.Table, n_parts: int) -> pa.Table:
     per-edge rows."""
     ex = pc.extract_regex(batch["props"], '"k": (?P<v>\\d+)')
     k = pc.cast(pc.struct_field(ex, "v"), pa.int64())
-    et = batch["event_type"].to_pandas()
-    df = pd.DataFrame({
-        "et": et,
-        "u": batch["user_id"].to_pandas(),
-        "k": k.to_pandas(),
-    }).dropna(subset=["k"])
-    item = df["k"].astype("int64") + ITEM_BASE
-    clicks = df["et"] == "click"
-    views = df["et"] == "view"
-    src = pd.concat([df["u"][clicks], item[views]]).to_numpy(np.int64)
-    dst = pd.concat([item[clicks], df["u"][views]]).to_numpy(np.int64)
+    # stay arrow/numpy int64 end-to-end: a pandas detour turns the
+    # nullable int column into float64 (LOSSY above 2^53 — the
+    # CLAUDE.md union null-pad trap in miniature)
+    tab = pa.table({
+        "et": batch["event_type"], "u": batch["user_id"], "k": k,
+    }).filter(pc.and_(pc.is_valid(k), pc.is_valid(batch["user_id"])))
+    tc = tab.filter(pc.equal(tab["et"], "click"))
+    tv = tab.filter(pc.equal(tab["et"], "view"))
+    u_c = tc["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+    k_c = tc["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+    u_v = tv["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+    k_v = tv["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+    src = np.concatenate([u_c, k_v + ITEM_BASE])
+    dst = np.concatenate([k_c + ITEM_BASE, u_v])
     pairs = np.unique(
         np.column_stack([src, dst]).view([("a", "<i8"), ("b", "<i8")])
     )

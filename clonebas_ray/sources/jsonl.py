@@ -37,9 +37,16 @@ def read_docs_jsonl(
     mask = (1 << 63) - 1
 
     def shape(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
         names = set(batch.column_names)
-        text = batch[text_col].cast(pa.string())
+        # rows without a text field (schema-union nulls) are
+        # malformed for a documents corpus — dropped, not crashed on
+        if text_col in names:
+            batch = batch.filter(pc.is_valid(batch[text_col]))
+        else:
+            batch = batch.slice(0, 0)
+        n = batch.num_rows
+        text = (batch[text_col].cast(pa.string()) if text_col in names
+                else pa.array([], pa.string()))
         # read_json UNIONS fields across rows, so a field present in
         # only some rows arrives as a column with nulls — defaults
         # apply per ROW, not per column
