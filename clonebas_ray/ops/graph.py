@@ -204,8 +204,75 @@ def pagerank_events(
         )
         .groupby("part")
         .map_groups(_edge_merge, batch_format="pyarrow")
-        .materialize()
     )
+    out = pagerank_edges(
+        edges, n_iter=n_iter, damping_num=damping_num,
+        damping_den=damping_den, scale=scale, dedup=False,
+    )
+    kind = np.where(
+        out["node_id"].to_numpy(zero_copy_only=False) >= ITEM_BASE,
+        "item", "user")
+    return pa.table({
+        "node_id": out["node_id"],
+        "kind": pa.array(kind, pa.string()),
+        "rank": out["rank"],
+        "score": out["score"],
+    })
+
+
+def pagerank_edges(
+    edges: ray.data.Dataset,
+    n_iter: int = 4,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10 ** 12,
+    n_parts: int = 64,
+    dedup: bool = True,
+) -> pa.Table:
+    """Fixed-point PageRank over an arbitrary directed edge table —
+    the generic entry for user-supplied graphs (host link graphs,
+    dependency graphs): a Dataset with int64 ``src``/``dst`` columns.
+    ``dedup=True`` (default) runs the blob-packed distinct-edge
+    collapse first; pass ``dedup=False`` only when the input is
+    already globally distinct.  Returns ``(node_id, rank, score)``
+    (exact int64 micro-units + the one-division double), same
+    exchange design as the module docstring."""
+    ensure_worker_importable()
+
+    if dedup:
+        def pack(b: pa.Table) -> pa.Table:
+            src = b["src"].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            dst = b["dst"].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            pairs = np.unique(np.column_stack([src, dst]).view(
+                [("a", "<i8"), ("b", "<i8")]))
+            part = (
+                (pairs["a"].astype(np.uint64) * _MIX
+                 + pairs["b"].astype(np.uint64)) >> np.uint64(33)
+            ) % np.uint64(n_parts)
+            order = np.argsort(part, kind="stable")
+            bounds = np.flatnonzero(np.diff(part[order])) + 1
+            parts, blobs = [], []
+            for chunk, pv in zip(
+                np.split(order, bounds),
+                part[order][np.concatenate(([0], bounds))]
+                if len(order) else [],
+            ):
+                parts.append(int(pv))
+                blobs.append(pairs[chunk].tobytes())
+            return pa.table({
+                "part": pa.array(parts, pa.int64()),
+                "blob": pa.array(blobs, pa.binary()),
+            })
+
+        edges = (
+            edges.map_batches(
+                pack, batch_format="pyarrow", batch_size=None)
+            .groupby("part")
+            .map_groups(_edge_merge, batch_format="pyarrow")
+        )
+    edges = edges.materialize()
     refs = edges.to_arrow_refs()
 
     node_ids = np.array([], np.int64)
@@ -215,7 +282,6 @@ def pagerank_events(
     if n_nodes == 0:
         return pa.table({
             "node_id": pa.array([], pa.int64()),
-            "kind": pa.array([], pa.string()),
             "rank": pa.array([], pa.int64()),
             "score": pa.array([], pa.float64()),
         })
@@ -236,10 +302,8 @@ def pagerank_events(
         ])
         rank = base + damping_num * s // damping_den
 
-    kind = np.where(node_ids >= ITEM_BASE, "item", "user")
     return pa.table({
         "node_id": pa.array(node_ids, pa.int64()),
-        "kind": pa.array(kind, pa.string()),
         "rank": pa.array(rank, pa.int64()),
         "score": pa.array(rank.astype(np.float64) / float(scale)),
     })

@@ -1944,3 +1944,37 @@ def test_lev_chunk_banded_property():
     for (a, b), k, g in zip(pairs, ks, got):
         e = _lev_ref(a, b)
         assert (g == e) if e <= k else (g > k)
+
+
+def test_pagerank_edges_generic(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from clonebas_ray.ops.graph import pagerank_edges
+
+    # tiny cycle + chord, with duplicate edge rows to exercise dedup
+    raw = [(1, 2), (2, 3), (3, 1), (1, 3), (1, 2), (3, 1)]
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in raw], pa.int64()),
+        "dst": pa.array([b for _, b in raw], pa.int64()),
+    })).repartition(2)
+    out = pagerank_edges(ds, n_iter=3).to_pandas().sort_values(
+        "node_id").reset_index(drop=True)
+
+    edges = sorted(set(raw))
+    nodes = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    scale, n = 10 ** 12, len(nodes)
+    r = [scale // n] * n
+    for _ in range(3):
+        acc = [0] * n
+        for a, b in edges:
+            acc[idx[b]] += r[idx[a]] // deg[a]
+        r = [(15 * scale // 100) // n + 85 * sv // 100 for sv in acc]
+    assert list(out["node_id"]) == nodes
+    assert list(out["rank"]) == r
+    assert list(out.columns) == ["node_id", "rank", "score"]
