@@ -1978,3 +1978,78 @@ def test_pagerank_edges_generic(ray_session):
     assert list(out["node_id"]) == nodes
     assert list(out["rank"]) == r
     assert list(out.columns) == ["node_id", "rank", "score"]
+
+
+def test_edit_clones_duckdb_property(ray_session, tmp_path):
+    """Oracle parity on a RANDOMIZED corpus (not the committed
+    fixture): pair set and exact distances must equal DuckDB's
+    levenshtein ground truth."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from clonebas_ray.ops.code_corpus import edit_clones
+
+    rng = np.random.Generator(np.random.PCG64(77))
+    alpha = np.frombuffer(b"abcdefgh{};= \n", np.uint8)
+    repos, paths, texts = [], [], []
+    for g in range(6):
+        base_len = int(rng.integers(50, 260))
+        base = alpha[rng.integers(0, len(alpha), base_len)]
+        for r in range(12):
+            repos.append(f"o/r{r:02d}")
+            paths.append(f"f{g}.c")
+            roll = rng.random()
+            if roll < 0.4:
+                t = base.copy()
+                n_ed = int(rng.integers(0, max(base_len // 8, 1)))
+                pos = rng.integers(0, base_len, n_ed)
+                t[pos] = alpha[rng.integers(0, len(alpha), n_ed)]
+                texts.append(t.tobytes().decode())
+            elif roll < 0.5:
+                texts.append("")  # excluded by both sides
+            else:
+                ln = int(base_len * (0.6 + 0.8 * rng.random()))
+                texts.append(alpha[
+                    rng.integers(0, len(alpha), ln)].tobytes().decode())
+    tab = pa.table({
+        "repo": pa.array(repos), "path": pa.array(paths),
+        "commit": pa.array(["c"] * len(repos)),
+        "lang": pa.array(["c"] * len(repos)),
+        "content": pa.array(texts),
+    })
+    f = str(tmp_path / "corpus.parquet")
+    pq.write_table(tab, f)
+
+    got = edit_clones(
+        ray.data.from_arrow(tab).repartition(3), max_chars=1536
+    ).to_pandas().reindex(
+        columns=["path", "repo_a", "repo_b", "dist", "sim"]
+    ).sort_values(["path", "repo_a", "repo_b"]).reset_index(drop=True)
+
+    want = duckdb.connect().execute(f"""
+      WITH cand AS (
+        SELECT a.path AS path, a.repo AS repo_a, b.repo AS repo_b,
+          CAST(levenshtein(a.content, b.content) AS BIGINT) AS dist,
+          greatest(length(a.content), length(b.content)) AS maxlen
+        FROM read_parquet('{f}') a JOIN read_parquet('{f}') b
+          ON a.path = b.path AND a.repo < b.repo
+         AND length(a.content) BETWEEN 1 AND 1536
+         AND length(b.content) BETWEEN 1 AND 1536
+         AND 10 * abs(length(a.content) - length(b.content))
+             <= greatest(length(a.content), length(b.content))
+      )
+      SELECT path, repo_a, repo_b, dist,
+        1.0 - CAST(dist AS DOUBLE) / maxlen AS sim
+      FROM cand WHERE 10 * dist <= maxlen
+      ORDER BY path, repo_a, repo_b
+    """).df()
+
+    assert len(got) == len(want)
+    assert list(got["path"]) == list(want["path"])
+    assert list(got["repo_a"]) == list(want["repo_a"])
+    assert list(got["repo_b"]) == list(want["repo_b"])
+    assert list(got["dist"]) == list(want["dist"])
+    assert list(got["sim"]) == list(want["sim"])
