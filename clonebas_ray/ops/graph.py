@@ -62,7 +62,24 @@ def _edge_pack(batch: pa.Table, n_parts: int) -> pa.Table:
     the int64-interleaved pair bytes — the exchange carries bytes, not
     per-edge rows."""
     ex = pc.extract_regex(batch["props"], '"k": (?P<v>\\d+)')
-    k = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+    v = pc.struct_field(ex, "v")
+    # TRY_CAST semantics (the oracle's): an out-of-int64-range digit
+    # string becomes NULL and the row drops, instead of raising.
+    # Equal-length digit strings compare numerically, so after
+    # stripping leading zeros a 19-digit value fits iff it is
+    # lexicographically <= str(2^63 - 1); longer never fits.
+    vt = pc.utf8_ltrim(v, "0")
+    ln = pc.utf8_length(vt)
+    fits = pc.or_(
+        pc.less(ln, 19),
+        pc.and_(pc.equal(ln, 19),
+                pc.less_equal(vt, "9223372036854775807")))
+    k = pc.cast(pc.if_else(pc.coalesce(fits, False), v, None), pa.int64())
+    umax = pc.max(batch["user_id"]).as_py()
+    if umax is not None and umax >= ITEM_BASE:
+        raise ValueError(
+            f"user_id {umax} >= ITEM_BASE ({ITEM_BASE}): user and item "
+            "node ids would collide — raise ITEM_BASE for this corpus")
     # stay arrow/numpy int64 end-to-end: a pandas detour turns the
     # nullable int column into float64 (LOSSY above 2^53 — the
     # CLAUDE.md union null-pad trap in miniature)

@@ -50,8 +50,20 @@ def read_docs_jsonl(
         # read_json UNIONS fields across rows, so a field present in
         # only some rows arrives as a column with nulls — defaults
         # apply per ROW, not per column
-        given = (batch["doc_id"].cast(pa.int64()) if "doc_id" in names
-                 else pa.nulls(n, pa.int64()))
+        # Dolma-style corpora ship STRING ids — a non-integer doc_id
+        # column (or one whose values don't cast) is treated as
+        # absent and ids derive from text via the md5 convention,
+        # instead of erroring on the interchange format we target
+        if "doc_id" in names and pa.types.is_integer(
+                batch["doc_id"].type):
+            given = batch["doc_id"].cast(pa.int64())
+        elif "doc_id" in names:
+            try:
+                given = batch["doc_id"].cast(pa.int64())
+            except pa.ArrowInvalid:
+                given = pa.nulls(n, pa.int64())
+        else:
+            given = pa.nulls(n, pa.int64())
         if given.null_count:
             texts = text.to_pylist()
             need = np.asarray(pc.is_null(given).to_pandas(), bool)

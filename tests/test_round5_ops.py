@@ -1,0 +1,112 @@
+"""Round-5 regression tests: the four ADVICE r4 fixes (TRY_CAST edge
+pack, ITEM_BASE guard, string doc_id fallback, self-repo pair filter)
+plus the vectorized partition hash."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_poly_hash_column_matches_naive_and_slices():
+    from clonebas_ray.functions.murmur3 import poly_hash_column
+
+    vals = ["a/b.c", "", "x" * 50, "a/b.c", "édir/f.py"]
+    arr = pa.array(vals)
+    got = poly_hash_column(arr, 1 << 31)
+
+    def naive(s, mod):
+        h, w = 0, 1
+        for b in s.encode():
+            h = (h + b * w) % (1 << 64)
+            w = (w * 257) % (1 << 64)
+        return h % mod
+
+    assert list(got) == [naive(s, 1 << 31) for s in vals]
+    # slice offset / chunking must not change values
+    sl = poly_hash_column(pa.chunked_array([arr.slice(2, 3)]), 1 << 31)
+    assert list(sl) == list(got[2:5])
+
+
+def test_pagerank_overflow_k_drops_not_raises(ray_session):
+    import ray.data
+
+    from clonebas_ray.ops.graph import ITEM_BASE, pagerank_events
+
+    ds = ray.data.from_arrow(pa.table({
+        "event_type": pa.array(["click", "click", "view"]),
+        "user_id": pa.array([1, 2, 1], pa.int64()),
+        "props": pa.array([
+            '{"k": 0}',
+            '{"k": 99999999999999999999}',   # > int64: TRY_CAST -> NULL
+            '{"k": 0}',
+        ]),
+    }))
+    out = pagerank_events(ds, n_iter=2).to_pandas()
+    # only user1<->item0 edges survive; user 2's row dropped silently
+    assert sorted(out["node_id"]) == [1, ITEM_BASE]
+
+
+def test_pagerank_user_id_collision_raises(ray_session):
+    import ray.data
+
+    from clonebas_ray.ops.graph import ITEM_BASE, pagerank_events
+
+    ds = ray.data.from_arrow(pa.table({
+        "event_type": pa.array(["click"]),
+        "user_id": pa.array([ITEM_BASE + 5], pa.int64()),
+        "props": pa.array(['{"k": 1}']),
+    }))
+    with pytest.raises(Exception, match="ITEM_BASE"):
+        pagerank_events(ds, n_iter=1).to_pandas()
+
+
+def test_jsonl_string_doc_ids_fall_back_to_md5(ray_session, tmp_path):
+    import json
+
+    from clonebas_ray.functions.murmur3 import md5_low64
+    from clonebas_ray.sources.jsonl import read_docs_jsonl
+
+    src = tmp_path / "docs.jsonl"
+    rows = [
+        {"doc_id": "dolma-000", "text": "alpha beta"},
+        {"doc_id": "dolma-001", "text": "gamma delta"},
+    ]
+    src.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    df = read_docs_jsonl(str(src)).to_pandas().sort_values(
+        "text").reset_index(drop=True)
+    mask = (1 << 63) - 1
+    assert list(df["doc_id"]) == [
+        md5_low64(b"alpha beta") & mask,
+        md5_low64(b"gamma delta") & mask,
+    ]
+
+
+def test_jsonl_digit_string_doc_ids_cast(ray_session, tmp_path):
+    import json
+
+    from clonebas_ray.sources.jsonl import read_docs_jsonl
+
+    src = tmp_path / "docs.jsonl"
+    rows = [{"doc_id": "41", "text": "alpha"},
+            {"doc_id": "7", "text": "beta"}]
+    src.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    df = read_docs_jsonl(str(src)).to_pandas().sort_values(
+        "text").reset_index(drop=True)
+    assert list(df["doc_id"]) == [41, 7]
+
+
+def test_edit_clones_excludes_same_repo_pairs(ray_session):
+    import ray.data
+
+    from clonebas_ray.ops.code_corpus import edit_clones
+
+    body = "int main() { return %d; }"
+    ds = ray.data.from_arrow(pa.table({
+        "repo": pa.array(["A", "A", "B"]),       # dup (repo, path) row
+        "path": pa.array(["m.c", "m.c", "m.c"]),
+        "content": pa.array([body % 1, body % 1, body % 2]),
+    }))
+    df = edit_clones(ds).to_pandas()
+    # no A-A self pair from the duplicate rows; A-B pairs survive
+    assert (df["repo_a"] != df["repo_b"]).all()
+    assert set(zip(df["repo_a"], df["repo_b"])) == {("A", "B")}
