@@ -1650,7 +1650,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from clonebas_ray.ops import relational as rel
 
     return {
-        # relational surface (SQL-oracled)
+        # ROUND-5 ROTATION: the driver's CORRECTNESS snapshot
+        # records only the FIRST 50 dict entries, so the 57
+        # queries with no driver row through r4 lead here —
+        # newest/riskiest (code tier, clone/model goldens,
+        # round-4 ops) first.  The 50 already driver-certified
+        # in r1-r4 close the dict.
+        "clone_corpus_clusters": _q_clone_corpus,
+        "clone_block_clusters": _q_block_clusters,
+        "model_clone_clusters": _q_model_clusters,
+        "typed_sequences": _q_typed_sequences,
+        "code_metrics": _q_code_metrics,
+        "code_metrics_corpus": _q_code_metrics_corpus,
+        "code_quality_filter": _q_code_quality_filter,
+        "license_scan": _q_license_scan,
+        "repo_license": _q_repo_license,
+        "incremental_code_dedup": _q_incremental_code_dedup,
+        "secret_scan": _q_secret_scan,
+        "repo_forks": _q_repo_forks,
+        "import_census": _q_import_census,
+        "strip_comments": _q_strip_comments,
+        "comment_dup_families": _q_comment_dup_families,
+        "code_near_dup": _q_code_near_dup,
+        "token_clones": _q_token_clones,
+        "token_clone_clusters": _q_token_clone_clusters,
+        "repo_fork_dedup": _q_repo_fork_dedup,
+        "bpe_pairs": _q_bpe_pairs,
+        "bm25_search": _q_bm25_search,
+        "code_decontaminate": _q_code_decontaminate,
+        "code_dup_spans": _q_code_dup_spans,
+        "code_clean": _q_code_clean,
+        "edit_clones": _q_edit_clones,
+        "link_rank": _q_link_rank,
+        "bloom_decontaminate": _q_bloom_decontaminate,
+        "fuzzy_decontaminate": _q_fuzzy_decontaminate,
+        "cross_source_overlap": _q_cross_source_overlap,
+        "doc_rank": _q_doc_rank,
+        "budget_mix": _q_budget_mix,
+        "lm_score": _q_lm_score,
+        "dsir_weights": _q_dsir_weights,
+        "topic_mix": _q_topic_mix,
+        "dup_spans": _q_dup_spans,
+        "segment_dedup": _q_segment_dedup,
+        "cut_dup_spans": _q_cut_dup_spans,
+        "corpus_filter": _q_corpus_filter,
+        "token_stream": _q_token_stream,
+        "pretrain_clean": _q_pretrain_clean,
+        "semantic_dedup": _q_semantic_dedup,
+        "embed_near_dup": _q_embed_near_dup,
+        "embed_near_dup_clusters": _q_embed_near_dup_clusters,
+        "ivf_knn": _q_ivf_knn,
+        "knn_join": _q_knn_join,
+        "label_centroids": _q_label_centroids,
+        "kmeans": _q_kmeans,
+        "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
+        "media_probe": _q_media_probe,
+        "hash_split": _q_hash_split,
+        "chunk_docs": _q_chunk_docs,
+        "doc_deciles": _q_doc_deciles,
+        "seeded_shuffle": _q_seeded_shuffle,
+        "upsample_mix": _q_upsample_mix,
+        "boilerplate_strip": _q_boilerplate_strip,
+        "props_stats": _q_props_stats,
         "tpch_q1": rel.tpch_q1,
         "top_customers": rel.top_customers,
         "customers_per_region": rel.customers_per_region,
@@ -1680,13 +1742,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": _q_incremental_dedup,
         "incremental_neardup": _q_incremental_neardup,
         "incremental_semdedup": _q_incremental_semdedup,
-        # text / census ops (SQL-oracled)
         "word_census": _q_word_census,
         "exact_dedup": _q_exact_dedup,
         "dedup_report": _q_dedup_report,
         "token_counts": _q_token_counts,
         "knn_cosine": _q_knn,
-        # dedup family / similarity / analysis (rows-only checks)
         "simhash_text_clusters": _q_simhash_text_clusters,
         "minhash_pairs": _q_minhash_pairs,
         "substring_dups": _q_substring_dups,
@@ -1703,63 +1763,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngrams": _q_dup_ngrams,
         "text_normalize": _q_text_normalize,
         "decontaminate": _q_decontaminate,
-        "bloom_decontaminate": _q_bloom_decontaminate,
-        "fuzzy_decontaminate": _q_fuzzy_decontaminate,
-        "cross_source_overlap": _q_cross_source_overlap,
-        "doc_rank": _q_doc_rank,
-        "seeded_shuffle": _q_seeded_shuffle,
-        "upsample_mix": _q_upsample_mix,
-        "doc_deciles": _q_doc_deciles,
-        "budget_mix": _q_budget_mix,
-        "lm_score": _q_lm_score,
-        "dsir_weights": _q_dsir_weights,
-        "topic_mix": _q_topic_mix,
-        "dup_spans": _q_dup_spans,
-        "segment_dedup": _q_segment_dedup,
-        "boilerplate_strip": _q_boilerplate_strip,
-        "cut_dup_spans": _q_cut_dup_spans,
-        "corpus_filter": _q_corpus_filter,
-        "token_stream": _q_token_stream,
-        "pretrain_clean": _q_pretrain_clean,
-        "semantic_dedup": _q_semantic_dedup,
-        "hash_split": _q_hash_split,
-        "chunk_docs": _q_chunk_docs,
-        "embed_near_dup": _q_embed_near_dup,
-        "embed_near_dup_clusters": _q_embed_near_dup_clusters,
-        "ivf_knn": _q_ivf_knn,
-        "knn_join": _q_knn_join,
-        "props_stats": _q_props_stats,
-        "label_centroids": _q_label_centroids,
-        "kmeans": _q_kmeans,
-        "media_features": _q_media_features,
-        "media_frames": _q_media_frames,
-        "media_probe": _q_media_probe,
-        "clone_corpus_clusters": _q_clone_corpus,
-        "clone_block_clusters": _q_block_clusters,
-        "model_clone_clusters": _q_model_clusters,
-        "typed_sequences": _q_typed_sequences,
-        "code_metrics": _q_code_metrics,
-        "code_metrics_corpus": _q_code_metrics_corpus,
-        "code_quality_filter": _q_code_quality_filter,
-        "license_scan": _q_license_scan,
-        "repo_license": _q_repo_license,
-        "incremental_code_dedup": _q_incremental_code_dedup,
-        "secret_scan": _q_secret_scan,
-        "repo_forks": _q_repo_forks,
-        "import_census": _q_import_census,
-        "strip_comments": _q_strip_comments,
-        "comment_dup_families": _q_comment_dup_families,
-        "code_near_dup": _q_code_near_dup,
-        "token_clones": _q_token_clones,
-        "token_clone_clusters": _q_token_clone_clusters,
-        "repo_fork_dedup": _q_repo_fork_dedup,
-        "bpe_pairs": _q_bpe_pairs,
-        "bm25_search": _q_bm25_search,
-        "code_decontaminate": _q_code_decontaminate,
-        "code_dup_spans": _q_code_dup_spans,
-        "code_clean": _q_code_clean,
-        "edit_clones": _q_edit_clones,
-        "link_rank": _q_link_rank,
     }
 
 
