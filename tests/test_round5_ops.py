@@ -110,3 +110,64 @@ def test_edit_clones_excludes_same_repo_pairs(ray_session):
     # no A-A self pair from the duplicate rows; A-B pairs survive
     assert (df["repo_a"] != df["repo_b"]).all()
     assert set(zip(df["repo_a"], df["repo_b"])) == {("A", "B")}
+
+
+def _token_bag_fixture():
+    import ray.data
+
+    files = [
+        ("r0/a.c", "int x = 1; int y = 2; return x + y;"),
+        ("r0/b.c", "int x = 1; int y = 2; return x + y;"),
+        ("dup/a.c", "int x = 1; int y = 2; return x + y;"),
+        ("r1/edge1.c", "t0 t1 t2 t3 t4 t5 t6 p7 p8 p9"),
+        ("r1/edge2.c", "t0 t1 t2 t3 t4 t5 t6 q7 q8 q9"),
+        ("r1/miss.c", "t0 t1 t2 t3 t4 t5 m6 m7 m8 m9"),
+        ("r2/m1.c", "aa aa aa bb"),
+        ("r2/m2.c", "aa bb bb bb"),
+        ("r3/hot1.c", "common common filler1 filler2 filler3"),
+        ("r3/hot2.c", "common common filler4 filler5 filler6"),
+        ("r5/empty.c", ""),
+        ("r5/one.c", "solo"),
+        ("r5/one2.c", "solo"),
+    ]
+    return ray.data.from_arrow(pa.table({
+        "repo": pa.array([k.split("/")[0] for k, _ in files]),
+        "path": pa.array([k.split("/", 1)[1] for k, _ in files]),
+        "content": pa.array([c for _, c in files]),
+    })).repartition(4)
+
+
+def test_token_bag_budget_fallback_identical(ray_session, monkeypatch):
+    """Forcing the bag/family lookups over budget must route verify
+    and expansion through the bucketed hash-join fallbacks with an
+    identical pair set and identical clusters (the 100-TB branch
+    where candidate bags outgrow a node's plasma budget)."""
+    from clonebas_ray.ops import text_dedup as td
+    from clonebas_ray.ops.code_corpus import (
+        token_bag_clones,
+        token_bag_clusters,
+    )
+
+    ds = _token_bag_fixture()
+
+    def pairs_frame():
+        return (
+            token_bag_clones(ds).to_pandas()
+            .sort_values(["key_a", "key_b"]).reset_index(drop=True)
+        )
+
+    def clusters_frame():
+        return (
+            token_bag_clusters(ds).to_pandas()
+            .sort_values("key").reset_index(drop=True)
+        )
+
+    base_pairs = pairs_frame()
+    base_clusters = clusters_frame()
+    assert len(base_pairs) >= 5   # dup family triangle + edge + m1/m2
+    monkeypatch.setattr(td, "_VERIFY_LOOKUP_BUDGET", 0)
+    fb_pairs = pairs_frame()
+    fb_clusters = clusters_frame()
+    import pandas as pd
+    pd.testing.assert_frame_equal(fb_pairs, base_pairs)
+    pd.testing.assert_frame_equal(fb_clusters, base_clusters)
