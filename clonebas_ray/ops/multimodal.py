@@ -227,12 +227,22 @@ class AudioFrameSampler:
 
 def media_feature_pipeline(
     media: ray.data.Dataset,
-    concurrency: int | tuple[int, int] = (1, 4),
+    concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 32,
 ) -> ray.data.Dataset:
-    """images → features via an actor pool with small batches (binary
-    payload discipline)."""
+    """images → features with small batches (binary payload
+    discipline).  With the stubbed decoder the stage holds NO state,
+    so the default is a task-pool callable instance (the thrice-A/B'd
+    ~2.6x autoscale-ramp saving for stateless scans); pass
+    ``concurrency`` to pin an actor pool — the right shape once a
+    real decoder/model loads in ``__init__``."""
     images = media.filter(expr="kind == 'image'")
+    if concurrency is None:
+        return images.map_batches(
+            ImageDecodeFeatures(),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     return images.map_batches(
         ImageDecodeFeatures,
         batch_format="pyarrow",
@@ -244,10 +254,16 @@ def media_feature_pipeline(
 def media_frame_pipeline(
     media: ray.data.Dataset,
     n_frames: int = 4,
-    concurrency: int | tuple[int, int] = (1, 4),
+    concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 32,
 ) -> ray.data.Dataset:
     av = media.filter(expr="kind != 'image'")
+    if concurrency is None:
+        return av.map_batches(
+            AudioFrameSampler(n_frames=n_frames),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     return av.map_batches(
         AudioFrameSampler,
         fn_constructor_kwargs={"n_frames": n_frames},
@@ -259,12 +275,19 @@ def media_frame_pipeline(
 
 def media_stat_pipeline(
     media: ray.data.Dataset,
-    concurrency: int | tuple[int, int] = (1, 4),
+    concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 32,
 ) -> ray.data.Dataset:
-    """'image' payloads → scalar decode stats via the actor pool —
-    the SQL-checkable twin of ``media_feature_pipeline``."""
+    """'image' payloads → scalar decode stats — the SQL-checkable
+    twin of ``media_feature_pipeline``.  Task-pool instance by
+    default (stateless fake); ``concurrency`` pins an actor pool."""
     images = media.filter(expr="kind == 'image'")
+    if concurrency is None:
+        return images.map_batches(
+            MediaStatFeatures(),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     return images.map_batches(
         MediaStatFeatures,
         batch_format="pyarrow",
@@ -472,9 +495,20 @@ class MediaHeaderProbe:
 
 def media_probe_pipeline(
     media: ray.data.Dataset,
-    concurrency: int | tuple[int, int] = (1, 4),
+    concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 64,
 ) -> ray.data.Dataset:
+    """Header probing is a STATELESS byte parser, so the default is a
+    plain task-pool ``map_batches`` with a callable instance — the
+    (1, 4) actor pool this replaced was ramp-bound (3.0 s at sf0.1
+    for pure header parsing; the repo's fork-smoke A/B pins ~2.6x
+    autoscale-ramp tax for stateless scans)."""
+    if concurrency is None:
+        return media.map_batches(
+            MediaHeaderProbe(),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     return media.map_batches(
         MediaHeaderProbe,
         batch_format="pyarrow",
