@@ -37,8 +37,15 @@ Scale shape (the parts that move at 10M+ events — measured 156 s ->
   each of which is just a gather + integer ``reduceat`` + a two-level
   dense-vector reduce (node-sized, never edge-sized);
 - the driver holds only node vectors (rank, degree), the broadcast
-  bound every lookup in this repo shares (10^8 nodes ~ 1.6 GB; an
-  edge-partitioned rank join is the fallback past that).
+  bound every lookup in this repo shares (10^8 nodes ~ 1.6 GB); past
+  ``max_driver_nodes`` the op automatically switches to the SHARDED
+  path (:func:`_pagerank_sharded`): node ids/rank/degree vectors are
+  hash-sharded across plasma objects, each iteration runs per
+  (edge-block x src-shard) piece tasks that read ONLY their shard's
+  rank vector and emit sparse per-dst-shard partials, and the result
+  comes back as a ``ray.data.Dataset`` — the driver never holds a
+  node-sized array.  Identical fixed-point arithmetic, so the two
+  paths agree bit-for-bit (pytest-pinned).
 """
 
 from __future__ import annotations
@@ -204,7 +211,9 @@ def pagerank_events(
     damping_den: int = 100,
     scale: int = 10 ** 12,
     n_parts: int = 64,
-) -> pa.Table:
+    max_driver_nodes: int | None = 100_000_000,
+    n_shards: int = 16,
+) -> pa.Table | ray.data.Dataset:
     """Fixed-point PageRank over the derived bipartite click/view
     graph.  Returns one row per node: ``(node_id, kind, rank,
     score)`` with ``rank`` the exact int64 micro-unit value and
@@ -225,16 +234,24 @@ def pagerank_events(
     out = pagerank_edges(
         edges, n_iter=n_iter, damping_num=damping_num,
         damping_den=damping_den, scale=scale, dedup=False,
+        max_driver_nodes=max_driver_nodes, n_shards=n_shards,
     )
-    kind = np.where(
-        out["node_id"].to_numpy(zero_copy_only=False) >= ITEM_BASE,
-        "item", "user")
-    return pa.table({
-        "node_id": out["node_id"],
-        "kind": pa.array(kind, pa.string()),
-        "rank": out["rank"],
-        "score": out["score"],
-    })
+
+    def _with_kind(t: pa.Table) -> pa.Table:
+        kind = np.where(
+            t["node_id"].to_numpy(zero_copy_only=False) >= ITEM_BASE,
+            "item", "user")
+        return pa.table({
+            "node_id": t["node_id"],
+            "kind": pa.array(kind, pa.string()),
+            "rank": t["rank"],
+            "score": t["score"],
+        })
+
+    if isinstance(out, ray.data.Dataset):  # sharded fallback engaged
+        return out.map_batches(
+            _with_kind, batch_format="pyarrow", batch_size=None)
+    return _with_kind(out)
 
 
 def pagerank_edges(
@@ -245,7 +262,9 @@ def pagerank_edges(
     scale: int = 10 ** 12,
     n_parts: int = 64,
     dedup: bool = True,
-) -> pa.Table:
+    max_driver_nodes: int | None = 100_000_000,
+    n_shards: int = 16,
+) -> pa.Table | ray.data.Dataset:
     """Fixed-point PageRank over an arbitrary directed edge table —
     the generic entry for user-supplied graphs (host link graphs,
     dependency graphs): a Dataset with int64 ``src``/``dst`` columns.
@@ -253,7 +272,16 @@ def pagerank_edges(
     collapse first; pass ``dedup=False`` only when the input is
     already globally distinct.  Returns ``(node_id, rank, score)``
     (exact int64 micro-units + the one-division double), same
-    exchange design as the module docstring."""
+    exchange design as the module docstring.
+
+    Scale routing: when the node count can exceed ``max_driver_nodes``
+    (judged by the cheap sum of per-block distinct counts — an upper
+    bound, so the switch can only be conservative) the computation
+    runs sharded (:func:`_pagerank_sharded`) and the result comes
+    back as a ``ray.data.Dataset`` with the same three columns in
+    shard order — the driver never materializes a node-sized vector.
+    Both paths are bit-identical fixed-point. ``max_driver_nodes=None``
+    pins the dense path."""
     ensure_worker_importable()
 
     if dedup:
@@ -292,6 +320,13 @@ def pagerank_edges(
     edges = edges.materialize()
     refs = edges.to_arrow_refs()
 
+    if max_driver_nodes is not None:
+        ub = sum(ray.get([_block_node_count.remote(r) for r in refs]))
+        if ub > max_driver_nodes:
+            return _pagerank_sharded(
+                refs, n_iter, damping_num, damping_den, scale,
+                n_shards)
+
     node_ids = np.array([], np.int64)
     for arr in ray.get([_block_nodes.remote(r) for r in refs]):
         node_ids = np.union1d(node_ids, arr)
@@ -329,3 +364,190 @@ def pagerank_edges(
 @ray.remote
 def _deg_of(prep) -> np.ndarray:
     return prep[3]
+
+
+# --------------------------------------------------------------------
+# Sharded path: node vectors hash-sharded across plasma, driver holds
+# only refs — the past-max_driver_nodes fallback.
+# --------------------------------------------------------------------
+
+def _shard_of(ids: np.ndarray, n_shards: int) -> np.ndarray:
+    return (
+        (ids.astype(np.uint64) * _MIX) >> np.uint64(33)
+    ) % np.uint64(n_shards)
+
+
+@ray.remote
+def _block_node_count(tab: pa.Table) -> int:
+    if tab.num_rows == 0 or "src" not in tab.column_names:
+        return 0
+    return len(np.union1d(
+        tab["src"].to_numpy(zero_copy_only=False),
+        tab["dst"].to_numpy(zero_copy_only=False),
+    ))
+
+
+@ray.remote
+def _block_node_shards(tab: pa.Table, n_shards: int):
+    """One edge block's distinct node ids, split by hash shard."""
+    if tab.num_rows == 0 or "src" not in tab.column_names:
+        return [np.array([], np.int64)] * n_shards
+    nodes = np.union1d(
+        tab["src"].to_numpy(zero_copy_only=False),
+        tab["dst"].to_numpy(zero_copy_only=False),
+    )
+    sh = _shard_of(nodes, n_shards)
+    return [nodes[sh == k] for k in range(n_shards)]
+
+
+@ray.remote
+def _union_sorted(*arrs: np.ndarray) -> np.ndarray:
+    if not arrs:
+        return np.array([], np.int64)
+    return np.unique(np.concatenate(arrs))
+
+
+@ray.remote
+def _piece_prep(tab: pa.Table, ids_k: np.ndarray, k: int,
+                n_shards: int):
+    """Per (edge block, src shard) piece index: positions of srcs in
+    the shard's sorted id array, dst run boundaries + run node ids,
+    and the piece's dense out-degree partial over the shard."""
+    nk = len(ids_k)
+    if tab.num_rows == 0 or "src" not in tab.column_names:
+        e = np.array([], np.int64)
+        return e, e, e, np.zeros(nk, np.int64)
+    src = tab["src"].to_numpy(zero_copy_only=False)
+    dst = tab["dst"].to_numpy(zero_copy_only=False)
+    sel = _shard_of(src, n_shards) == np.uint64(k)
+    src, dst = src[sel], dst[sel]
+    if not len(src):
+        e = np.array([], np.int64)
+        return e, e, e, np.zeros(nk, np.int64)
+    si = np.searchsorted(ids_k, src).astype(np.int64)
+    order = np.argsort(dst, kind="stable")
+    dst_sorted = dst[order]
+    runs = np.flatnonzero(np.concatenate(
+        ([True], dst_sorted[1:] != dst_sorted[:-1])))
+    deg = np.bincount(si, minlength=nk).astype(np.int64)
+    return si[order], dst_sorted[runs], runs, deg
+
+
+@ray.remote
+def _shard_rdd(rank: np.ndarray, deg: np.ndarray) -> np.ndarray:
+    return rank // np.maximum(deg, 1)
+
+
+@ray.remote
+def _piece_contrib_sharded(prep, rdd_k: np.ndarray, n_shards: int):
+    """One piece's iteration partial: integer reduceat per dst run,
+    emitted as SPARSE (dst_id, sum) arrays split by dst shard."""
+    si, dst_ids, starts, _ = prep
+    if not len(si):
+        e = np.array([], np.int64)
+        return [(e, e)] * n_shards
+    sums = np.add.reduceat(rdd_k[si], starts)
+    sh = _shard_of(dst_ids, n_shards)
+    return [(dst_ids[sh == j], sums[sh == j]) for j in range(n_shards)]
+
+
+@ray.remote
+def _shard_new_rank(ids_j: np.ndarray, base: int, num: int, den: int,
+                    *sparse) -> np.ndarray:
+    s = np.zeros(len(ids_j), np.int64)
+    for dst_ids, sums in sparse:
+        if len(dst_ids):
+            np.add.at(s, np.searchsorted(ids_j, dst_ids), sums)
+    return base + num * s // den
+
+
+@ray.remote
+def _shard_table(ids_j: np.ndarray, rank_j: np.ndarray,
+                 scale: int) -> pa.Table:
+    return pa.table({
+        "node_id": pa.array(ids_j, pa.int64()),
+        "rank": pa.array(rank_j, pa.int64()),
+        "score": pa.array(rank_j.astype(np.float64) / float(scale)),
+    })
+
+
+def _pagerank_sharded(
+    refs: list,
+    n_iter: int,
+    damping_num: int,
+    damping_den: int,
+    scale: int,
+    n_shards: int,
+) -> ray.data.Dataset:
+    """Edge-partitioned fixed-point PageRank: node id/rank/degree
+    vectors live as ``n_shards`` hash shards in plasma; every
+    per-iteration task touches one (edge block, src shard) piece and
+    one shard's rank vector.  Bit-identical to the dense path (int64
+    partial sums are order-independent).  Returns a Dataset — node
+    order is sharded, not globally sorted."""
+    K = n_shards
+    block_shards = [
+        _block_node_shards.options(num_returns=K).remote(r, K)
+        for r in refs
+    ]
+    ids_refs = [
+        _union_sorted.remote(*[bs[k] for bs in block_shards])
+        for k in range(K)
+    ]
+    sizes = ray.get([_len_of.remote(i) for i in ids_refs])
+    n_nodes = int(sum(sizes))
+    if n_nodes == 0:
+        return ray.data.from_arrow(pa.table({
+            "node_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }))
+
+    preps = [
+        [_piece_prep.remote(r, ids_refs[k], k, K) for r in refs]
+        for k in range(K)
+    ]
+    deg_refs = [
+        _dense_sum.remote(*[_deg_of.remote(p) for p in preps[k]])
+        for k in range(K)
+    ]
+    base = ((damping_den - damping_num) * scale
+            // damping_den) // n_nodes
+    rank_refs = [
+        _full_vec.remote(ids_refs[k], scale // n_nodes)
+        for k in range(K)
+    ]
+    for _ in range(n_iter):
+        rdd_refs = [
+            _shard_rdd.remote(rank_refs[k], deg_refs[k])
+            for k in range(K)
+        ]
+        piece_outs = [
+            [
+                _piece_contrib_sharded.options(num_returns=K).remote(
+                    p, rdd_refs[k], K)
+                for p in preps[k]
+            ]
+            for k in range(K)
+        ]
+        rank_refs = [
+            _shard_new_rank.remote(
+                ids_refs[j], base, damping_num, damping_den,
+                *[po[j] for k in range(K) for po in piece_outs[k]],
+            )
+            for j in range(K)
+        ]
+    return ray.data.from_arrow_refs([
+        _shard_table.remote(ids_refs[k], rank_refs[k], scale)
+        for k in range(K)
+    ])
+
+
+@ray.remote
+def _len_of(arr: np.ndarray) -> int:
+    return len(arr)
+
+
+@ray.remote
+def _full_vec(ids: np.ndarray, value: int) -> np.ndarray:
+    return np.full(len(ids), value, dtype=np.int64)

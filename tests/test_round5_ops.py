@@ -171,3 +171,58 @@ def test_token_bag_budget_fallback_identical(ray_session, monkeypatch):
     import pandas as pd
     pd.testing.assert_frame_equal(fb_pairs, base_pairs)
     pd.testing.assert_frame_equal(fb_clusters, base_clusters)
+
+
+def test_pagerank_sharded_matches_dense(ray_session):
+    """The edge-partitioned sharded fallback must agree bit-for-bit
+    with the dense driver-vector path (fixed-point int64 sums are
+    order-independent) and return a Dataset."""
+    import ray.data
+
+    from clonebas_ray.ops.graph import pagerank_edges
+
+    rng = np.random.default_rng(20260820)
+    src = rng.integers(0, 400, 3000).astype(np.int64)
+    dst = rng.integers(0, 400, 3000).astype(np.int64)
+    # spread ids so hash shards are non-trivial
+    src = src * 1_000_003 + 7
+    dst = dst * 1_000_003 + 7
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array(src), "dst": pa.array(dst),
+    })).repartition(5)
+
+    dense = pagerank_edges(ds, n_iter=3).to_pandas().sort_values(
+        "node_id").reset_index(drop=True)
+    sharded = pagerank_edges(
+        ds, n_iter=3, max_driver_nodes=1, n_shards=4)
+    import ray.data as rd
+    assert isinstance(sharded, rd.Dataset)
+    sh = sharded.to_pandas().sort_values("node_id").reset_index(
+        drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(sh, dense)
+
+
+def test_pagerank_events_sharded_matches_dense(ray_session):
+    import ray.data
+
+    from clonebas_ray.ops.graph import pagerank_events
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    ds = ray.data.from_arrow(pa.table({
+        "event_type": pa.array(
+            np.where(rng.random(n) < 0.5, "click", "view")),
+        "user_id": pa.array(
+            rng.integers(1, 300, n).astype(np.int64)),
+        "props": pa.array(
+            ['{"k": %d}' % k for k in rng.integers(0, 200, n)]),
+    })).repartition(4)
+    dense = pagerank_events(ds, n_iter=3).to_pandas().sort_values(
+        "node_id").reset_index(drop=True)
+    sharded = pagerank_events(
+        ds, n_iter=3, max_driver_nodes=1, n_shards=4)
+    sh = sharded.to_pandas().sort_values("node_id").reset_index(
+        drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(sh, dense)
