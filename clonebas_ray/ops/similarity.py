@@ -83,6 +83,66 @@ def _topk_with_ties(cos: np.ndarray, k: int) -> np.ndarray:
     return np.flatnonzero(r >= kth)
 
 
+#: query-set kNN entries merge partials on the driver below this many
+#: queries (volume ~ batches * Q * k) and route through
+#: :func:`_merge_topk_distributed` above it — the partial pull, not
+#: the final Q*k result, is what outgrows the driver first.
+_DISTRIBUTED_MERGE_MIN_Q = 1024
+
+
+def _finish_query_topk(
+    partials: ray.data.Dataset,
+    k: int,
+    q_count: int,
+    query_ids: np.ndarray | None = None,
+) -> pa.Table:
+    """Merge per-batch (query_id, vec_id, cosine) top-k partials into
+    the final ranked table, picking driver vs distributed merge by
+    query count.  Both paths share the pinned tie conventions
+    (round-6 cosine desc, candidate id asc), so the output is
+    identical either way (large-Q pytest-pinned)."""
+    if q_count > _DISTRIBUTED_MERGE_MIN_Q:
+        renamed = partials.map_batches(
+            lambda t: t.rename_columns(
+                ["vec_id", "neighbor_id", "cosine"]),
+            batch_format="pyarrow", batch_size=None,
+        )
+        df = _merge_topk_distributed(renamed, k).to_pandas()
+        df = df.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+        qpos = df["vec_id"].to_numpy().astype(np.int64)
+        qid = qpos if query_ids is None else np.asarray(
+            query_ids, np.int64)[qpos]
+        return pa.table({
+            "query_id": pa.array(qid, pa.int64()),
+            "rank": pa.array(
+                df["rank"].to_numpy().astype(np.int64), pa.int64()),
+            "vec_id": pa.array(
+                df["neighbor_id"].to_numpy().astype(np.int64),
+                pa.int64()),
+            "cosine": pa.array(
+                df["cosine"].to_numpy().astype(np.float64),
+                pa.float64()),
+        })
+    df = partials.to_pandas()
+    df["cosine_r"] = df["cosine"].round(6)
+    df = df.sort_values(
+        ["query_id", "cosine_r", "vec_id"],
+        ascending=[True, False, True],
+    )
+    df = df.groupby("query_id", sort=True).head(k).reset_index(
+        drop=True)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    qpos = df["query_id"].to_numpy().astype(np.int64)
+    qid = qpos if query_ids is None else np.asarray(
+        query_ids, np.int64)[qpos]
+    return pa.table({
+        "query_id": pa.array(qid, pa.int64()),
+        "rank": pa.array(df["rank"], pa.int64()),
+        "vec_id": pa.array(df["vec_id"], pa.int64()),
+        "cosine": pa.array(df["cosine_r"], pa.float64()),
+    })
+
+
 def knn_brute(
     vectors: ray.data.Dataset,
     queries: np.ndarray,
@@ -128,22 +188,7 @@ def knn_brute(
     partials = vectors.select_columns([id_col, emb_col]).map_batches(
         local_topk, batch_format="pyarrow"
     )
-    df = partials.to_pandas()
-    df["cosine_r"] = df["cosine"].round(6)
-    df = df.sort_values(
-        ["query_id", "cosine_r", "vec_id"], ascending=[True, False, True]
-    )
-    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    df["rank"] = df.groupby("query_id").cumcount() + 1
-    df["query_id"] = query_ids[df["query_id"].to_numpy()]
-    return pa.table(
-        {
-            "query_id": pa.array(df["query_id"], pa.int64()),
-            "rank": pa.array(df["rank"], pa.int64()),
-            "vec_id": pa.array(df["vec_id"], pa.int64()),
-            "cosine": pa.array(df["cosine_r"], pa.float64()),
-        }
-    )
+    return _finish_query_topk(partials, k, len(qn), query_ids)
 
 
 def train_codebook(
@@ -250,21 +295,7 @@ def ivf_knn(
     partials = vectors.select_columns([id_col, emb_col]).map_batches(
         local_topk, batch_format="pyarrow"
     )
-    df = partials.to_pandas()
-    df["cosine_r"] = df["cosine"].round(6)
-    df = df.sort_values(
-        ["query_id", "cosine_r", "vec_id"], ascending=[True, False, True]
-    )
-    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    df["rank"] = df.groupby("query_id").cumcount() + 1
-    return pa.table(
-        {
-            "query_id": pa.array(df["query_id"], pa.int64()),
-            "rank": pa.array(df["rank"], pa.int64()),
-            "vec_id": pa.array(df["vec_id"], pa.int64()),
-            "cosine": pa.array(df["cosine_r"], pa.float64()),
-        }
-    )
+    return _finish_query_topk(partials, k, len(qn))
 
 
 _EMPTY_PAIRS = pa.table(

@@ -226,3 +226,51 @@ def test_pagerank_events_sharded_matches_dense(ray_session):
         drop=True)
     import pandas as pd
     pd.testing.assert_frame_equal(sh, dense)
+
+
+def test_knn_large_q_distributed_merge_identical(ray_session):
+    """Past _DISTRIBUTED_MERGE_MIN_Q queries the query-set kNN
+    entries must route partial merging through the distributed
+    hash-partitioned merge with output identical to the driver-side
+    merge (same tie conventions)."""
+    import ray.data
+
+    from clonebas_ray.ops import similarity as sim
+
+    rng = np.random.default_rng(3)
+    n, d = 500, 8
+    emb = rng.normal(size=(n, d))
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(
+            [list(map(float, e)) for e in emb],
+            pa.list_(pa.float64())),
+    })).repartition(4)
+    queries = rng.normal(size=(40, d))
+
+    small = sim.knn_brute(ds, queries, k=5).to_pandas()
+    orig = sim._DISTRIBUTED_MERGE_MIN_Q
+    try:
+        sim._DISTRIBUTED_MERGE_MIN_Q = 1  # force the distributed path
+        large = sim.knn_brute(ds, queries, k=5).to_pandas()
+        ivf_small = None
+    finally:
+        sim._DISTRIBUTED_MERGE_MIN_Q = orig
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        large.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        small.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
+
+    ivf_small = sim.ivf_knn(ds, queries, k=5, n_lists=16).to_pandas()
+    try:
+        sim._DISTRIBUTED_MERGE_MIN_Q = 1
+        ivf_large = sim.ivf_knn(ds, queries, k=5, n_lists=16).to_pandas()
+    finally:
+        sim._DISTRIBUTED_MERGE_MIN_Q = orig
+    pd.testing.assert_frame_equal(
+        ivf_large.sort_values(["query_id", "rank"]).reset_index(
+            drop=True),
+        ivf_small.sort_values(["query_id", "rank"]).reset_index(
+            drop=True),
+    )
