@@ -301,7 +301,7 @@ class WordExtractor:
             toks = tokenize(src)
             spans = None
         open_blocks: list[dict] = []
-        next_block_id = 0
+        id_cell = [0]
         pending_kind = 8  # FP_FixedCompStmt
         n = len(toks)
         i = 0
@@ -489,11 +489,11 @@ class WordExtractor:
                             cond, j = hdr
                             # exact replay needs the body brace (an
                             # unbraced switch body keeps the legacy
-                            # inline path) and file mode (block w0/w1
-                            # ranges can't survive the rewrite)
+                            # inline path); since round 5 BLOCK mode
+                            # replays exactly too — the rewrite
+                            # remaps/duplicates nested block ranges
                             exact = (
-                                blocks is None
-                                and j + 1 < n
+                                j + 1 < n
                                 and toks[j + 1][1] == "{"
                             )
                             switch_stack.append(
@@ -749,6 +749,25 @@ class WordExtractor:
                         fr["awaiting_brace"] = False
                         fr["body_w0"] = len(out)
                         fr["pend_w0"] = len(out)
+                        if blocks is not None:
+                            # the switch itself is ONE selection
+                            # fingerprint node spanning the desugared
+                            # units (ctree _fix_switch's K_SEL; unit
+                            # compounds are gen_fp=false) — open its
+                            # block here, but with NO compound word
+                            open_blocks.append(
+                                {
+                                    "block_id": id_cell[0],
+                                    "parent_id": (
+                                        open_blocks[-1]["block_id"]
+                                        if open_blocks else -1
+                                    ),
+                                    "fp_type": 9,
+                                    "begin": spans[i][0],
+                                    "w0": len(out),
+                                }
+                            )
+                            id_cell[0] += 1
                         pending_kind = 8
                         brace_depth += 1
                         brace_inc_stack.append(pending_for_inc)
@@ -761,7 +780,7 @@ class WordExtractor:
                     if blocks is not None:
                         open_blocks.append(
                             {
-                                "block_id": next_block_id,
+                                "block_id": id_cell[0],
                                 "parent_id": (
                                     open_blocks[-1]["block_id"]
                                     if open_blocks else -1
@@ -771,7 +790,7 @@ class WordExtractor:
                                 "w0": len(out),
                             }
                         )
-                        next_block_id += 1
+                        id_cell[0] += 1
                     pending_kind = 8
                     out.append(self.comp_word)
                     brace_depth += 1
@@ -820,7 +839,8 @@ class WordExtractor:
                                     fr_c["events"].append(
                                         ("stmt", fr_c["pend_w0"], len(out))
                                     )
-                                self._replay_switch(fr_c, out)
+                                self._replay_switch(
+                                    fr_c, out, blocks, id_cell)
                         # leaving a scope invalidates per-depth state
                         # recorded inside it — a stale do entry would
                         # misread a later while as a do-tail, a stale
@@ -900,7 +920,7 @@ class WordExtractor:
                     )
                 if fr_c["labels"]:
                     fr_c["events"].append(("unit", fr_c["labels"]))
-                self._replay_switch(fr_c, out)
+                self._replay_switch(fr_c, out, blocks, id_cell)
         if blocks is not None:
             # unbalanced braces: close remaining blocks at EOF
             while open_blocks:
@@ -909,7 +929,9 @@ class WordExtractor:
                 b["w1"] = len(out)
                 blocks.append(b)
 
-    def _replay_switch(self, fr: dict, out: list[str]) -> None:
+    def _replay_switch(self, fr: dict, out: list[str],
+                       blocks: list[dict] | None = None,
+                       id_cell: list[int] | None = None) -> None:
         """Rewrite a captured switch body into the reference's exact
         unit serialization (``SimplifySwitchStatement``,
         ``FixedChecker.cpp:114-238``).
@@ -935,10 +957,26 @@ class WordExtractor:
           (FixedChecker.cpp:218-224).
 
         Remaining units flush at the end (FixedChecker.cpp:230-236).
+
+        BLOCK MODE (``blocks``/``id_cell`` given, round 5): the
+        reference SHARES statement nodes across units, so a nested
+        fingerprint block inside a fall-through region is re-visited
+        (and re-fingerprinted) once per unit — here each stmt copy
+        duplicates the nested block dicts with fresh pre-order ids,
+        remapped ``w0``/``w1`` ranges into the rewritten stream, and
+        in-copy parent links (parents outside the switch keep their
+        ids); statements that DROP (before the first label / in an
+        empty-bodied unit) drop their nested blocks with them.
         """
         b0 = fr["body_w0"]
         seg = out[b0:]
         del out[b0:]
+        nested: list[dict] = []
+        if blocks is not None:
+            keep = []
+            for b in blocks:
+                (nested if b["w0"] >= b0 else keep).append(b)
+            blocks[:] = keep
         open_units: list[dict] = []
         all_conds: list[list[str]] = []
         emitted: list[str] = []
@@ -954,7 +992,27 @@ class WordExtractor:
                     continue
                 emitted.extend(u["cond"])
                 emitted.append(self.comp_word)
+                body_abs = b0 + len(emitted)
                 emitted.extend(u["body"])
+                if blocks is not None and u["blocks"]:
+                    # two passes: ids first (a duplicated child's
+                    # parent may itself be duplicated and, in the
+                    # post-order capture, closes AFTER the child)
+                    idmap = {}
+                    for b, shift in u["blocks"]:
+                        idmap[b["block_id"]] = id_cell[0]
+                        id_cell[0] += 1
+                    for b, shift in u["blocks"]:
+                        blocks.append({
+                            "block_id": idmap[b["block_id"]],
+                            "parent_id": idmap.get(
+                                b["parent_id"], b["parent_id"]),
+                            "fp_type": b["fp_type"],
+                            "begin": b["begin"],
+                            "end": b["end"],
+                            "w0": body_abs + (b["w0"] - b0) + shift,
+                            "w1": body_abs + (b["w1"] - b0) + shift,
+                        })
             open_units.clear()
 
         for ev in fr["events"]:
@@ -965,7 +1023,8 @@ class WordExtractor:
                 for l0, l1 in reversed(labels):
                     cond.extend(seg[l0 - b0:l1 - b0])
                 all_conds.append(cond)
-                open_units.append({"cond": cond, "body": []})
+                open_units.append(
+                    {"cond": cond, "body": [], "blocks": []})
             elif tag == "defunit":
                 if all_conds:
                     cond = ["UnaryOperator UO_!"]
@@ -975,11 +1034,24 @@ class WordExtractor:
                     for c in reversed(all_conds):
                         cond += c
                     all_conds = []
-                    open_units.append({"cond": cond, "body": []})
+                    open_units.append(
+                        {"cond": cond, "body": [], "blocks": []})
             elif tag == "stmt":
                 words = seg[ev[1] - b0:ev[2] - b0]
+                tmpl = (
+                    [b for b in nested
+                     if ev[1] <= b["w0"] and b["w1"] <= ev[2]]
+                    if blocks is not None else []
+                )
                 for u in open_units:
+                    off = len(u["body"])
                     u["body"].extend(words)
+                    # shift maps an old-stream range into this copy's
+                    # body-relative position: body_rel = (w - b0) +
+                    # shift with shift = off - (ev_w0 - b0)
+                    sh = off - (ev[1] - b0)
+                    for b in tmpl:
+                        u["blocks"].append((b, sh))
             else:  # break
                 flush()
         flush()

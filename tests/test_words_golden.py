@@ -153,16 +153,49 @@ def test_precase_statements_and_caseless_default_drop():
     assert _w(src) == [SEL]
 
 
-def test_block_mode_keeps_single_emission():
-    # block mode cannot express shared statement nodes — documented
-    # approximation: one emission per stmt, BreakStmt words kept
+def test_block_mode_exact_fall_through_replay():
+    # round 5: block mode runs the SAME exact SimplifySwitchStatement
+    # replay as file mode — b() falls through into BOTH units (shared
+    # stmt nodes duplicate, HandleSwitchNoramlStmt), the top-level
+    # break is consumed without a word, and the switch's selection
+    # block serializes identically to the file-mode word stream
     from clonebas_ray.functions.words import WordExtractor
 
     src = "void f() { switch (x) { case 1: a(); case 2: b(); break; } }"
-    blocks = WordExtractor("cpp").extract_blocks(src)
+    ex = WordExtractor("cpp")
+    blocks = ex.extract_blocks(src)
     sel = next(b for b in blocks if b["fp_type"] == 9)
-    assert sel["words"].count("CallExpr") == 2  # no duplication
-    assert "BreakStmt" in sel["words"]
+    assert sel["words"].count("CallExpr") == 3  # a, b, b
+    assert "BreakStmt" not in sel["words"]
+    # file mode = enclosing compound words; the selection block is the
+    # contiguous tail after its own selection word
+    # (the function-header words precede the outer block's brace)
+    file_words = ex.extract(src)
+    outer = next(b for b in blocks if b["parent_id"] == -1)
+    assert outer["words"] == file_words[-len(outer["words"]):]
+    assert sel["words"] == file_words[-len(sel["words"]):]
+
+
+def test_block_mode_duplicated_nested_blocks_share_span():
+    # a nested fingerprint block inside a fall-through region is
+    # re-fingerprinted once per unit: fresh ids, same char span,
+    # in-copy parent links
+    from clonebas_ray.functions.words import WordExtractor
+
+    src = ("void f() { switch (x) { case 1: a(); case 2: "
+           "{ b(); if (x) { z(); } } break; } }")
+    blocks = WordExtractor("cpp").extract_blocks(src)
+    comps = [b for b in blocks
+             if b["fp_type"] == 8 and b["parent_id"] != -1
+             and "FixedSelectionStmtClass" in b["words"]]
+    assert len(comps) == 2  # one copy per unit
+    assert comps[0]["begin"] == comps[1]["begin"]
+    assert comps[0]["words"] == comps[1]["words"]
+    assert comps[0]["block_id"] != comps[1]["block_id"]
+    ifs = [b for b in blocks if b["fp_type"] == 9
+           and len(b["words"]) == 3]
+    assert {b["parent_id"] for b in ifs} == {
+        b["block_id"] for b in comps}
 
 
 def test_empty_unit_drops_cond_and_compound():
