@@ -46,8 +46,19 @@ Type rules (Clang semantics for the subset):
   documented divergence from a whole-program frontend, pinned by the
   golden sequences.
 
-Constructs outside the subset (templates, lambdas, class bodies,
-goto labels, preprocessor conditionals mid-statement...) raise
+Round-5 subset extensions: class/struct bodies with fields, in-class
+method/ctor/dtor definitions and access specifiers (CXXRecordDecl /
+FieldDecl / CXXMethodDecl / CXXConstructorDecl / CXXDestructorDecl /
+AccessSpecDecl, Clang names; member types feed MemberExpr inference
+through the per-record table), and simple type-param templates
+(FunctionTemplateDecl / ClassTemplateDecl; template-param-typed
+expressions carry Clang's BuiltinType::Dependent, so their operator
+suffix is ``_Builtin``).
+
+Constructs still outside the subset (lambdas, goto labels,
+namespaces, out-of-class member definitions, non-type/defaulted
+template params, explicit template args, ctor init lists,
+preprocessor conditionals mid-statement...) raise
 ``ParseUnsupported``; callers skip the file loudly rather than emit
 approximate types.
 """
@@ -86,6 +97,10 @@ T_BOOL = ("b",)
 T_INT = ("i",)
 T_FLOAT = ("f",)
 T_VOID = ("v",)
+#: template-param-typed (dependent) expressions — Clang gives these
+#: BuiltinType::Dependent, whose TypeClass name is "Builtin", so the
+#: suffix matches the existing non-bool/int/float fallback
+T_DEP = ("d",)
 
 _FLOAT_BASES = {"float", "double"}
 _VOID_BASES = {"void"}
@@ -113,7 +128,10 @@ def _suffix(ty: tuple) -> str:
 
 def _arith(a: tuple, b: tuple) -> tuple:
     """Usual arithmetic conversions over the subset; pointer
-    arithmetic keeps the pointer."""
+    arithmetic keeps the pointer; anything touching a dependent
+    operand stays dependent (no conversions happen pre-instantiation)."""
+    if a[0] == "d" or b[0] == "d":
+        return T_DEP
     if a[0] == "p" or a[0] == "a":
         return ("p", a[1]) if a[0] == "a" else a
     if b[0] == "p" or b[0] == "a":
@@ -176,6 +194,12 @@ class _Parser:
         self.bool_t = T_INT if lang == "c" else T_BOOL
         self.scopes: list[dict] = [{}]
         self.funcs: dict[str, tuple] = {}
+        # user type names: record names -> ("rec", name), in-scope
+        # template params -> T_DEP
+        self.type_names: dict[str, tuple] = {}
+        # per-record member table (fields AND method return types;
+        # members visible to later members only — greedy, documented)
+        self.records: dict[str, dict[str, tuple]] = {}
 
     # -- token helpers --
     def peek(self, k: int = 0):
@@ -223,7 +247,9 @@ class _Parser:
     # -- type specifiers --
     def _is_type_start(self) -> bool:
         kind, text = self.peek()
-        return kind == IDENT and (text in C_TYPES or text == "struct")
+        return kind == IDENT and (
+            text in C_TYPES or text == "struct"
+            or text in self.type_names)
 
     def parse_type(self) -> tuple:
         """[qualifiers] base [base...] [*]* — returns the base type
@@ -245,6 +271,11 @@ class _Parser:
                 if self.peek()[0] == IDENT:
                     self.eat()
                 base = ("rec",)
+                seen = True
+                continue
+            if text in self.type_names:
+                self.eat()
+                base = self.type_names[text]
                 seen = True
                 continue
             if text in C_TYPES:
@@ -339,7 +370,9 @@ class _Parser:
             self.eat()
             rhs = self.parse_binary(lvl + 1)
             if text in ("&&", "||") or text in _EQ_OPS or text in _REL_OPS:
-                ty = self.bool_t
+                # a dependent operand keeps the whole expr dependent
+                ty = (T_DEP if (node.ty[0] == "d" or rhs.ty[0] == "d")
+                      else self.bool_t)
             elif text in _SHIFT_OPS:
                 ty = _decay(node.ty)
             else:
@@ -353,7 +386,9 @@ class _Parser:
         if kind == OP and text in ("!", "~", "-", "+", "++", "--", "*", "&"):
             self.eat()
             sub = self.parse_unary()
-            if text == "!":
+            if sub.ty[0] == "d":
+                ty = T_DEP
+            elif text == "!":
                 ty = self.bool_t
             elif text == "*":
                 t = _decay(sub.ty)
@@ -413,10 +448,14 @@ class _Parser:
                         self.eat()
                         args.append(self.parse_assign())
                 self.expect(")")
-                # callee name → declared return type, else int
+                # callee name → declared return type, else int; a
+                # member callee already carries the method's return
+                # type from the record table
                 ty = T_INT
                 if node.kind == "DeclRefExpr" and node.op in self.funcs:
                     ty = self.funcs[node.op]
+                elif node.kind == "MemberExpr":
+                    ty = node.ty
                 node = Node("CallExpr", [node] + args, ty, None,
                             (node.span[0], self.spans[self.i - 1][1]))
             elif text == "[":
@@ -424,17 +463,32 @@ class _Parser:
                 idx = self.parse_expr()
                 self.expect("]")
                 t = _decay(node.ty)
-                ty = t[1] if t[0] in ("p", "a") else T_INT
+                if t[0] == "d":
+                    ty = T_DEP
+                else:
+                    ty = t[1] if t[0] in ("p", "a") else T_INT
                 node = Node("ArraySubscriptExpr", [node, idx], ty, None,
                             (node.span[0], self.spans[self.i - 1][1]))
             elif text in (".", "->", "->*"):
                 self.eat()
-                kind2, name = self.peek()
+                kind2, mname = self.peek()
                 if kind2 != IDENT:
                     raise ParseUnsupported("member name expected")
                 self.eat()
-                # member types unknown in the subset → int default
-                node = Node("MemberExpr", [node], T_INT, name,
+                # member type from the record table when the base is a
+                # known record (possibly through one pointer level);
+                # dependent base stays dependent; else the documented
+                # int default
+                bt = node.ty
+                if bt[0] in ("p", "a"):
+                    bt = bt[1]
+                if bt[0] == "rec" and len(bt) > 1:
+                    mty = self.records.get(bt[1], {}).get(mname, T_INT)
+                elif bt[0] == "d":
+                    mty = T_DEP
+                else:
+                    mty = T_INT
+                node = Node("MemberExpr", [node], mty, mname,
                             (node.span[0], self.spans[self.i - 1][1]))
             elif text in ("++", "--"):
                 self.eat()
@@ -548,6 +602,18 @@ class _Parser:
                         self.eat()
                         kids.append(self.parse_assign())
                 self.expect("}")
+            elif self.at("(") and ty[0] == "rec":
+                # constructor paren-init — only for class-typed
+                # declarators, keeping `int g(int);` local prototypes
+                # (and the most-vexing-parse ambiguity) out of the
+                # subset
+                self.eat()
+                if not self.at(")"):
+                    kids = [self.parse_assign()]
+                    while self.at(","):
+                        self.eat()
+                        kids.append(self.parse_assign())
+                self.expect(")")
             decls.append(Node("VarDecl", kids, ty, name))
             if self.at(","):
                 self.eat()
@@ -700,6 +766,17 @@ class _Parser:
                     (0, self.spans[-1][1] if self.spans else 0))
 
     def parse_top_decl(self) -> Node:
+        kind0, text0 = self.peek()
+        if kind0 == IDENT and text0 == "template":
+            return self.parse_template_decl()
+        if kind0 == IDENT and text0 in ("class", "struct"):
+            # record DEFINITION (name then body/base/fwd-semicolon);
+            # `struct Name var;` type USAGE keeps the parse_type path
+            if text0 == "class" or (
+                self.peek(1)[0] == IDENT
+                and self.peek(2)[1] in ("{", ":", ";")
+            ):
+                return self.parse_record_decl()
         i0 = self.i
         base = self.parse_type()
         ty = base
@@ -739,6 +816,207 @@ class _Parser:
         # global variable(s): rewind and reuse decl-stmt parsing
         self.i = i0
         return self.parse_decl_stmt()
+
+    def _parse_param_list(self) -> list[Node]:
+        """Parameters after an already-consumed ``(``; declares each
+        into the current (pushed) scope; consumes the ``)``."""
+        params = []
+        if not self.at(")"):
+            while True:
+                pbase = self.parse_type()
+                pname, pty = self.parse_declarator(pbase)
+                self.declare(pname, pty)
+                params.append(Node("ParmVarDecl", [], pty, pname))
+                if self.at(","):
+                    self.eat()
+                    continue
+                break
+        self.expect(")")
+        return params
+
+    def _parse_member_body(self) -> Node | None:
+        """``;`` (declaration only) → None, else the compound body."""
+        if self.at(";"):
+            self.eat()
+            return None
+        return self.parse_compound()
+
+    def parse_record_decl(self) -> Node:
+        """``class``/``struct`` definition with fields, in-class
+        method/ctor/dtor definitions and access specifiers — Clang
+        node names (CXXRecordDecl / FieldDecl / CXXMethodDecl /
+        CXXConstructorDecl / CXXDestructorDecl / AccessSpecDecl; C
+        input dumps RecordDecl).  Base clauses parse but contribute no
+        nodes (the dump has no base representation in the subset);
+        members see only previously-declared members (greedy,
+        documented like the function table)."""
+        i0 = self.i
+        self.eat()  # class | struct
+        kindname = "RecordDecl" if self.lang == "c" else "CXXRecordDecl"
+        k, rname = self.peek()
+        if k != IDENT:
+            raise ParseUnsupported("record name expected")
+        self.eat()
+        self.type_names[rname] = ("rec", rname)
+        members = self.records.setdefault(rname, {})
+        if self.at(";"):  # forward declaration
+            self.eat()
+            return Node(kindname, [], None, rname, self.span_from(i0))
+        if self.at(":"):  # base clause: consumed, bases not modeled
+            self.eat()
+            while not self.at("{"):
+                if self.peek()[0] is None:
+                    raise ParseUnsupported("eof in base clause")
+                self.eat()
+        self.expect("{")
+        kids: list[Node] = []
+        self.push()
+        while not self.at("}"):
+            km, tm = self.peek()
+            if km is None:
+                raise ParseUnsupported("eof in record body")
+            if km == IDENT and tm in ("public", "private", "protected"):
+                j0 = self.i
+                self.eat()
+                self.expect(":")
+                kids.append(Node("AccessSpecDecl", [], None, tm,
+                                 self.span_from(j0)))
+                continue
+            if km == OP and tm == "~":  # destructor
+                j0 = self.i
+                self.eat()
+                if self.peek()[1] != rname:
+                    raise ParseUnsupported("destructor name")
+                self.eat()
+                self.expect("(")
+                self.expect(")")
+                self.push()
+                self.declare("this", ("p", ("rec", rname)))
+                body = self._parse_member_body()
+                self.pop()
+                kids.append(Node(
+                    "CXXDestructorDecl",
+                    [] if body is None else [body],
+                    T_VOID, "~" + rname, self.span_from(j0)))
+                continue
+            if km == IDENT and tm == rname and self.peek(1)[1] == "(":
+                # constructor (member init lists are out of subset)
+                j0 = self.i
+                self.eat()
+                self.eat()
+                self.push()
+                self.declare("this", ("p", ("rec", rname)))
+                params = self._parse_param_list()
+                if self.at(":"):
+                    raise ParseUnsupported("ctor member init list")
+                body = self._parse_member_body()
+                self.pop()
+                kids.append(Node(
+                    "CXXConstructorDecl",
+                    params + ([body] if body is not None else []),
+                    T_VOID, rname, self.span_from(j0)))
+                continue
+            # field(s) or method: type then declarator
+            j0 = self.i
+            base = self.parse_type()
+            mty = base
+            while self.at("*"):
+                self.eat()
+                mty = ("p", mty)
+            mk, mname = self.peek()
+            if mk != IDENT:
+                raise ParseUnsupported("member declarator expected")
+            self.eat()
+            if self.at("("):  # method
+                self.eat()
+                self.funcs.setdefault(mname, mty)
+                members[mname] = mty
+                self.push()
+                self.declare("this", ("p", ("rec", rname)))
+                params = self._parse_param_list()
+                while self.peek()[1] in ("const", "override",
+                                         "noexcept"):
+                    self.eat()
+                body = self._parse_member_body()
+                self.pop()
+                kids.append(Node(
+                    "CXXMethodDecl",
+                    params + ([body] if body is not None else []),
+                    mty, mname, self.span_from(j0)))
+                continue
+            while True:  # field declarator chain
+                while self.at("["):
+                    self.eat()
+                    if not self.at("]"):
+                        self.parse_expr()
+                    self.expect("]")
+                    mty = ("a", mty)
+                init: list[Node] = []
+                if self.at("="):  # in-class initializer
+                    self.eat()
+                    init = [self.parse_assign()]
+                members[mname] = mty
+                self.declare(mname, mty)
+                kids.append(Node("FieldDecl", init, mty, mname,
+                                 self.span_from(j0)))
+                if self.at(","):
+                    self.eat()
+                    mty = base
+                    while self.at("*"):
+                        self.eat()
+                        mty = ("p", mty)
+                    mk, mname = self.peek()
+                    if mk != IDENT:
+                        raise ParseUnsupported("field name expected")
+                    self.eat()
+                    continue
+                break
+            self.expect(";")
+        self.pop()
+        self.expect("}")
+        self.expect(";")
+        return Node(kindname, kids, None, rname, self.span_from(i0))
+
+    def parse_template_decl(self) -> Node:
+        """``template < (typename|class) NAME [, ...] >`` followed by
+        a function or record definition — FunctionTemplateDecl /
+        ClassTemplateDecl wrapping the inner decl.  Template params
+        register as dependent type names for the inner decl only;
+        non-type params, default arguments and explicit
+        instantiations stay out of the subset."""
+        i0 = self.i
+        self.expect("template")
+        self.expect("<")
+        added: list[tuple[str, tuple | None]] = []
+        while True:
+            k, t = self.peek()
+            if k == IDENT and t in ("typename", "class"):
+                self.eat()
+                k2, pname = self.peek()
+                if k2 != IDENT:
+                    raise ParseUnsupported("template param name")
+                self.eat()
+                added.append((pname, self.type_names.get(pname)))
+                self.type_names[pname] = T_DEP
+            else:
+                raise ParseUnsupported("non-type template param")
+            if self.at(","):
+                self.eat()
+                continue
+            break
+        self.expect(">")
+        try:
+            inner = self.parse_top_decl()
+        finally:
+            for pname, old in added:
+                if old is None:
+                    self.type_names.pop(pname, None)
+                else:
+                    self.type_names[pname] = old
+        wrap = ("ClassTemplateDecl"
+                if inner.kind in ("CXXRecordDecl", "RecordDecl")
+                else "FunctionTemplateDecl")
+        return Node(wrap, [inner], None, inner.op, self.span_from(i0))
 
 
 def parse_translation_unit(src: str, lang: str = "cpp") -> Node:
@@ -952,9 +1230,15 @@ def _node_name(n: Node, opts: dict) -> str:
         return k
     if k in (K_SEL, K_LOOP):
         return k
-    if k in ("VarDecl", "ParmVarDecl", "FunctionDecl"):
-        return "" if opts.get("no_decl") else (
-            "VarDecl" if k != "FunctionDecl" else "FunctionDecl")
+    if k in ("VarDecl", "ParmVarDecl", "FunctionDecl", "FieldDecl",
+             "CXXMethodDecl", "CXXConstructorDecl",
+             "CXXDestructorDecl"):
+        # -nodecl suppresses the declarator family (ParmVarDecl dumps
+        # as VarDecl — the existing pin; the CXX member kinds and
+        # FieldDecl keep their own Clang names)
+        if opts.get("no_decl"):
+            return ""
+        return "VarDecl" if k in ("VarDecl", "ParmVarDecl") else k
     name = k
     if k in ("BinaryOperator", "UnaryOperator"):
         # CompoundAssignOperator's StmtClass is NOT BinaryOperatorClass,

@@ -160,10 +160,12 @@ def test_postorder_is_true_postorder():
 
 
 @pytest.mark.parametrize("src", [
-    "template <typename T> T g(T x) { return x; }",
+    # (simple templates and class bodies joined the subset in r5 —
+    # see the round-5 tests below)
     "void f() { auto g = [](int x) { return x; }; }",
     "void f() { goto done; done: return; }",
-    "class C { int x; };",
+    "namespace ns { int x; }",
+    "void f() { throw 1; }",
 ])
 def test_unsupported_constructs_raise(src):
     with pytest.raises(ParseUnsupported):
@@ -200,3 +202,118 @@ def test_tree_struct_type3_brackets():
     assert s.startswith("FixedCompoundStmtClass [")
     # the selection's cond brackets its literal child
     assert "BinaryOperator_>_Bool [ IntegerLiteral ]" in s
+
+
+# --- round-5 subset extensions: records, methods, templates ---------
+
+
+def test_class_body_members_and_field_types():
+    src = """
+class Counter {
+public:
+  int n;
+  double scale;
+  Counter(int start) { n = start; }
+  ~Counter() { n = 0; }
+  int bump(int d) { n += d; return n * 2; }
+  double value() const { return n * scale; }
+private:
+  int hidden[4];
+};
+int use() {
+  Counter c(1);
+  c.bump(3);
+  return c.n + c.hidden[0];
+}
+"""
+    tree = simplify(parse_translation_unit(src, "cpp"), "cpp")
+    seq = serialize(tree, TY, "pre")
+    s = " ".join(seq)
+    # member kinds keep Clang names; access specifiers dump
+    assert seq.count("AccessSpecDecl") == 2
+    assert seq.count("FieldDecl") == 3
+    assert "CXXConstructorDecl" in s and "CXXDestructorDecl" in s
+    assert seq.count("CXXMethodDecl") == 2
+    # field-type inference: n (int) * scale (double) is floating,
+    # n * 2 integer; member array subscript yields the element type
+    assert "BinaryOperator_*_FloatingPoint" in s
+    assert "BinaryOperator_*_Integer" in s
+    assert "ArraySubscriptExpr_Integer" in s
+    # member access through the record table: c.n + ... is integer
+    assert "BinaryOperator_+_Integer" in s
+    # method call return type feeds the caller (bump -> int)
+    assert "CallExpr MemberExpr" in s
+
+
+def test_method_call_return_type_feeds_expr():
+    src = """
+class Box {
+public:
+  double w;
+  double wide() { return w * 2; }
+};
+double f() { Box b; return b.wide() + 1; }
+"""
+    tree = simplify(parse_translation_unit(src, "cpp"), "cpp")
+    s = " ".join(serialize(tree, TY, "pre"))
+    # wide() returns double -> + is FloatingPoint
+    assert "BinaryOperator_+_FloatingPoint" in s
+
+
+def test_template_function_dependent_builtin_suffix():
+    # Clang types dependent exprs BuiltinType::Dependent — TypeClass
+    # "Builtin" — so operators over template params suffix _Builtin,
+    # NOT _Bool/_Integer
+    src = """
+template <typename T>
+T maxof(T a, T b) {
+  if (a < b) { return b; }
+  return a + a;
+}
+"""
+    tree = simplify(parse_translation_unit(src, "cpp"), "cpp")
+    s = " ".join(serialize(tree, TY, "pre"))
+    assert "FunctionTemplateDecl FunctionDecl" in s
+    assert "BinaryOperator_<_Builtin" in s
+    assert "BinaryOperator_+_Builtin" in s
+
+
+def test_template_class_wraps_record():
+    src = """
+template <class T>
+class Holder {
+public:
+  T item;
+  T get() { return item; }
+};
+"""
+    tree = simplify(parse_translation_unit(src, "cpp"), "cpp")
+    s = " ".join(serialize(tree, TY, "pre"))
+    assert s.startswith("ClassTemplateDecl CXXRecordDecl")
+    assert "CXXMethodDecl" in s
+
+
+def test_no_decl_suppresses_member_decl_kinds():
+    src = """
+class P {
+public:
+  int x;
+  int get() { return x + 1; }
+};
+"""
+    tree = simplify(parse_translation_unit(src, "cpp"), "cpp")
+    opts = dict(TY)
+    opts["no_decl"] = True
+    s = " ".join(serialize(tree, opts, "pre"))
+    assert "CXXMethodDecl" not in s and "FieldDecl" not in s
+    assert "CXXRecordDecl" in s  # the record itself is not a declarator
+
+
+def test_record_subset_still_raises_outside():
+    for src in (
+        "class X { void m(); };\nvoid X::m() { }",   # out-of-class def
+        "template <int N> int f() { return N; }",    # non-type param
+        "class Y { Y() : x(1) { } int x; };",        # ctor init list
+    ):
+        with pytest.raises(ParseUnsupported):
+            parse_translation_unit(src, "cpp")
