@@ -392,14 +392,24 @@ def test_type_suffix_options_route_to_typed_frontend():
     assert "ArraySubscriptExpr_FloatingPoint" in joined
     assert "BinaryOperator_>_Bool" in joined
 
-    tmpl = pa.table({"content": ["template <typename T> T g(T x) "
-                                 "{ return x; }"],
-                     "lang": ["cpp"], "sha": ["s2"]})
+    # simple templates joined the subset in r5: dependent-typed
+    # operators suffix _Builtin (BuiltinType::Dependent)
+    tmpl = pa.table({"content": [
+        "template <typename T> T g(T a, T b) "
+        "{ if (a < b) { a = b; b = a; a = b; b = a; a = b; } "
+        "return a + b; }"],
+        "lang": ["cpp"], "sha": ["s2"]})
+    tr = act(tmpl).to_pylist()
+    assert any("BinaryOperator_<_Builtin" in r["preseq"] for r in tr)
+
+    lam = pa.table({"content": ["void f() { auto g = [](int x) "
+                                "{ return x; }; }"],
+                    "lang": ["cpp"], "sha": ["s3"]})
     with _pytest.raises(ParseUnsupported):
-        act(tmpl)
+        act(lam)
     act_skip = SequenceActor(
         seq_opts={"op_node_type": True}, on_unsupported="skip")
-    assert len(act_skip(tmpl)) == 0
+    assert len(act_skip(lam)) == 0
 
 
 def test_gen_seq_export_mode(tmp_path, ray_session):
