@@ -274,3 +274,34 @@ def test_knn_large_q_distributed_merge_identical(ray_session):
         ivf_small.sort_values(["query_id", "rank"]).reset_index(
             drop=True),
     )
+
+
+def test_token_bag_fallback_randomized_property(ray_session, monkeypatch):
+    """Randomized corpus (seeded, boilerplate-heavy): lookup path and
+    forced-budget join-fallback path emit the identical pair set."""
+    import ray.data
+
+    from clonebas_ray.ops import text_dedup as td
+    from clonebas_ray.ops.code_corpus import token_bag_clones
+
+    rng = np.random.default_rng(20260820)
+    vocab = [f"tok{i}" for i in range(40)]
+    files = []
+    for i in range(60):
+        n = int(rng.integers(1, 30))
+        toks = rng.choice(vocab[: int(rng.integers(5, 40))], size=n)
+        files.append((f"r{i % 7}/f{i}.c", " ".join(toks)))
+    files += [(f"dup/f{j}.c", files[0][1]) for j in range(3)]
+    ds = ray.data.from_arrow(pa.table({
+        "repo": pa.array([k.split("/")[0] for k, _ in files]),
+        "path": pa.array([k.split("/", 1)[1] for k, _ in files]),
+        "content": pa.array([c for _, c in files]),
+    })).repartition(4)
+
+    base = (token_bag_clones(ds).to_pandas()
+            .sort_values(["key_a", "key_b"]).reset_index(drop=True))
+    monkeypatch.setattr(td, "_VERIFY_LOOKUP_BUDGET", 0)
+    fb = (token_bag_clones(ds).to_pandas()
+          .sort_values(["key_a", "key_b"]).reset_index(drop=True))
+    import pandas as pd
+    pd.testing.assert_frame_equal(fb, base)
