@@ -305,3 +305,35 @@ def test_token_bag_fallback_randomized_property(ray_session, monkeypatch):
           .sort_values(["key_a", "key_b"]).reset_index(drop=True))
     import pandas as pd
     pd.testing.assert_frame_equal(fb, base)
+
+
+def test_block_mode_consistent_with_file_mode_on_goldens():
+    """Since both modes share the exact switch replay (r5), every
+    golden-input source must satisfy: the block-mode top-level blocks'
+    word slices are contiguous sub-slices of the file-mode stream, and
+    the concatenation of top-level block words is a SUFFIX-closed
+    subsequence — concretely, each top-level block's words appear
+    verbatim in the file stream."""
+    import json
+    import os
+
+    from clonebas_ray.functions.words import WordExtractor
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    srcs = json.load(open(os.path.join(here, "golden_words_inputs.json")))
+    ex = WordExtractor("cpp", ast_opt=True)
+
+    def contains(hay, needle):
+        if not needle:
+            return True
+        n = len(needle)
+        return any(hay[i:i + n] == needle
+                   for i in range(len(hay) - n + 1))
+
+    for name, src in srcs.items():
+        file_words = ex.extract(src)
+        blocks = ex.extract_blocks(src)
+        for b in blocks:
+            assert contains(file_words, b["words"]), (
+                f"{name}: block {b['block_id']} words not found in "
+                f"file-mode stream")
