@@ -99,22 +99,25 @@ def _read_shard_hashes(store_dir: str, shard: int) -> np.ndarray:
     return pa.concat_tables(tables)["h"].to_numpy(zero_copy_only=False)
 
 
-def _append_shard(store_dir: str, shard: int, hashes: np.ndarray) -> None:
+def _append_shard(store_dir: str, shard: int,
+                  hashes: np.ndarray) -> str | None:
     """Atomic, idempotent append: the part file is named by the hash
     of its (sorted, distinct) content, so the same contribution from a
-    re-run lands on the same name instead of growing the store."""
+    re-run lands on the same name instead of growing the store.
+    Returns the part path (None for an empty contribution)."""
     if len(hashes) == 0:
-        return
+        return None
     hashes = np.unique(hashes)
     d = _shard_dir(store_dir, shard)
     os.makedirs(d, exist_ok=True)
     tag = hashlib.md5(hashes.tobytes()).hexdigest()[:16]
     dst = os.path.join(d, f"part-{tag}.parquet")
     if os.path.exists(dst):
-        return
+        return dst
     tmp = dst + f".tmp-{os.getpid()}"
     pq.write_table(pa.table({"h": pa.array(hashes, pa.int64())}), tmp)
     os.replace(tmp, dst)
+    return dst
 
 
 def build_hash_store(
@@ -203,3 +206,53 @@ def incremental_dedup(
         .groupby("s")
         .map_groups(dedup_shard, batch_format="pandas")
     )
+
+
+def compact_store(store_dir: str) -> dict:
+    """Merge every shard's accumulated part files into ONE canonical
+    content-named part each — the store-maintenance pass a long-lived
+    incremental pipeline runs between snapshots (thousands of small
+    appends otherwise make every `_read_shard_hashes` a
+    many-small-files scan).
+
+    Crash-safe ordering: the merged part is written (atomically,
+    content-named — so re-running a crashed compaction converges on
+    the same file) BEFORE any old part is removed, and duplicated
+    content between old and merged parts is harmless in the interim
+    because hash membership is a SET.  One Ray task per shard.
+    Returns ``{"shards", "parts_before", "parts_after", "rows"}``.
+    """
+    import ray
+
+    n = store_n_shards(store_dir)
+    res = ray.get([
+        _compact_hash_shard.remote(store_dir, s) for s in range(n)
+    ])
+    return {
+        "shards": n,
+        "parts_before": sum(r[0] for r in res),
+        "parts_after": sum(r[1] for r in res),
+        "rows": sum(r[2] for r in res),
+    }
+
+
+@ray.remote
+def _compact_hash_shard(store_dir: str, shard: int):
+    ensure_worker_importable()
+    d = _shard_dir(store_dir, shard)
+    if not os.path.isdir(d):
+        return (0, 0, 0)
+    parts = sorted(
+        os.path.join(d, f) for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )
+    if len(parts) <= 1:
+        n = (len(pq.read_table(parts[0], columns=["h"]))
+             if parts else 0)
+        return (len(parts), len(parts), n)
+    hashes = np.unique(_read_shard_hashes(store_dir, shard))
+    keep = _append_shard(store_dir, shard, hashes)
+    for p in parts:
+        if keep is None or os.path.abspath(p) != os.path.abspath(keep):
+            os.remove(p)
+    return (len(parts), 1 if keep else 0, len(hashes))

@@ -106,13 +106,13 @@ def _shard_dir(store_dir: str, sub: str, shard: int) -> str:
 
 
 def _append_part(store_dir: str, sub: str, shard: int,
-                 table: pa.Table) -> None:
+                 table: pa.Table) -> str | None:
     """Atomic, idempotent append (hashstore convention): the part file
     is named by the hash of its content, so a re-run of the same
     contribution lands on the same name instead of growing the
-    store."""
+    store.  Returns the part path (None for an empty contribution)."""
     if table.num_rows == 0:
-        return
+        return None
     # canonical row order: a shuffle delivers group rows in
     # nondeterministic order, and the idempotent part name hashes raw
     # buffers — sort so the same logical contribution always lands on
@@ -130,10 +130,11 @@ def _append_part(store_dir: str, sub: str, shard: int,
                     dig.update(buf)
     dst = os.path.join(d, f"part-{dig.hexdigest()[:16]}.parquet")
     if os.path.exists(dst):
-        return
+        return dst
     tmp = dst + f".tmp-{os.getpid()}"
     pq.write_table(table, tmp)
     os.replace(tmp, dst)
+    return dst
 
 
 def _read_shard(store_dir: str, sub: str, shard: int,
@@ -566,3 +567,53 @@ def incremental_neardup(
         )
 
     return docs.map_batches(emit, batch_format="pyarrow", batch_size=None)
+
+
+def compact_sig_store(store_dir: str) -> dict:
+    """Merge each (sub, shard)'s accumulated part files into ONE
+    canonical content-named part — the between-snapshots maintenance
+    pass (the hashstore :func:`~clonebas_ray.state.hashstore
+    .compact_store` twin).  Rows are distinct-collapsed: band rows
+    ``(band_key, doc_id)`` and shingle rows ``(doc_id, sh)`` are SETS,
+    so duplicates from overlapping appends (or from the crash-safe
+    write-merged-then-delete ordering) never change semantics — at
+    worst a transiently duplicated row costs a duplicate candidate
+    that verifies to the same answer.  One Ray task per (sub, shard).
+    """
+    n = _params(store_dir)["n_shards"]
+    res = ray.get([
+        _compact_sig_shard.remote(store_dir, sub, s)
+        for sub in ("bands", "shingles")
+        for s in range(n)
+    ])
+    return {
+        "shards": 2 * n,
+        "parts_before": sum(r[0] for r in res),
+        "parts_after": sum(r[1] for r in res),
+        "rows": sum(r[2] for r in res),
+    }
+
+
+@ray.remote
+def _compact_sig_shard(store_dir: str, sub: str, shard: int):
+    ensure_worker_importable()
+    d = _shard_dir(store_dir, sub, shard)
+    if not os.path.isdir(d):
+        return (0, 0, 0)
+    parts = sorted(
+        os.path.join(d, f) for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )
+    if len(parts) <= 1:
+        n = len(pq.read_table(parts[0])) if parts else 0
+        return (len(parts), len(parts), n)
+    tab = pa.concat_tables([pq.read_table(p) for p in parts])
+    # distinct rows via pandas (binary cells hash fine as bytes)
+    df = tab.to_pandas().drop_duplicates()
+    merged = pa.Table.from_pandas(df, schema=tab.schema,
+                                  preserve_index=False)
+    keep = _append_part(store_dir, sub, shard, merged)
+    for p in parts:
+        if keep is None or os.path.abspath(p) != os.path.abspath(keep):
+            os.remove(p)
+    return (len(parts), 1 if keep else 0, merged.num_rows)

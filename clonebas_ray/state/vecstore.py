@@ -128,9 +128,10 @@ def _shard_dir(store_dir: str, shard: int) -> str:
     return os.path.join(store_dir, "lists", f"shard-{shard:05d}")
 
 
-def _append_part(store_dir: str, shard: int, table: pa.Table) -> None:
+def _append_part(store_dir: str, shard: int,
+                 table: pa.Table) -> str | None:
     if table.num_rows == 0:
-        return
+        return None
     table = table.sort_by(
         [("list_id", "ascending"), ("vec_id", "ascending")]
     ).combine_chunks()
@@ -144,10 +145,11 @@ def _append_part(store_dir: str, shard: int, table: pa.Table) -> None:
                     dig.update(buf)
     dst = os.path.join(d, f"part-{dig.hexdigest()[:16]}.parquet")
     if os.path.exists(dst):
-        return
+        return dst
     tmp = dst + f".tmp-{os.getpid()}"
     pq.write_table(table, tmp)
     os.replace(tmp, dst)
+    return dst
 
 
 def _read_shard(store_dir: str, shard: int) -> pa.Table:
@@ -339,3 +341,52 @@ def incremental_semantic_dedup(
         )
 
     return out
+
+
+def compact_vec_store(store_dir: str) -> dict:
+    """Merge each shard's accumulated part files into ONE canonical
+    content-named part (the hashstore/sigstore maintenance twin).
+    Rows collapse to distinct ``(list_id, vec_id)`` — a vec_id's
+    embedding bytes are a function of the vector, so keep-first is
+    exact — and transient duplication from the crash-safe ordering
+    only re-tests the same stored vector.  One Ray task per shard."""
+    n = _params(store_dir)["n_shards"]
+    res = ray.get([
+        _compact_vec_shard.remote(store_dir, s) for s in range(n)
+    ])
+    return {
+        "shards": n,
+        "parts_before": sum(r[0] for r in res),
+        "parts_after": sum(r[1] for r in res),
+        "rows": sum(r[2] for r in res),
+    }
+
+
+@ray.remote
+def _compact_vec_shard(store_dir: str, shard: int):
+    ensure_worker_importable()
+    d = _shard_dir(store_dir, shard)
+    if not os.path.isdir(d):
+        return (0, 0, 0)
+    parts = sorted(
+        os.path.join(d, f) for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )
+    if len(parts) <= 1:
+        n = len(pq.read_table(parts[0])) if parts else 0
+        return (len(parts), len(parts), n)
+    tab = _read_shard(store_dir, shard)
+    lid = tab["list_id"].to_numpy(zero_copy_only=False)
+    vid = tab["vec_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((vid, lid))
+    keep_mask = np.ones(len(order), dtype=bool)
+    keep_mask[1:] = (
+        (lid[order][1:] != lid[order][:-1])
+        | (vid[order][1:] != vid[order][:-1])
+    )
+    merged = tab.take(pa.array(order[keep_mask], pa.int64()))
+    keep = _append_part(store_dir, shard, merged)
+    for p in parts:
+        if keep is None or os.path.abspath(p) != os.path.abspath(keep):
+            os.remove(p)
+    return (len(parts), 1 if keep else 0, merged.num_rows)

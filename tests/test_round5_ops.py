@@ -337,3 +337,145 @@ def test_block_mode_consistent_with_file_mode_on_goldens():
             assert contains(file_words, b["words"]), (
                 f"{name}: block {b['block_id']} words not found in "
                 f"file-mode stream")
+
+
+def _count_parts(root):
+    import os
+
+    n = 0
+    for dirpath, _, files in os.walk(root):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def test_hash_store_compaction_preserves_semantics(ray_session,
+                                                   tmp_path):
+    import ray.data
+
+    from clonebas_ray.state.hashstore import (
+        build_hash_store,
+        compact_store,
+        incremental_dedup,
+    )
+
+    def docs(ids, texts):
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }))
+
+    store = str(tmp_path / "store")
+    build_hash_store(
+        docs(range(100, 130), [f"body {i}" for i in range(30)]),
+        store, n_shards=4)
+    # second snapshot appends more parts
+    incremental_dedup(
+        docs(range(30), [f"body {i}" for i in range(10, 40)]),
+        store, update=True).to_pandas()
+    parts_before = _count_parts(store)
+    assert parts_before > 4  # multiple parts per shard exist
+
+    probe = docs(range(200, 220),
+                 [f"body {i}" for i in range(25, 45)])
+    pre = incremental_dedup(probe, store).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    stats = compact_store(store)
+    assert stats["parts_after"] <= 4
+    assert _count_parts(store) == stats["parts_after"]
+    post = incremental_dedup(probe, store).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(post, pre)
+    # compaction is idempotent
+    stats2 = compact_store(store)
+    assert stats2["parts_after"] == stats["parts_after"]
+    assert stats2["rows"] == stats["rows"]
+
+
+def test_sig_store_compaction_preserves_semantics(ray_session,
+                                                  tmp_path):
+    import ray.data
+
+    from clonebas_ray.state.sigstore import (
+        build_sig_store,
+        compact_sig_store,
+        incremental_neardup,
+    )
+
+    def docs(ids, texts):
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }))
+
+    base = ("the quick brown fox jumps over the lazy dog "
+            "again and again for fun")
+    near = base.replace("fun", "profit")
+    store = str(tmp_path / "sig")
+    build_sig_store(docs([100], [base]), store, n_shards=4)
+    # second contribution -> more parts
+    incremental_neardup(
+        docs([1], ["totally novel words everywhere nothing shared "
+                   "with anything else at all okay then"]),
+        store, threshold=0.5, update=True).to_pandas()
+    parts_before = _count_parts(store)
+
+    probe = docs([7, 8], [near, "unrelated probe content entirely "
+                          "different from both stored documents"])
+    pre = incremental_neardup(
+        probe, store, threshold=0.5).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    stats = compact_sig_store(store)
+    assert _count_parts(store) < parts_before or parts_before == stats[
+        "parts_after"]
+    post = incremental_neardup(
+        probe, store, threshold=0.5).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(post, pre)
+    assert pre["near_dup"].tolist() == [True, False]
+
+
+def test_vec_store_compaction_preserves_semantics(ray_session,
+                                                  tmp_path):
+    import ray.data
+
+    from clonebas_ray.state.vecstore import (
+        build_vec_store,
+        compact_vec_store,
+        incremental_semantic_dedup,
+    )
+
+    def vds(ids, vecs):
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(list(ids), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs],
+                pa.list_(pa.float64())),
+        }))
+
+    rng = np.random.default_rng(5)
+    seed = rng.normal(size=(20, 8))
+    store = str(tmp_path / "vec")
+    build_vec_store(vds(range(100, 120), seed), store,
+                    n_shards=4, n_lists=4)
+    extra = rng.normal(size=(10, 8))
+    incremental_semantic_dedup(
+        vds(range(200, 210), extra), store, threshold=0.95,
+        update=True).to_pandas()
+    parts_before = _count_parts(store)
+
+    twin = seed[3] + rng.normal(scale=1e-4, size=8)
+    novel = -seed[3]
+    probe = vds([1, 2], [twin, novel])
+    pre = incremental_semantic_dedup(
+        probe, store, threshold=0.95).to_pandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    stats = compact_vec_store(store)
+    assert _count_parts(store) <= parts_before
+    post = incremental_semantic_dedup(
+        probe, store, threshold=0.95).to_pandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(post, pre)
+    assert pre["near_dup"].tolist() == [True, False]
