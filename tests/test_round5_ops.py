@@ -479,3 +479,33 @@ def test_vec_store_compaction_preserves_semantics(ray_session,
     import pandas as pd
     pd.testing.assert_frame_equal(post, pre)
     assert pre["near_dup"].tolist() == [True, False]
+
+
+def test_block_mode_pre_label_stmts_drop_with_their_blocks():
+    # statements before the first label drop (FixedChecker.cpp:189
+    # unit_waiting-empty guard) — in block mode their nested block
+    # dicts drop with them
+    from clonebas_ray.functions.words import WordExtractor
+
+    src = ("void f() { switch (x) { { a(); b(); } "
+           "case 1: c(); break; } }")
+    blocks = WordExtractor("cpp").extract_blocks(src)
+    assert len(blocks) == 2  # outer compound + the selection only
+    sel = next(b for b in blocks if b["fp_type"] == 9)
+    assert sel["words"].count("CallExpr") == 1  # only c()
+
+
+def test_block_mode_break_after_label_is_substmt():
+    # a break RIGHT AFTER a label is the CaseStmt's substmt — a
+    # normal statement appended to every waiting unit (the pinned
+    # faithful bug), so unit1 carries BreakStmt AND the fall-through
+    # a(); the final top-level break flushes silently
+    from clonebas_ray.functions.words import WordExtractor
+
+    src = ("void f() { switch (x) { case 1: break; "
+           "case 2: a(); break; } }")
+    blocks = WordExtractor("cpp").extract_blocks(src)
+    sel = next(b for b in blocks if b["fp_type"] == 9)
+    assert sel["words"].count("BreakStmt") == 1   # substmt only
+    assert sel["words"].count("CallExpr") == 2    # a() in both units
+    assert sel["words"].count("FixedCompoundStmtClass") == 2
