@@ -21,6 +21,7 @@ All per-batch kernels are vectorized numpy; per-actor state
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -213,8 +214,12 @@ def dedup_report(
 #: max total candidate-doc text bytes shared as one plasma lookup in
 #: the MinHash verify; above it the verify falls back to bucketed
 #: text hash-joins (per-task memory stays bucket-bound).  Sized so a
-#: worker node comfortably mmaps the lookup once.
-_VERIFY_LOOKUP_BUDGET = 4 << 30
+#: worker node comfortably mmaps the lookup once.  The env override
+#: exists for fallback-path smokes/A-Bs (forcing 0 routes every
+#: consumer — MinHash verify, token_bag verify + expansion — through
+#: its bucketed-join branch on any corpus size).
+_VERIFY_LOOKUP_BUDGET = int(os.environ.get(
+    "CLONEBAS_VERIFY_LOOKUP_BUDGET", 4 << 30))
 
 
 @ray.remote
