@@ -593,7 +593,16 @@ class _Parser:
             kids = []
             if self.at("="):
                 self.eat()
-                kids = [self.parse_assign()]
+                if self.at("{"):  # `= { ... }` aggregate initializer
+                    self.eat()
+                    if not self.at("}"):
+                        kids = [self.parse_assign()]
+                        while self.at(","):
+                            self.eat()
+                            kids.append(self.parse_assign())
+                    self.expect("}")
+                else:
+                    kids = [self.parse_assign()]
             elif self.at("{"):  # brace init
                 self.eat()
                 if not self.at("}"):
@@ -769,6 +778,47 @@ class _Parser:
         kind0, text0 = self.peek()
         if kind0 == IDENT and text0 == "template":
             return self.parse_template_decl()
+        if kind0 == IDENT and text0 == "typedef":
+            # `typedef <type> <name>;` — registers the alias so later
+            # declarations resolve it (TypedefDecl, no recursion into
+            # the underlying type per the decl-group convention)
+            i0 = self.i
+            self.eat()
+            base = self.parse_type()
+            name, ty = self.parse_declarator(base)
+            self.expect(";")
+            self.type_names[name] = ty
+            return Node("TypedefDecl", [], ty, name, self.span_from(i0))
+        if kind0 == IDENT and text0 == "using":
+            i0 = self.i
+            self.eat()
+            if self.at("namespace"):
+                # `using namespace ns;` — UsingDirectiveDecl, no
+                # scoping effect in the subset (unqualified names
+                # already resolve greedily)
+                self.eat()
+                k1, ns = self.peek()
+                if k1 != IDENT:
+                    raise ParseUnsupported("namespace name expected")
+                self.eat()
+                self.expect(";")
+                return Node("UsingDirectiveDecl", [], None, ns,
+                            self.span_from(i0))
+            # `using alias = <type>;` — TypeAliasDecl
+            k1, name = self.peek()
+            if k1 != IDENT:
+                raise ParseUnsupported("using declarator expected")
+            self.eat()
+            self.expect("=")
+            base = self.parse_type()
+            ty = base
+            while self.at("*"):
+                self.eat()
+                ty = ("p", ty)
+            self.expect(";")
+            self.type_names[name] = ty
+            return Node("TypeAliasDecl", [], ty, name,
+                        self.span_from(i0))
         if kind0 == IDENT and text0 in ("class", "struct"):
             # record DEFINITION (name then body/base/fwd-semicolon);
             # `struct Name var;` type USAGE keeps the parse_type path

@@ -317,3 +317,23 @@ def test_record_subset_still_raises_outside():
     ):
         with pytest.raises(ParseUnsupported):
             parse_translation_unit(src, "cpp")
+
+
+def test_typedef_using_and_aggregate_init():
+    src = """
+typedef int myint;
+using dbl = double;
+using namespace std;
+int a[3] = {1, 2, 3};
+myint f(myint v) { return v + 1; }
+dbl g(dbl x) { return x * 2; }
+int h() { return a[0]; }
+"""
+    tree = simplify(parse_translation_unit(src, "cpp"), "cpp")
+    s = " ".join(serialize(tree, TY, "pre"))
+    assert "TypedefDecl" in s and "TypeAliasDecl" in s
+    assert "UsingDirectiveDecl" in s
+    # alias types flow into inference
+    assert "BinaryOperator_+_Integer" in s
+    assert "BinaryOperator_*_FloatingPoint" in s
+    assert "ArraySubscriptExpr_Integer" in s
