@@ -789,6 +789,38 @@ class _Parser:
             self.expect(";")
             self.type_names[name] = ty
             return Node("TypedefDecl", [], ty, name, self.span_from(i0))
+        if kind0 == IDENT and text0 == "enum":
+            # `enum [class] Name { A [= expr], ... };` — EnumDecl;
+            # enumerators are int constants in scope.  `enum Name v;`
+            # type USAGE falls through to the parse_type path.
+            save = self.i
+            j = 1
+            if self.peek(1)[1] == "class":
+                j = 2
+            if self.peek(j)[0] == IDENT and self.peek(j + 1)[1] == "{":
+                i0 = self.i
+                self.eat()
+                if self.at("class"):
+                    self.eat()
+                ename = self.eat()[1]
+                self.type_names[ename] = T_INT
+                self.expect("{")
+                while not self.at("}"):
+                    k1, cname = self.peek()
+                    if k1 != IDENT:
+                        raise ParseUnsupported("enumerator expected")
+                    self.eat()
+                    self.declare(cname, T_INT)
+                    if self.at("="):
+                        self.eat()
+                        self.parse_assign()  # value expr, type int
+                    if self.at(","):
+                        self.eat()
+                self.expect("}")
+                self.expect(";")
+                return Node("EnumDecl", [], T_INT, ename,
+                            self.span_from(i0))
+            self.i = save
         if kind0 == IDENT and text0 == "using":
             i0 = self.i
             self.eat()

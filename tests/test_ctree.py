@@ -337,3 +337,11 @@ int h() { return a[0]; }
     assert "BinaryOperator_+_Integer" in s
     assert "BinaryOperator_*_FloatingPoint" in s
     assert "ArraySubscriptExpr_Integer" in s
+
+
+def test_enum_decl_and_enumerator_types():
+    src = "enum Color { RED, GREEN = 5 };\nint f() { return RED + 1; }"
+    tree = simplify(parse_translation_unit(src, "cpp"), "cpp")
+    s = " ".join(serialize(tree, TY, "pre"))
+    assert "EnumDecl" in s
+    assert "BinaryOperator_+_Integer" in s  # enumerators are int
