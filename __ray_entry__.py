@@ -1281,6 +1281,42 @@ def _q_bpe_pairs(sf_dir: str):
     return out.to_pandas()
 
 
+def _q_bpe_tokens(sf_dir: str):
+    """BPE APPLICATION (the tokenizer tier's encode half): train 16
+    merges on a deterministic seeded corpus (sf-independent — golden
+    queries build their own input), apply them with
+    ``bpe_encode_counts`` and return per-doc BPE token counts.  The
+    driver compares against the committed golden parquet; the pytest
+    independently verifies application against the priority-encoder
+    reference (earliest-learned-pair-first), the classic equivalent
+    formulation."""
+    _quiet()
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from clonebas_ray.ops.text_analysis import (
+        bpe_encode_counts,
+        bpe_train,
+    )
+
+    rng = np.random.default_rng(20260820)
+    alpha = list("abcdefgh")
+    texts = [
+        " ".join(
+            "".join(rng.choice(alpha, size=int(rng.integers(1, 10))))
+            for _ in range(int(rng.integers(3, 40))))
+        for _ in range(2000)
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(8)
+    merges = bpe_train(ds, 16)
+    df = bpe_encode_counts(ds, merges).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_bm25_search(sf_dir: str):
     """BM25 top-10 for the fixed query 'hash join window' over
     documents — targeted-data-selection retrieval."""
@@ -1656,6 +1692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # newest/riskiest (code tier, clone/model goldens,
         # round-4 ops) first.  The 50 already driver-certified
         # in r1-r4 close the dict.
+        "bpe_tokens": _q_bpe_tokens,
         "clone_corpus_clusters": _q_clone_corpus,
         "clone_block_clusters": _q_block_clusters,
         "model_clone_clusters": _q_model_clusters,
@@ -1774,6 +1811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 #: reference replay, so the gold pins THAT verified behavior and the
 #: driver gate catches any regression from it.
 _GOLDEN_QUERIES = (
+    "bpe_tokens",
     "clone_corpus_clusters",
     "clone_block_clusters",
     "model_clone_clusters",

@@ -1210,6 +1210,90 @@ def bpe_train(
     return merges
 
 
+def bpe_encode_counts(
+    ds: "ray.data.Dataset",
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Apply an ordered BPE merge list (from :func:`bpe_train`) to the
+    corpus and emit per-doc BPE token counts ``(id_col, n_bpe_tokens)``
+    — the tokenizer-APPLICATION half of the tier (token budgets for
+    mixing/packing are measured in the tokenizer's units, not
+    whitespace words).
+
+    Semantics: whitespace pre-tokenization (the trainer's), then each
+    word encodes by applying rule k only after rules < k have fully
+    applied, with the left-to-right non-overlapping scan — provably
+    equal to the priority encoder (repeatedly merge the
+    earliest-LEARNED adjacent pair present), which the pytest uses as
+    the independent reference implementation.
+
+    Scale shape: merges broadcast once via ``ray.put`` (tiny); each
+    block encodes only its DISTINCT words (per-block memo — corpus
+    word frequency follows Zipf, so the memo turns per-token work
+    into per-vocab work) and per-doc counts are one ``np.bincount``
+    over the word→token-length map; no shuffle at all — output rows
+    = input rows.
+    """
+    ensure_worker_importable()
+    import ray
+
+    merges_ref = ray.put(list(merges))
+
+    def encode_block(batch: pa.Table) -> pa.Table:
+        rules = ray.get(merges_ref)
+        la = pc.split_pattern_regex(
+            batch[text_col].combine_chunks().cast(pa.string()),
+            pattern=r"\s+")
+        flat = la.flatten()
+        keep = pc.not_equal(flat, "")
+        lengths = pc.list_value_length(la).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # doc index per (pre-filter) word, then filter empties
+        didx = np.repeat(np.arange(len(lengths)), lengths)
+        kept = keep.to_numpy(zero_copy_only=False)
+        didx = didx[kept]
+        words = flat.filter(keep)
+        # distinct words encode once per block
+        enc = pc.dictionary_encode(words)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        uniq = enc.dictionary.to_pylist()
+        tok_len = np.empty(len(uniq), np.int64)
+        for u, w in enumerate(uniq):
+            syms = list(w)
+            for a, b in rules:
+                # the symbol concatenation is invariant under merging
+                # (always equals w), so `a+b in w` is a necessary
+                # condition — skips most (rule, word) combinations
+                if a + b not in w:
+                    continue
+                i = 0
+                out = []
+                n = len(syms)
+                while i < n:
+                    if (i + 1 < n and syms[i] == a
+                            and syms[i + 1] == b):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            tok_len[u] = len(syms)
+        per_doc = np.bincount(
+            didx, weights=tok_len[codes], minlength=len(lengths)
+        ).astype(np.int64)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_bpe_tokens": pa.array(per_doc, pa.int64()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        encode_block, batch_format="pyarrow", batch_size=None)
+
+
 def bm25_topk(
     ds: "ray.data.Dataset",
     query: str,

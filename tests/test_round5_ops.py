@@ -509,3 +509,80 @@ def test_block_mode_break_after_label_is_substmt():
     assert sel["words"].count("BreakStmt") == 1   # substmt only
     assert sel["words"].count("CallExpr") == 2    # a() in both units
     assert sel["words"].count("FixedCompoundStmtClass") == 2
+
+
+def test_bpe_encode_counts_vs_priority_encoder(ray_session):
+    """bpe_encode_counts (apply rules in learned order, left-to-right
+    non-overlapping) must equal the PRIORITY encoder (repeatedly merge
+    the earliest-learned adjacent pair present) — the independent
+    reference implementation of BPE application."""
+    import ray.data
+
+    from clonebas_ray.ops.text_analysis import (
+        bpe_encode_counts,
+        bpe_train,
+    )
+
+    rng = np.random.default_rng(11)
+    alpha = list("abcd")
+    texts = [
+        " ".join(
+            "".join(rng.choice(alpha, size=rng.integers(1, 9)))
+            for _ in range(rng.integers(1, 12)))
+        for _ in range(80)
+    ] + ["aaa aaaa aa a", "", "   ", "abab ababab"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })).repartition(4)
+    merges = bpe_train(ds, 12)
+    assert merges
+
+    def priority_encode(word):
+        syms = list(word)
+        rank = {m: i for i, m in enumerate(merges)}
+        while True:
+            best, bi = None, None
+            for i in range(len(syms) - 1):
+                r = rank.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                return syms
+            a, b = merges[best]
+            # merge every left-to-right non-overlapping (a, b)
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+
+    expect = {
+        i: sum(len(priority_encode(w)) for w in t.split())
+        for i, t in enumerate(texts)
+    }
+    got = bpe_encode_counts(ds, merges).to_pandas()
+    assert len(got) == len(texts)
+    for _, row in got.iterrows():
+        assert row["n_bpe_tokens"] == expect[row["doc_id"]], row
+
+
+def test_bpe_encode_counts_hand_case(ray_session):
+    import ray.data
+
+    from clonebas_ray.ops.text_analysis import bpe_encode_counts
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["aaa ab", "abab"]),
+    }))
+    # rules: (a,a) then (ab,a)? keep simple: (a,a), (a,b)
+    out = bpe_encode_counts(ds, [("a", "a"), ("a", "b")]).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    # "aaa" -> [aa, a] (left-to-right non-overlap) = 2; "ab" -> 1
+    assert out["n_bpe_tokens"].tolist() == [3, 2]

@@ -21,6 +21,7 @@ os.environ.setdefault(
 )
 
 GOLDEN_QUERIES = (
+    "bpe_tokens",
     "clone_corpus_clusters",
     "clone_block_clusters",
     "model_clone_clusters",
