@@ -95,6 +95,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--threshold", type=float, default=0.6,
                    help="reference -threshold: model-path similarity "
                         "cut at (cos*0.5+0.5) >= t (default 0.6)")
+    p.add_argument("--compact-store",
+                   choices=("hash", "sig", "vec"), default=None,
+                   help="store maintenance: merge the incremental "
+                        "store at --input (hash/sig/vec kind) into "
+                        "one canonical part per shard and exit")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="local mode only; omit inside a cluster")
     args = p.parse_args(argv)
@@ -135,7 +140,15 @@ def main(argv: list[str] | None = None) -> int:
         only_diff_file=args.only_diff_file,
     )
     try:
-        if args.code_clean:
+        if args.compact_store:
+            from clonebas_ray.state.hashstore import compact_store
+            from clonebas_ray.state.sigstore import compact_sig_store
+            from clonebas_ray.state.vecstore import compact_vec_store
+
+            fn = {"hash": compact_store, "sig": compact_sig_store,
+                  "vec": compact_vec_store}[args.compact_store]
+            report = fn(args.input)
+        elif args.code_clean:
             report = _run_code_clean_mode(args)
         elif args.pretrain_clean:
             report = _run_pretrain_clean_mode(args)
